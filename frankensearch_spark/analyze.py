@@ -1,0 +1,165 @@
+"""Tokenizers / analyzers.
+
+``analyze_default`` re-expresses the reference's default analyzer — a fusion
+of Tantivy 0.26.1 ``SimpleTokenizer`` + ``LowerCaser`` — from its public
+semantics: split on non-alphanumeric Unicode scalar values, ASCII-lowercase
+when the token is all-ASCII, full Unicode lowercase expansion otherwise.
+Parity target: ``crates/frankensearch-quill/src/scribe.rs:279-296`` (doc) and
+the scalar oracle at ``scribe.rs:742-790``; verified against the 14
+``analyzer_cases`` of ``tests/fixtures/quill_language_contract.json``.
+
+Offsets are UTF-8 **byte** offsets (the reference indexes ``&str`` slices).
+
+Position-gap admission rule (scribe.rs:214-243): tokens longer than
+``MAX_TERM_BYTES`` (65,530 UTF-8 bytes) are dropped *after* analysis, so
+surviving tokens keep their original positions.  Fieldnorms / statistics
+count **admitted** tokens (scribe.rs:186).
+
+``tokenize_fast`` is the vectorizable hot path used inside pandas UDFs: it
+emits the same (term, position) stream (no offsets) and is regex-driven —
+``[^\\W_]+`` with Python's Unicode ``\\w`` equals runs of ``str.isalnum()``
+characters, matching the reference's boundary rule for every fixture case.
+(Known daylight vs Rust ``char::is_alphanumeric`` exists only for
+Other_Alphabetic marks/symbols such as U+24B6; none appear in the contract
+corpus.)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from frankensearch_spark.contract import MAX_TERM_BYTES
+
+_WORD_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+# conservative char-count threshold above which a token *might* exceed
+# MAX_TERM_BYTES (a UTF-8 char is at most 4 bytes)
+_MAYBE_OVERSIZED_CHARS = MAX_TERM_BYTES // 4
+
+
+@dataclass(frozen=True)
+class Token:
+    text: str
+    position: int
+    offset_from: int  # UTF-8 byte offset
+    offset_to: int
+    position_length: int = 1
+
+
+def _is_alnum(ch: str) -> bool:
+    # scribe.rs tokenizer_is_alphanumeric: ASCII fast path uses
+    # is_ascii_alphanumeric; otherwise Unicode is_alphanumeric.
+    if ch.isascii():
+        return "0" <= ch <= "9" or "a" <= ch <= "z" or "A" <= ch <= "Z"
+    return ch.isalnum()
+
+
+def analyze_default(text: str) -> list[Token]:
+    """Exact reference analyzer with byte offsets (test/oracle path)."""
+    out: list[Token] = []
+    position = 0
+    byte_off = 0
+    tok_chars: list[str] = []
+    tok_start = 0
+    all_ascii = True
+
+    def flush(end_byte: int) -> None:
+        nonlocal position, tok_chars, all_ascii
+        if not tok_chars:
+            return
+        if all_ascii:
+            text_out = "".join(tok_chars).lower()
+        else:
+            text_out = "".join(c.lower() for c in tok_chars)
+        out.append(Token(text_out, position, tok_start, end_byte))
+        position += 1
+        tok_chars = []
+        all_ascii = True
+
+    for ch in text:
+        ch_bytes = len(ch.encode("utf-8"))
+        if _is_alnum(ch):
+            if not tok_chars:
+                tok_start = byte_off
+            tok_chars.append(ch)
+            all_ascii = all_ascii and ch.isascii()
+        else:
+            flush(byte_off)
+        byte_off += ch_bytes
+    flush(byte_off)
+    return out
+
+
+def admit(tokens: list[Token]) -> list[Token]:
+    """Drop oversized tokens, preserving position gaps (scribe.rs:214-243)."""
+    kept = []
+    for t in tokens:
+        if len(t.text) > _MAYBE_OVERSIZED_CHARS and len(t.text.encode("utf-8")) > MAX_TERM_BYTES:
+            continue
+        if len(t.text) > MAX_TERM_BYTES:  # pure-ASCII oversized
+            continue
+        kept.append(t)
+    return kept
+
+
+def tokenize_fast(text: str) -> list[tuple[str, int]]:
+    """Hot-path tokenizer: (term, position) stream identical to
+    ``admit(analyze_default(text))`` on term text and positions."""
+    if not text:
+        return []
+    if text.isascii():
+        # lowering first is safe for ASCII (no boundary changes)
+        terms = _WORD_RE.findall(text.lower())
+    else:
+        terms = [t.lower() for t in _WORD_RE.findall(text)]
+    out = []
+    for pos, t in enumerate(terms):
+        if len(t) > _MAYBE_OVERSIZED_CHARS and len(t.encode("utf-8")) > MAX_TERM_BYTES:
+            continue
+        out.append((t, pos))
+    return out
+
+
+def tokenize_terms(text: str) -> list[str]:
+    """Terms only (no positions) — for df/tf aggregation paths."""
+    return [t for t, _ in tokenize_fast(text)]
+
+
+# --- code-aware extension (north-star addition; NOT in the Tantivy parity
+# path — gate with code_aware=True).  snake_case already splits in the
+# default analyzer ('_' is non-alphanumeric); this stage adds camelCase /
+# digit-boundary sub-token emission at the whole token's position, following
+# the reference CASS analyzer's compound-plus-parts pattern
+# (scribe.rs:794-1010: hyphen compound emits whole + parts at one position).
+
+_CAMEL_RE = re.compile(
+    r"[A-Z]+(?=[A-Z][a-z])|[A-Z]?[a-z]+|[A-Z]+|[0-9]+"
+)
+
+
+def split_code_token(term: str) -> list[str]:
+    """camelCase/PascalCase/digit-boundary parts of a single term."""
+    parts = _CAMEL_RE.findall(term)
+    if len(parts) <= 1:
+        return []
+    return [p.lower() for p in parts]
+
+
+def tokenize_code_aware(text: str) -> list[tuple[str, int]]:
+    """Default stream plus lowered camelCase parts at the same positions."""
+    if not text:
+        return []
+    out: list[tuple[str, int]] = []
+    for pos, raw_term in enumerate(_WORD_RE.findall(text)):
+        term = raw_term.lower()
+        if (
+            len(term) > _MAYBE_OVERSIZED_CHARS
+            and len(term.encode("utf-8")) > MAX_TERM_BYTES
+        ):
+            continue  # position gap preserved
+        out.append((term, pos))
+        for part in split_code_token(raw_term):
+            if part != term:
+                out.append((part, pos))
+    return out

@@ -1,0 +1,103 @@
+"""Deterministic synthetic source-code corpus + frozen query set.
+
+Shape fixed by ``BASELINE.json.input_hint``:
+``(repo, path, commit, lang, content)``.  Synthesis follows FIXTURES.md §1
+(mirroring the reference gauntlet's content-addressed generator discipline,
+``crates/frankensearch-quill-gauntlet/src/generator.rs:34-140``): seeded
+Zipf token ids ``term00000..term08191``, code-shaped identifiers, skew
+tokens ``fn`` / ``import`` in ~60% of rows, log-normal doc lengths.
+
+No wall-clock, no external data — byte-stable across runs and machines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+VOCAB_SIZE = 8192
+ZIPF_EXPONENT = 1.1
+EXTS = {"rust": "rs", "python": "py", "go": "go", "java": "java", "ts": "ts"}
+LANGS = list(EXTS)
+
+CODE_TOKENS = [
+    "snake_case_identifier",
+    "camelCaseIdentifier",
+    "HTTPServer2",
+    "user_id",
+    "src/main.rs",
+    "config.toml",
+    "generated",
+    "record",
+]
+
+
+def _zipf_probs(n: int, s: float) -> np.ndarray:
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    w = ranks**-s
+    return w / w.sum()
+
+
+def make_corpus(n_docs: int, seed: int = 42, zipf_s: float = ZIPF_EXPONENT):
+    """Rows of (repo, path, commit, lang, content), deterministic."""
+    rng = np.random.default_rng(seed)
+    probs = _zipf_probs(VOCAB_SIZE, zipf_s)
+    vocab = np.array([f"term{i:05d}" for i in range(VOCAB_SIZE)])
+
+    # log-normal lengths, clipped 10..2000 (FIXTURES.md §1)
+    lengths = np.clip(
+        rng.lognormal(mean=4.0, sigma=0.9, size=n_docs), 10, 2000
+    ).astype(np.int64)
+
+    rows = []
+    for i in range(n_docs):
+        lang = LANGS[i % len(LANGS)]
+        repo = f"org{i % 7}/repo{i % 23}"
+        path = f"src/m{i % 97}/file{i}.{EXTS[lang]}"
+        commit = hashlib.sha256(f"c{i // 100}".encode()).hexdigest()[:40]
+        toks = list(vocab[rng.choice(VOCAB_SIZE, size=lengths[i], p=probs)])
+        # code-shaped tokens sprinkled deterministically
+        if i % 3 == 0:
+            toks.insert(0, CODE_TOKENS[i % len(CODE_TOKENS)])
+        # skew tokens in ~60% of rows (north-rule's named skew terms)
+        if rng.random() < 0.6:
+            toks.append("fn" if i % 2 == 0 else "import")
+        rows.append((repo, path, commit, lang, " ".join(toks)))
+    return rows
+
+
+def corpus_docs(n_docs: int, seed: int = 42, zipf_s: float = ZIPF_EXPONENT):
+    """(docid, content) pairs; docid = global row_number over the natural key
+    ``(repo, path, commit)`` — parallelism-invariant (SURVEY.md B3)."""
+    rows = make_corpus(n_docs, seed, zipf_s)
+    ordered = sorted(range(len(rows)), key=lambda i: rows[i][:3])
+    return [(docid, rows[i][4]) for docid, i in enumerate(ordered)]
+
+
+# Frozen query set — 16 per class shape of QG-6 (FIXTURES.md §2), adapted to
+# the corpus vocabulary; includes guaranteed-miss controls.
+FROZEN_QUERIES = {
+    "identifier/00": "snake_case_identifier",
+    "identifier/01": "camelCaseIdentifier",
+    "identifier/02": "HTTPServer2",
+    "identifier/03": "user_id",
+    "identifier/04": "src/main.rs",
+    "identifier/05": "config.toml",
+    "identifier/15": "qg6_nohit_identifier_15",
+    "short_keyword/00": "fn",
+    "short_keyword/01": "import",
+    "short_keyword/02": "term00000",
+    "short_keyword/03": "term00042",
+    "short_keyword/04": "term01000",
+    "short_keyword/15": "missingkeywordalpha",
+    "natural_language/00": "term00001 term00007 generated record",
+    "natural_language/01": "term00002 term00003 term00010",
+    "natural_language/02": "generated record fn import",
+    "natural_language/03": "term00042 term00100 term00500 term01000 term02000",
+    "boolean/00": "term00001 AND term00002",
+    "boolean/01": "term00001 OR term09999x",
+    "boolean/02": "term00001 NOT term00002",
+    "boolean/03": "+term00001 -term00002 term00003",
+    "phrase/00": '"term00001 term00002"',
+}

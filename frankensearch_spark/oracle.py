@@ -1,0 +1,138 @@
+"""Single-node numpy reference scorer (plays Tantivy 0.26.1's oracle role).
+
+Every Spark path is judged against this module.  It implements exhaustive
+BM25 top-k with the pinned f32 contract from
+:mod:`frankensearch_spark.contract` and the pinned result total order
+(score f32 total_cmp descending, then global docid ascending —
+reference ``crates/frankensearch-quill/src/index.rs:8022-8040``).
+
+Boolean semantics mirror the reference scorer tree
+(``crates/frankensearch-quill/src/argus.rs:2330-3195``): Must terms
+intersect, Should terms union, MustNot excludes; clause scores are summed
+in f32 in clause order (required aggregate before optional aggregate —
+scoring case ``score-multifield-title-boost``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from frankensearch_spark.analyze import tokenize_fast
+from frankensearch_spark.contract import (
+    compute_avgdl,
+    compute_tf_cache,
+    fieldnorm_to_id,
+    score_total_order_key,
+    term_score,
+    term_weight,
+)
+
+
+class OracleIndex:
+    """In-memory exhaustive BM25 index over one text field."""
+
+    def __init__(self, docs, tokenizer=tokenize_fast):
+        """``docs``: iterable of (docid:int, text:str)."""
+        postings: dict[str, dict[int, int]] = {}
+        doclen: dict[int, int] = {}
+        for docid, text in docs:
+            toks = tokenizer(text)
+            doclen[docid] = len(toks)
+            for term, _pos in toks:
+                postings.setdefault(term, {}).setdefault(docid, 0)
+                postings[term][docid] += 1
+
+        self.docids = np.array(sorted(doclen), dtype=np.int64)
+        self._row = {d: i for i, d in enumerate(self.docids)}
+        dl = np.array([doclen[d] for d in self.docids], dtype=np.uint32)
+        self.doclen = dl
+        self.fieldnorm_id = fieldnorm_to_id(dl)
+        self.doc_count = len(self.docids)
+        self.total_tokens = int(dl.sum())
+        self.avgdl = compute_avgdl(self.total_tokens, self.doc_count)
+        self.tf_cache = compute_tf_cache(self.avgdl)
+        self.postings = {
+            term: (
+                np.array(sorted(plist), dtype=np.int64),
+                np.array([plist[d] for d in sorted(plist)], dtype=np.uint32),
+            )
+            for term, plist in postings.items()
+        }
+
+    def term_doc_freq(self, term: str) -> int:
+        p = self.postings.get(term)
+        return 0 if p is None else len(p[0])
+
+    def _term_scores(self, term: str, boost: float = 1.0):
+        """(row_indices, f32 scores) for one term, empty if absent."""
+        p = self.postings.get(term)
+        if p is None:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float32)
+        docids, tfs = p
+        rows = np.array([self._row[d] for d in docids], dtype=np.int64)
+        w = term_weight(len(docids), self.doc_count, boost)
+        scores = term_score(w, tfs, self.fieldnorm_id[rows], self.tf_cache)
+        return rows, scores
+
+    def search(
+        self,
+        query,
+        k: int = 10,
+        offset: int = 0,
+        must: list[str] | None = None,
+        must_not: list[str] | None = None,
+    ) -> list[tuple[int, np.float32]]:
+        """Top-k for a query.
+
+        ``query``: string (tokenized to Should terms) or list of Should terms.
+        Returns [(docid, f32 score)] under the pinned total order.
+        """
+        if isinstance(query, str):
+            should = [t for t, _ in tokenize_fast(query)]
+        else:
+            should = list(query)
+        must = list(must or [])
+        must_not = list(must_not or [])
+
+        acc = np.zeros(self.doc_count, dtype=np.float32)
+        matched = np.zeros(self.doc_count, dtype=bool)
+
+        # required aggregate first, f32 accumulation in clause order
+        must_ok = np.ones(self.doc_count, dtype=bool) if must else None
+        for term in must:
+            rows, scores = self._term_scores(term)
+            hit = np.zeros(self.doc_count, dtype=bool)
+            hit[rows] = True
+            must_ok &= hit
+            acc[rows] = (acc[rows] + scores).astype(np.float32)
+        for term in should:
+            rows, scores = self._term_scores(term)
+            acc[rows] = (acc[rows] + scores).astype(np.float32)
+            matched[rows] = True
+
+        if must:
+            ok = must_ok if not should else must_ok  # Should optional under Must
+        else:
+            ok = matched
+        for term in must_not:
+            p = self.postings.get(term)
+            if p is not None:
+                rows = np.array([self._row[d] for d in p[0]], dtype=np.int64)
+                ok = ok.copy()
+                ok[rows] = False
+
+        rows = np.nonzero(ok)[0]
+        if rows.size == 0:
+            return []
+        scores = acc[rows]
+        docids = self.docids[rows]
+        order = score_total_order_key(scores, docids)
+        sel = order[offset : offset + k]
+        return [(int(docids[i]), np.float32(scores[i])) for i in sel]
+
+    def search_bits(self, query, k=10, **kw):
+        """Top-k with scores as u32 bit patterns (for bit-exact asserts)."""
+        return [
+            (d, int(np.float32(s).view(np.uint32)))
+            for d, s in self.search(query, k, **kw)
+        ]
