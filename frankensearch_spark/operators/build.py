@@ -153,8 +153,11 @@ def build_postings(
 ) -> DataFrame:
     """(term, docid, tf, doclen, fieldnorm_id[, positions]) (B2/B5).
 
-    ``groupBy(term, docid)`` keys are near-unique: Catalyst's partial
-    aggregation absorbs the skewed terms before shuffle.
+    Reference path from token rows; ``groupBy(term, docid)`` keys are
+    near-unique so Catalyst's partial aggregation absorbs skewed terms
+    before shuffle.  The production build uses the fused zero-shuffle
+    :func:`build_postings_fused` — this one remains as the differential
+    check (tests assert both produce identical postings).
     """
     aggs = [
         F.count(F.lit(1)).cast("int").alias("tf"),
@@ -164,6 +167,86 @@ def build_postings(
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
     out = token_rows.groupBy("term", "docid").agg(*aggs)
     return out.withColumn("fieldnorm_id", fieldnorm_id_udf(F.col("doclen")))
+
+
+POSTINGS_SCHEMA = (
+    "docid long, term string, tf int, positions array<int>, "
+    "doclen int, fieldnorm_id int"
+)
+
+
+def build_postings_fused(
+    corpus_with_docid: DataFrame,
+    content_col: str = "content",
+    code_aware: bool = False,
+    with_positions: bool = True,
+) -> DataFrame:
+    """Fused tokenize→aggregate: one mapInPandas pass, ZERO shuffles.
+
+    A (term, docid) posting is local to its document, and a document is
+    local to its partition — so per-doc tf/positions aggregation never
+    needs the cluster.  This is the Spark analogue of the reference's
+    shard-local columnar accumulation (scribe.rs:2285-2900): the only
+    wide exchanges left in the whole build are the small termstats agg
+    and the merge job's repartition-by-term.
+
+    Inner aggregation is vectorized numpy (factorize + lexsort +
+    run-length boundaries), not per-token Python.
+    """
+    from frankensearch_spark.analyze import tokenize_code_aware, tokenize_fast
+    from frankensearch_spark.contract import fieldnorm_to_id
+
+    tok_fn = tokenize_code_aware if code_aware else tokenize_fast
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            doc_col: list = []
+            term_col: list[str] = []
+            pos_col: list[int] = []
+            dl_col: list[int] = []
+            for docid, content in zip(pdf["docid"], pdf[content_col]):
+                toks = tok_fn(content) if content is not None else []
+                n = len(toks)
+                if n == 0:
+                    continue
+                doc_col.extend([docid] * n)
+                term_col.extend(t for t, _ in toks)
+                pos_col.extend(p for _, p in toks)
+                dl_col.extend([n] * n)
+            if not term_col:
+                continue
+            docids = np.asarray(doc_col, dtype=np.int64)
+            poss = np.asarray(pos_col, dtype=np.int32)
+            dls = np.asarray(dl_col, dtype=np.int32)
+            codes, uniq_terms = pd.factorize(np.asarray(term_col, dtype=object))
+            order = np.lexsort((poss, codes, docids))
+            d_s, c_s, p_s, l_s = docids[order], codes[order], poss[order], dls[order]
+            # run boundaries where (docid, term-code) changes
+            change = np.empty(len(d_s), dtype=bool)
+            change[0] = True
+            change[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], len(d_s))
+            tf = (ends - starts).astype(np.int32)
+            out = {
+                "docid": d_s[starts],
+                "term": uniq_terms[c_s[starts]],
+                "tf": tf,
+                "positions": (
+                    np.split(p_s, starts[1:])
+                    if with_positions
+                    else [None] * len(starts)
+                ),
+                "doclen": l_s[starts],
+                "fieldnorm_id": fieldnorm_to_id(l_s[starts]).astype(np.int32),
+            }
+            yield pd.DataFrame(out)
+
+    return corpus_with_docid.select("docid", content_col).mapInPandas(
+        gen, POSTINGS_SCHEMA
+    )
 
 
 def build_termstats(postings: DataFrame) -> DataFrame:
@@ -193,14 +276,18 @@ def build_fieldstats(docmeta: DataFrame) -> DataFrame:
 class BuiltIndex:
     """In-memory handle over the four index tables."""
 
-    postings: DataFrame
+    postings: DataFrame  # serving table: docid, term, tf, doclen, fieldnorm_id
     docmeta: DataFrame
     termstats: DataFrame
     fieldstats: DataFrame
+    positions: DataFrame | None = None  # (docid, term, positions) — phrase path
+    _cached_stats: tuple[int, int] | None = None
 
     def stats(self) -> tuple[int, int]:
-        row = self.fieldstats.collect()[0]
-        return int(row["doc_count"]), int(row["total_tokens"])
+        if self._cached_stats is None:
+            row = self.fieldstats.collect()[0]
+            self._cached_stats = (int(row["doc_count"]), int(row["total_tokens"]))
+        return self._cached_stats
 
 
 def build_index(
@@ -220,8 +307,17 @@ def build_index(
         with_docid = corpus
     else:
         with_docid = assign_docids(corpus, key_cols, docid_mode)
-    tokens = build_token_rows(with_docid, content_col, code_aware)
-    postings = build_postings(tokens, with_positions)
+    postings_src = build_postings_fused(
+        with_docid, content_col, code_aware, with_positions
+    )
+    positions = None
+    if with_positions:
+        # positions live outside the serving table: query scans must not
+        # pay their deserialization (measured 2.4x scan cost otherwise)
+        positions = postings_src.select("docid", "term", "positions")
+        postings = postings_src.drop("positions")
+    else:
+        postings = postings_src
     if cache:
         postings = postings.persist()
     docmeta = build_docmeta(with_docid, key_cols, postings, content_col)
@@ -229,4 +325,4 @@ def build_index(
         docmeta = docmeta.persist()
     termstats = build_termstats(postings)
     fieldstats = build_fieldstats(docmeta)
-    return BuiltIndex(postings, docmeta, termstats, fieldstats)
+    return BuiltIndex(postings, docmeta, termstats, fieldstats, positions)

@@ -1,0 +1,78 @@
+"""Local replica of the driver's correctness gate: run each queries()[name]
+on Spark and oracle_sql()[name] on DuckDB, compare row count, schema width,
+and order-insensitive values. Usage: python tools/check_driver_contract.py [sf_dir]
+"""
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    rounded = df.round(6) if len(df) else df
+    return rounded.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main(sf_dir: str):
+    import __spark_entry__ as e
+    from frankensearch_spark.session import get_spark
+
+    spark = get_spark("contract-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, osql = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        try:
+            got = canon(fn(spark, sf_dir).toPandas())
+        except Exception as ex:  # noqa: BLE001
+            failures.append((name, f"spark error: {ex}"))
+            print(f"FAIL  {name}: spark error: {ex}")
+            continue
+        if name not in osql:
+            print(f"rows-only  {name}: {len(got)} rows")
+            continue
+        try:
+            exp = canon(con.execute(osql[name]).df())
+        except Exception as ex:  # noqa: BLE001
+            failures.append((name, f"duckdb error: {ex}"))
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            continue
+        if len(got) != len(exp):
+            failures.append((name, f"row count {len(got)} != {len(exp)}"))
+            print(f"FAIL  {name}: rows {len(got)} != {len(exp)}")
+            continue
+        if list(got.columns) != list(exp.columns):
+            failures.append((name, f"schema {list(got.columns)} != {list(exp.columns)}"))
+            print(f"FAIL  {name}: schema {list(got.columns)} != {list(exp.columns)}")
+            continue
+        try:
+            pd.testing.assert_frame_equal(
+                got, exp, check_dtype=False, check_exact=False, rtol=0, atol=1.5e-6
+            )
+            print(f"OK    {name}: {len(got)} rows")
+        except AssertionError as ex:
+            failures.append((name, "value mismatch"))
+            print(f"FAIL  {name}: value mismatch\n{str(ex)[:800]}")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
