@@ -1,0 +1,81 @@
+"""Vectorized LEB128 (variable-byte) codec for uint32 arrays.
+
+The reference's Vint posting codec is canonical u32 LEB128
+(``crates/frankensearch-quill/src/quiver.rs:395-430`` constants; parse /
+canonical-width validation 1040-1380).  This module re-expresses it in
+numpy: encode/decode whole arrays with no per-element Python.
+
+Format: little-endian base-128, 7 bits per byte, high bit = continuation
+(more bytes follow).  Canonical: no over-long encodings are produced;
+decode validates total consumption.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = np.array([1 << 7, 1 << 14, 1 << 21, 1 << 28], dtype=np.uint64)
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint32 array to canonical LEB128 bytes."""
+    arr = np.asarray(values, dtype=np.uint64)
+    if arr.size == 0:
+        return b""
+    nbytes = np.ones(arr.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += arr >= t
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    starts = ends - nbytes
+    out = np.zeros(total, dtype=np.uint8)
+    # byte j of each value (j < nbytes): 7-bit group, continuation bit unless last
+    byte_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, nbytes)
+    val_rep = np.repeat(arr, nbytes)
+    groups = (val_rep >> (7 * byte_idx.astype(np.uint64))) & np.uint64(0x7F)
+    out[:] = groups.astype(np.uint8)
+    is_last = byte_idx == np.repeat(nbytes - 1, nbytes)
+    out[~is_last] |= 0x80
+    return out.tobytes()
+
+
+def vbyte_decode(buf: bytes, expected_count: int | None = None) -> np.ndarray:
+    """Decode canonical LEB128 bytes to a uint32 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.array([], dtype=np.uint32)
+    is_last = (b & 0x80) == 0
+    if not is_last[-1]:
+        raise ValueError("truncated vbyte stream")
+    last_idx = np.nonzero(is_last)[0]
+    starts = np.empty(last_idx.size, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = last_idx[:-1] + 1
+    lengths = last_idx - starts + 1
+    if np.any(lengths > 5):
+        raise ValueError("over-long vbyte value (non-canonical)")
+    offs = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lengths)
+    groups = (b & np.uint8(0x7F)).astype(np.uint64) << (7 * offs.astype(np.uint64))
+    values = np.add.reduceat(groups, starts)
+    if np.any(values > 0xFFFFFFFF):
+        raise ValueError("vbyte value exceeds u32")
+    out = values.astype(np.uint32)
+    if expected_count is not None and out.size != expected_count:
+        raise ValueError(f"expected {expected_count} values, got {out.size}")
+    return out
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """Strictly-increasing u32/u64 array -> [first, gaps...] (gap >= 1)."""
+    arr = np.asarray(sorted_vals, dtype=np.uint64)
+    if arr.size == 0:
+        return arr.astype(np.uint32)
+    out = np.empty(arr.size, dtype=np.uint64)
+    out[0] = arr[0]
+    out[1:] = arr[1:] - arr[:-1]
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    arr = np.asarray(deltas, dtype=np.uint64)
+    return np.cumsum(arr, dtype=np.uint64)

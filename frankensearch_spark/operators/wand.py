@@ -1,0 +1,278 @@
+"""Block-Max WAND serving path (SURVEY.md E5/E6 — the north-rule centerpiece).
+
+Distributed re-expression of the reference's Block-Max-WAND
+(argus.rs:4474-4520, bound math contract.rs:333-370): instead of a scalar
+cursor dance, pruning happens at **docid-bucket granularity**:
+
+* every posting block belongs to one docid bucket (a deterministic docid
+  range), and ALL terms' postings for a given doc live in the same bucket —
+  so boolean logic, f32 clause-ordered scoring, and local top-k are
+  bucket-local (embarrassingly parallel, one grouped-UDF task per bucket);
+* per-bucket upper bound = conservative-envelope sum over scored clauses of
+  the max block_max_score of that term's blocks in the bucket (decoded
+  bounds never under-estimate: contract.rs:306-326, argus.rs:3918-3973);
+* two phases: (A) score the best-bounded buckets exactly to certify a
+  threshold θ = kth-best exact score, (B) decode only the remaining buckets
+  whose bound ≥ θ.  Any doc in a skipped bucket scores ≤ bound < θ ≤ final
+  kth score — rank-identity is a theorem, and the test suite asserts
+  pruned ≡ exhaustive ≡ oracle on every fixture query (the reference's
+  pruning-receipt discipline, index.rs:2434-2560).
+
+Everything score-bearing is numpy float32 in the pinned op order.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from frankensearch_spark.contract import (
+    block_max_score,
+    compute_avgdl,
+    compute_tf_cache,
+    conservative_bound_sum,
+    score_total_order_key,
+    term_weight,
+)
+from frankensearch_spark.operators.merge import (
+    DEFAULT_BUCKET_SHIFT,
+    decode_blocks_pdf,
+    term_partition,
+)
+from frankensearch_spark.operators.query import QuerySpec
+
+
+@dataclass
+class ServingIndex:
+    """Compressed, query-ready index: block table + stats + idmap."""
+
+    blocks: DataFrame
+    termstats: DataFrame
+    docmeta: DataFrame
+    fieldstats: DataFrame
+    bucket_shift: int = DEFAULT_BUCKET_SHIFT
+    n_term_partitions: int = 64
+    _cached_stats: tuple[int, int] | None = None
+
+    def stats(self) -> tuple[int, int]:
+        if self._cached_stats is None:
+            row = self.fieldstats.collect()[0]
+            self._cached_stats = (int(row["doc_count"]), int(row["total_tokens"]))
+        return self._cached_stats
+
+
+def serving_from_built(built, bucket_shift: int = DEFAULT_BUCKET_SHIFT,
+                       n_term_partitions: int = 64, cache: bool = True) -> ServingIndex:
+    from frankensearch_spark.operators.merge import build_blocks
+
+    blocks = build_blocks(built.postings, bucket_shift, n_term_partitions)
+    if cache:
+        blocks = blocks.persist()
+    return ServingIndex(
+        blocks, built.termstats, built.docmeta, built.fieldstats,
+        bucket_shift, n_term_partitions,
+    )
+
+
+def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_cache: np.ndarray,
+                          k: int, bucket_shift: int):
+    """applyInPandas kernel: one call per docid bucket -> local top-k rows.
+
+    Dense bucket-local accumulation (bucket span is bounded by
+    2**bucket_shift) mirrors the oracle's clause-ordered f32 arithmetic.
+    """
+    must = list(spec.must)
+    must_not = list(spec.must_not)
+    clause_terms = spec.clause_terms()
+    span = 1 << bucket_shift
+
+    def score_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        docids, tfs, fids, rows = decode_blocks_pdf(pdf, bucket_shift)
+        if docids.size == 0:
+            return pd.DataFrame({"docid": [], "score": []})
+        base = int(pdf["bucket"].iat[0]) << bucket_shift
+        offs = (docids - base).astype(np.int64)
+        terms_per_row = pdf["term"].to_numpy(dtype=object)
+        post_terms = terms_per_row[rows]
+
+        acc = np.zeros(span, dtype=np.float32)
+        matched = np.zeros(span, dtype=bool)
+        must_ok = np.ones(span, dtype=bool) if must else None
+        seen = np.zeros(span, dtype=bool)
+        seen[offs] = True
+
+        for term in (t for t in dict.fromkeys(must) if True):
+            sel = post_terms == term
+            o = offs[sel]
+            hit = np.zeros(span, dtype=bool)
+            hit[o] = True
+            must_ok &= hit
+        for term in clause_terms:
+            if term not in weights:
+                continue
+            sel = post_terms == term
+            if not sel.any():
+                continue
+            o = offs[sel]
+            f = tfs[sel].astype(np.float32)
+            norm = tf_cache[fids[sel].astype(np.int64)]
+            s = (np.float32(weights[term]) * f / (f + norm)).astype(np.float32)
+            acc[o] = (acc[o] + s).astype(np.float32)
+            if term in spec.should:
+                matched[o] = True
+
+        ok = must_ok if must else matched
+        ok = ok & seen
+        for term in must_not:
+            sel = post_terms == term
+            ok = ok.copy()
+            ok[offs[sel]] = False
+
+        hit_offs = np.nonzero(ok)[0]
+        if hit_offs.size == 0:
+            return pd.DataFrame({"docid": [], "score": []})
+        scores = acc[hit_offs]
+        out_docids = base + hit_offs
+        order = score_total_order_key(scores, out_docids)[:k]
+        return pd.DataFrame(
+            {
+                "docid": out_docids[order].astype(np.int64),
+                "score": scores[order],
+            }
+        )
+
+    return score_one
+
+
+def _prepare(index: ServingIndex, spec: QuerySpec):
+    """Driver-side: broadcast-able term stats -> weights, tf_cache, blocks."""
+    uniq: list[str] = []
+    for t in spec.clause_terms() + list(spec.must_not):
+        if t not in uniq:
+            uniq.append(t)
+    if not uniq:
+        return None
+    stats = {
+        r["term"]: int(r["df"])
+        for r in index.termstats.filter(F.col("term").isin(uniq)).collect()
+    }
+    if any(t not in stats for t in spec.must):
+        return None
+    doc_count, total_tokens = index.stats()
+    avgdl = compute_avgdl(total_tokens, doc_count)
+    tf_cache = compute_tf_cache(avgdl)
+    weights = {
+        t: np.float32(term_weight(stats[t], doc_count))
+        for t in uniq
+        if t in stats and t not in spec.must_not
+    }
+    present = [t for t in uniq if t in stats]
+    tparts = sorted({term_partition(t, index.n_term_partitions) for t in present})
+    cand = index.blocks.filter(
+        F.col("tpart").isin(tparts) & F.col("term").isin(present)
+    )
+    return weights, tf_cache, avgdl, cand
+
+
+def wand_topk(
+    index: ServingIndex,
+    spec: QuerySpec,
+    k: int = 10,
+    offset: int = 0,
+    prune: bool = True,
+    seed_buckets: int = 4,
+) -> list[tuple[int, np.float32]]:
+    """Top-k under the pinned total order via bucket-granular block-max WAND.
+
+    ``prune=False`` scores every candidate bucket (exhaustive-over-blocks);
+    the pruned path is rank-identical by the conservative-bound theorem.
+    """
+    prep = _prepare(index, spec)
+    if prep is None:
+        return []
+    weights, tf_cache, avgdl, cand = prep
+    shift = index.bucket_shift
+    want = offset + k
+    kernel = _score_buckets_kernel(spec, weights, tf_cache, want, shift)
+    out_schema = "docid long, score float"
+
+    def run(blocks_df) -> list[tuple[int, np.float32]]:
+        rows = blocks_df.groupBy("bucket").applyInPandas(kernel, out_schema).collect()
+        return [(int(r["docid"]), np.float32(r["score"])) for r in rows]
+
+    scored_terms = [t for t in spec.clause_terms() if t in weights]
+    if not prune or spec.must or spec.must_not or not scored_terms:
+        # boolean filters change match sets; prune only pure Should unions
+        winners = run(cand)
+    else:
+        # Phase A: per-bucket conservative bounds from block metadata only
+        meta = (
+            cand.groupBy("bucket", "term")
+            .agg(
+                F.max("max_tf_code").alias("mtc"),
+                F.min("min_fieldnorm_id").alias("mfn"),
+                F.sum("n").alias("n_postings"),
+            )
+            .collect()
+        )
+        per_bucket: dict[int, dict[str, tuple[int, int]]] = {}
+        bucket_n: dict[int, int] = {}
+        for r in meta:
+            per_bucket.setdefault(int(r["bucket"]), {})[r["term"]] = (
+                int(r["mtc"]),
+                int(r["mfn"]),
+            )
+            bucket_n[int(r["bucket"])] = bucket_n.get(int(r["bucket"]), 0) + int(
+                r["n_postings"]
+            )
+        bounds = {}
+        for bucket, tm in per_bucket.items():
+            bs = [
+                float(block_max_score(tm[t][0], tm[t][1], avgdl, weights[t]))
+                for t in dict.fromkeys(scored_terms)
+                if t in tm
+            ]
+            bounds[bucket] = float(conservative_bound_sum(np.array(bs, np.float32)))
+        ranked = sorted(bounds, key=lambda b: (-bounds[b], b))
+        # Phase A': certify θ by scoring the best-bounded buckets exactly
+        seed, acc_n = [], 0
+        for b in ranked:
+            seed.append(b)
+            acc_n += bucket_n[b]
+            if len(seed) >= seed_buckets and acc_n >= 4 * want:
+                break
+        seed_set = set(seed)
+        winners = run(cand.filter(F.col("bucket").isin(list(seed_set))))
+        if len(winners) >= want:
+            order = score_total_order_key(
+                np.array([s for _, s in winners], np.float32),
+                np.array([d for d, _ in winners], np.int64),
+            )
+            theta = float(np.float32(winners[order[want - 1]][1]))
+        else:
+            theta = -math.inf
+        survivors = [
+            b for b in ranked if b not in seed_set and bounds[b] >= theta
+        ]
+        if survivors:
+            winners += run(cand.filter(F.col("bucket").isin(survivors)))
+
+    if not winners:
+        return []
+    scores = np.array([s for _, s in winners], dtype=np.float32)
+    docids = np.array([d for d, _ in winners], dtype=np.int64)
+    order = score_total_order_key(scores, docids)[offset : offset + k]
+    return [(int(docids[i]), np.float32(scores[i])) for i in order]
+
+
+def wand_bits(index: ServingIndex, query, k: int = 10, **kw):
+    spec = query if isinstance(query, QuerySpec) else QuerySpec.from_text(query)
+    return [
+        (d, int(np.float32(s).view(np.uint32)))
+        for d, s in wand_topk(index, spec, k, **kw)
+    ]

@@ -1,0 +1,154 @@
+"""Per-partition lineage manifests + checkpointed, resumable index builds
+(SURVEY.md S5/B13 — MANIFEST two-slot publication + bulk-load checkpoint
+cadence, keeper.rs:3955-4058 / index.rs:6077-6090, re-expressed for Spark).
+
+Layout on disk:
+
+    <path>/
+      manifest.json            # engine config + lineage + committed groups
+      blocks/group=<g>/        # compressed posting blocks, staged by group
+      docmeta/  termstats/  fieldstats/   # parquet tables
+      _COMMITTED               # final atomic completion marker
+
+The block table is written in ``n_groups`` staged jobs (group = tpart %
+n_groups).  After each group lands, its manifest entry is committed
+(temp-file + atomic rename — the two-slot publication analogue).  A
+re-run of :func:`write_index` skips committed groups, so a build killed
+mid-flight resumes where it stopped; the final marker makes readers see
+only complete indexes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from frankensearch_spark.operators.merge import (
+    DEFAULT_BUCKET_SHIFT,
+    DEFAULT_TERM_PARTITIONS,
+    build_blocks,
+)
+from frankensearch_spark.operators.wand import ServingIndex
+
+MANIFEST_VERSION = 1
+
+
+@dataclass
+class BuildManifest:
+    version: int = MANIFEST_VERSION
+    bucket_shift: int = DEFAULT_BUCKET_SHIFT
+    n_term_partitions: int = DEFAULT_TERM_PARTITIONS
+    n_groups: int = 4
+    source: str = ""
+    committed_groups: dict[str, dict] = field(default_factory=dict)
+    tables: dict[str, dict] = field(default_factory=dict)
+    completed: bool = False
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "manifest.json")
+
+
+def _publish(path: str, manifest: BuildManifest) -> None:
+    """Atomic manifest publication: temp file + rename."""
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(asdict(manifest), f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _manifest_path(path))
+
+
+def load_manifest(path: str) -> BuildManifest | None:
+    mp = _manifest_path(path)
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        d = json.load(f)
+    m = BuildManifest(**d)
+    return m
+
+
+def write_index(
+    built,
+    path: str,
+    bucket_shift: int = DEFAULT_BUCKET_SHIFT,
+    n_term_partitions: int = DEFAULT_TERM_PARTITIONS,
+    n_groups: int = 4,
+    source: str = "",
+) -> BuildManifest:
+    """Persist a BuiltIndex as a compressed serving index, resumably.
+
+    Idempotent: committed groups/tables are skipped on re-run (the
+    bulk-load crash-resume rule, index.rs:6085-6090)."""
+    os.makedirs(path, exist_ok=True)
+    manifest = load_manifest(path)
+    if manifest is None or manifest.completed:
+        if manifest is not None and manifest.completed:
+            return manifest
+        manifest = BuildManifest(
+            bucket_shift=bucket_shift,
+            n_term_partitions=n_term_partitions,
+            n_groups=n_groups,
+            source=source,
+        )
+        _publish(path, manifest)
+    bucket_shift = manifest.bucket_shift
+    n_term_partitions = manifest.n_term_partitions
+    n_groups = manifest.n_groups
+
+    blocks = build_blocks(built.postings, bucket_shift, n_term_partitions).persist()
+    for g in range(n_groups):
+        key = str(g)
+        if key in manifest.committed_groups:
+            continue
+        part = blocks.filter(F.col("tpart") % n_groups == g)
+        dest = os.path.join(path, "blocks", f"group={g}")
+        t0 = time.time()
+        # partitioned by tpart: query-time term->tpart filters prune
+        # directories (the TERMDICT block-first-key index analogue)
+        part.write.mode("overwrite").partitionBy("tpart").parquet(dest)
+        manifest.committed_groups[key] = {
+            "rows": part.count(),
+            "seconds": round(time.time() - t0, 3),
+        }
+        _publish(path, manifest)  # checkpoint after every group
+
+    for name, df in (
+        ("docmeta", built.docmeta),
+        ("termstats", built.termstats),
+        ("fieldstats", built.fieldstats),
+    ):
+        if name in manifest.tables:
+            continue
+        dest = os.path.join(path, name)
+        df.write.mode("overwrite").parquet(dest)
+        manifest.tables[name] = {"rows": df.count()}
+        _publish(path, manifest)
+
+    blocks.unpersist()
+    manifest.completed = True
+    _publish(path, manifest)
+    with open(os.path.join(path, "_COMMITTED"), "w") as f:
+        f.write("ok\n")
+    return manifest
+
+
+def read_index(spark: SparkSession, path: str) -> ServingIndex:
+    manifest = load_manifest(path)
+    if manifest is None or not manifest.completed:
+        raise FileNotFoundError(f"no completed index at {path}")
+    blocks = spark.read.parquet(os.path.join(path, "blocks"))
+    return ServingIndex(
+        blocks=blocks,
+        termstats=spark.read.parquet(os.path.join(path, "termstats")),
+        docmeta=spark.read.parquet(os.path.join(path, "docmeta")),
+        fieldstats=spark.read.parquet(os.path.join(path, "fieldstats")),
+        bucket_shift=manifest.bucket_shift,
+        n_term_partitions=manifest.n_term_partitions,
+    )

@@ -1,0 +1,87 @@
+"""Persisted index: write/read roundtrip + checkpointed resume."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from frankensearch_spark.corpus import corpus_docs
+from frankensearch_spark.operators.build import build_index
+from frankensearch_spark.operators.query import QuerySpec
+from frankensearch_spark.operators.wand import wand_bits
+from frankensearch_spark.oracle import OracleIndex
+from frankensearch_spark.plans.manifest import (
+    load_manifest,
+    read_index,
+    write_index,
+)
+from frankensearch_spark.sources.corpus import CORPUS_KEY, synthetic_corpus_df
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    return build_index(synthetic_corpus_df(spark, N_DOCS, partitions=3), CORPUS_KEY)
+
+
+def test_write_read_query_roundtrip(built, spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx"))
+    m = write_index(built, path, bucket_shift=7, n_term_partitions=8, n_groups=3)
+    assert m.completed
+    assert len(m.committed_groups) == 3
+    assert os.path.exists(os.path.join(path, "_COMMITTED"))
+
+    idx = read_index(spark, path)
+    oracle = OracleIndex(corpus_docs(N_DOCS))
+    for text in ("fn", "term00000 term00001", "generated record"):
+        assert wand_bits(idx, text, k=10) == oracle.search_bits(text, k=10), text
+
+
+def test_resume_skips_committed_groups(built, spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx2"))
+    write_index(built, path, bucket_shift=7, n_term_partitions=8, n_groups=3)
+
+    # simulate a crash after group 0: roll the manifest back
+    mp = os.path.join(path, "manifest.json")
+    with open(mp) as f:
+        d = json.load(f)
+    d["completed"] = False
+    kept = {"0": d["committed_groups"]["0"]}
+    d["committed_groups"] = kept
+    d["tables"] = {}
+    with open(mp, "w") as f:
+        json.dump(d, f)
+    os.remove(os.path.join(path, "_COMMITTED"))
+    shutil.rmtree(os.path.join(path, "blocks", "group=1"))
+    shutil.rmtree(os.path.join(path, "blocks", "group=2"))
+    with pytest.raises(FileNotFoundError):
+        read_index(spark, path)
+
+    m2 = write_index(built, path)  # resume: config comes from the manifest
+    assert m2.completed
+    assert set(m2.committed_groups) == {"0", "1", "2"}
+
+    idx = read_index(spark, path)
+    oracle = OracleIndex(corpus_docs(N_DOCS))
+    assert wand_bits(idx, "fn import", k=10) == oracle.search_bits("fn import", k=10)
+
+
+def test_rewrite_of_completed_index_is_noop(built, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx3"))
+    m1 = write_index(built, path, bucket_shift=7, n_term_partitions=8, n_groups=2)
+    g1 = dict(m1.committed_groups)
+    m2 = write_index(built, path)
+    assert m2.completed and m2.committed_groups == g1
+
+
+def test_boolean_query_on_persisted_index(built, spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx4"))
+    write_index(built, path, bucket_shift=7, n_term_partitions=8, n_groups=2)
+    idx = read_index(spark, path)
+    oracle = OracleIndex(corpus_docs(N_DOCS))
+    spec = QuerySpec(should=["term00001"], must_not=["term00002"])
+    got = wand_bits(idx, spec, k=15)
+    assert got == oracle.search_bits(["term00001"], k=15, must_not=["term00002"])
+    assert load_manifest(path).completed

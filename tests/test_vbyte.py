@@ -1,0 +1,55 @@
+"""LEB128 codec property tests (reference Vint codec semantics)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from frankensearch_spark.functions.vbyte import (
+    delta_decode,
+    delta_encode,
+    vbyte_decode,
+    vbyte_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=0xFFFFFFFF), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint32)
+    assert np.array_equal(vbyte_decode(vbyte_encode(arr), len(vals)), arr)
+
+
+def test_known_encodings():
+    # canonical LEB128: 0 -> 00, 127 -> 7f, 128 -> 80 01, 300 -> ac 02
+    assert vbyte_encode(np.array([0], np.uint32)) == b"\x00"
+    assert vbyte_encode(np.array([127], np.uint32)) == b"\x7f"
+    assert vbyte_encode(np.array([128], np.uint32)) == b"\x80\x01"
+    assert vbyte_encode(np.array([300], np.uint32)) == b"\xac\x02"
+    assert vbyte_encode(np.array([0xFFFFFFFF], np.uint32)) == b"\xff\xff\xff\xff\x0f"
+
+
+def test_decode_rejects_truncation_and_overlong():
+    import pytest
+
+    with pytest.raises(ValueError):
+        vbyte_decode(b"\x80")  # dangling continuation
+    with pytest.raises(ValueError):
+        vbyte_decode(b"\x80\x80\x80\x80\x80\x01")  # 6-byte value
+    with pytest.raises(ValueError):
+        vbyte_decode(b"\x00\x00", expected_count=1)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300, unique=True
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_delta_roundtrip_sorted(vals):
+    arr = np.array(sorted(vals), dtype=np.uint64)
+    assert np.array_equal(delta_decode(delta_encode(arr)), arr)
+
+
+def test_empty():
+    assert vbyte_encode(np.array([], np.uint32)) == b""
+    assert vbyte_decode(b"").size == 0

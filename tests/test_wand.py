@@ -1,0 +1,112 @@
+"""Compressed-block serving path: roundtrip + WAND pruning conformance.
+
+The pruning-conformance law (reference index.rs:2434-2560): pruned top-k
+must equal exhaustive top-k must equal the oracle, docids AND f32 bits,
+for every fixture query."""
+
+import numpy as np
+import pytest
+
+from frankensearch_spark.corpus import FROZEN_QUERIES, corpus_docs
+from frankensearch_spark.operators.build import build_index
+from frankensearch_spark.operators.merge import build_blocks, decode_blocks_pdf
+from frankensearch_spark.operators.query import QuerySpec
+from frankensearch_spark.operators.wand import (
+    serving_from_built,
+    wand_bits,
+    wand_topk,
+)
+from frankensearch_spark.oracle import OracleIndex
+from frankensearch_spark.sources.corpus import CORPUS_KEY, synthetic_corpus_df
+
+N_DOCS = 400
+SHIFT = 7  # 128-docid buckets -> ~4 buckets at this scale
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    return build_index(synthetic_corpus_df(spark, N_DOCS, partitions=4), CORPUS_KEY)
+
+
+@pytest.fixture(scope="module")
+def serving(built):
+    return serving_from_built(built, bucket_shift=SHIFT, n_term_partitions=16)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleIndex(corpus_docs(N_DOCS))
+
+
+def test_block_roundtrip(built, spark):
+    blocks = build_blocks(built.postings, bucket_shift=SHIFT).toPandas()
+    docids, tfs, fids, rows = decode_blocks_pdf(blocks, SHIFT)
+    got = sorted(
+        zip(
+            blocks["term"].to_numpy()[rows].tolist(),
+            docids.tolist(),
+            tfs.tolist(),
+            fids.tolist(),
+        )
+    )
+    exp = sorted(
+        (r["term"], r["docid"], r["tf"], r["fieldnorm_id"])
+        for r in built.postings.collect()
+    )
+    assert got == exp
+    # block invariants: size cap, per-(term,bucket) docid sortedness, bounds
+    assert (blocks["n"] <= 128).all()
+    assert (blocks["max_tf_code"] <= 255).all()
+
+
+def test_block_max_metadata_conservative(built):
+    blocks = build_blocks(built.postings, bucket_shift=SHIFT).toPandas()
+    docids, tfs, fids, rows = decode_blocks_pdf(blocks, SHIFT)
+    for i in range(len(blocks)):
+        sel = rows == i
+        assert min(int(tfs[sel].max()), 255) == blocks["max_tf_code"].iat[i]
+        assert int(fids[sel].min()) == blocks["min_fieldnorm_id"].iat[i]
+
+
+@pytest.mark.parametrize("qid", sorted(FROZEN_QUERIES))
+def test_wand_pruned_equals_oracle(serving, oracle, qid):
+    text = FROZEN_QUERIES[qid]
+    if any(op in text for op in (" AND ", " OR ", " NOT ", "+", "-", '"')):
+        pytest.skip("boolean grammar: covered below")
+    for k in (10, 100):
+        pruned = wand_bits(serving, text, k=k, prune=True)
+        assert pruned == oracle.search_bits(text, k=k), (qid, k, "pruned")
+
+
+def test_wand_pruned_equals_exhaustive(serving):
+    for text in ("fn", "term00000 term00001", "generated record fn import"):
+        spec = QuerySpec.from_text(text)
+        a = wand_topk(serving, spec, k=25, prune=True)
+        b = wand_topk(serving, spec, k=25, prune=False)
+        assert [(d, np.float32(s).view(np.uint32)) for d, s in a] == [
+            (d, np.float32(s).view(np.uint32)) for d, s in b
+        ], text
+
+
+def test_wand_boolean(serving, oracle):
+    spec = QuerySpec(must=["term00001", "term00002"])
+    got = wand_bits(serving, spec, k=20)
+    assert got == oracle.search_bits([], k=20, must=["term00001", "term00002"])
+    spec = QuerySpec(should=["term00001"], must_not=["term00002"])
+    got = wand_bits(serving, spec, k=20)
+    assert got == oracle.search_bits(
+        ["term00001"], k=20, must_not=["term00002"]
+    )
+
+
+def test_wand_pagination(serving, oracle):
+    got = wand_topk(serving, QuerySpec.from_text("term00000"), k=10, offset=10)
+    exp = oracle.search("term00000", k=10, offset=10)
+    assert [(d, np.float32(s).view(np.uint32)) for d, s in got] == [
+        (d, np.float32(s).view(np.uint32)) for d, s in exp
+    ]
+
+
+def test_wand_empty_and_miss(serving):
+    assert wand_topk(serving, QuerySpec(), k=10) == []
+    assert wand_topk(serving, QuerySpec.from_text("zzzmissing"), k=10) == []
