@@ -1,0 +1,366 @@
+"""Shared AST scoring kernel — ONE numpy implementation for both sides.
+
+The oracle (:mod:`frankensearch_spark.oracle`) evaluates it over dense
+full-corpus arrays; the Spark path (:mod:`operators.astexec`) evaluates it
+inside a pandas UDF over candidate-row batches.  Because both call the
+same f32 code, rank- and bit-parity between Spark and the oracle hold by
+construction; the pytest suite still asserts them explicitly.
+
+Scoring semantics (reference parity targets):
+
+* Term (text field) — ``weight * tf / (tf + tf_cache[fieldnorm_id])`` per
+  field, fields summed in order (multi-field Term = Should union of
+  per-field scorers, ``quill/index.rs:11168-11191``).
+* Term (keyword field) / RangeStr / RangeI64 / SetStr — constant-score doc
+  sets: every match scores exactly the cumulative boost
+  (``quill/argus.rs:2432-2630`` numeric_range_with_boost / constant_score).
+* All — every doc scores the cumulative boost (AllScorer,
+  ``argus.rs:2432-2460``).  Raw UNIT All scorers (cumulative boost == 1.0)
+  follow Tantivy's removal rules inside Booleans (``argus.rs:2941-2999``):
+  dropped from Must/Should lists, kept as a domain token; a Should-level
+  unit All is score-neutral when a Must scorer determines matching, and is
+  unioned LAST (after ordinary Should aggregation) otherwise; any MustNot
+  All empties the result.
+* Phrase — slots grouped by analyzer position (OR-alternatives at equal
+  positions, ``argus.rs:1974-1984``); phrase freq = count of exact
+  position-delta matches; ``weight = (Σ idf(df_i, N)) * (1+k1) * boost``
+  (``argus.rs:1966``); scored on the same tf curve.  ``slop != 0`` or
+  prefix phrases are rejected at lowering (``quill/index.rs:11193-11203``);
+  a 1-term phrase degrades to a Term (``index.rs:11204-11225``).
+* Boolean — Must intersects, Should unions, MustNot excludes; clause
+  scores accumulate in f32 in clause order, Must aggregate before Should
+  (``argus.rs:2835-3195``).
+* Boost — multiplies the inherited boost flowing DOWN into leaf weights
+  (``quill/index.rs:11338-11348``), never a post-multiplication.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+from frankensearch_spark.contract import BM25_K1, idf, term_weight
+from frankensearch_spark.query_ast import (
+    KEYWORD,
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    TEXT,
+    All,
+    Boolean,
+    Boost,
+    Empty,
+    Glob,
+    Phrase,
+    Query,
+    RangeBound,
+    RangeI64,
+    RangeStr,
+    SetStr,
+    Term,
+)
+
+
+class UnsupportedQueryError(ValueError):
+    """Parsed-but-unlowerable constructs (slop/prefix phrases, raw globs)."""
+
+
+@dataclass
+class EvalContext:
+    """Candidate-row view of the index the kernel scores against.
+
+    ``tf``: term -> float32[n] (0 where absent); ``positions``: term ->
+    object array of per-row int arrays (only phrase terms need entries);
+    ``fieldnorm_id``: int array[n]; ``df``: per-term doc freq; ``meta``:
+    keyword/numeric field name -> value column over the candidate rows;
+    ``doc_count``/``tf_cache`` are snapshot-global (argus.rs:1279-1350).
+    """
+
+    n: int
+    fieldnorm_id: np.ndarray
+    tf: dict[str, np.ndarray]
+    positions: dict[str, np.ndarray]
+    df: dict[str, int]
+    doc_count: int
+    tf_cache: np.ndarray
+    meta: dict[str, np.ndarray] = dc_field(default_factory=dict)
+    indexed_fields: frozenset[str] = frozenset({"content"})
+
+    def tf_of(self, term: str) -> np.ndarray:
+        arr = self.tf.get(term)
+        if arr is None:
+            return np.zeros(self.n, dtype=np.float32)
+        return arr
+
+    def df_of(self, term: str) -> int:
+        return self.df.get(term, 0)
+
+    def meta_of(self, field_name: str) -> np.ndarray:
+        arr = self.meta.get(field_name)
+        if arr is None:
+            raise UnsupportedQueryError(
+                f"metadata field {field_name!r} not available on this index"
+            )
+        return arr
+
+
+def _zeros(n: int):
+    return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.float32)
+
+
+def eval_query(
+    q: Query, ctx: EvalContext, boost: np.float32 = np.float32(1.0)
+) -> tuple[np.ndarray, np.ndarray]:
+    """(match_mask, f32 scores); scores are zero outside the mask."""
+    if isinstance(q, Empty):
+        return _zeros(ctx.n)
+    if isinstance(q, All):
+        mask = np.ones(ctx.n, dtype=bool)
+        return mask, np.full(ctx.n, np.float32(boost), dtype=np.float32)
+    if isinstance(q, Boost):
+        return eval_query(q.query, ctx, np.float32(boost * np.float32(q.factor)))
+    if isinstance(q, Term):
+        return _eval_term(q, ctx, boost)
+    if isinstance(q, Phrase):
+        return _eval_phrase(q, ctx, boost)
+    if isinstance(q, Boolean):
+        return _eval_boolean(q, ctx, boost)
+    if isinstance(q, (RangeStr, RangeI64)):
+        return _eval_range(q, ctx, boost)
+    if isinstance(q, SetStr):
+        mask = _isin_mask(ctx.meta_of(q.field), set(q.values))
+        return mask, np.where(mask, np.float32(boost), np.float32(0.0))
+    if isinstance(q, Glob):
+        raise UnsupportedQueryError("Glob must be expanded before kernel eval")
+    raise UnsupportedQueryError(f"unknown node {type(q).__name__}")
+
+
+def _isin_mask(col: np.ndarray, values: set) -> np.ndarray:
+    return np.array([v in values for v in col], dtype=bool)
+
+
+def _bound_mask(col: np.ndarray, b: RangeBound, is_lower: bool) -> np.ndarray:
+    if b.bound == "Unbounded":
+        return np.ones(len(col), dtype=bool)
+    v = b.value
+    if is_lower:
+        if b.bound == "Included":
+            return np.array([c is not None and c >= v for c in col], dtype=bool)
+        return np.array([c is not None and c > v for c in col], dtype=bool)
+    if b.bound == "Included":
+        return np.array([c is not None and c <= v for c in col], dtype=bool)
+    return np.array([c is not None and c < v for c in col], dtype=bool)
+
+
+def _eval_range(q: RangeStr | RangeI64, ctx: EvalContext, boost: np.float32):
+    col = ctx.meta_of(q.field)
+    mask = _bound_mask(col, q.lower, True) & _bound_mask(col, q.upper, False)
+    return mask, np.where(mask, np.float32(boost), np.float32(0.0))
+
+
+def _eval_term(q: Term, ctx: EvalContext, boost: np.float32):
+    mask, acc = _zeros(ctx.n)
+    norms = None
+    for f in q.fields:
+        if f.kind == KEYWORD or f.kind == "numeric":
+            col = ctx.meta_of(f.name)
+            hit = np.array([v == q.text for v in col], dtype=bool)
+            s = np.where(hit, np.float32(np.float32(boost) * np.float32(f.boost)),
+                         np.float32(0.0))
+            acc = (acc + s).astype(np.float32)
+            mask |= hit
+            continue
+        if f.kind == TEXT and f.name not in ctx.indexed_fields:
+            continue  # unindexed text field contributes nothing
+        tf = ctx.tf_of(q.text)
+        hit = tf > 0
+        df = ctx.df_of(q.text)
+        if df == 0:
+            continue
+        if norms is None:
+            norms = ctx.tf_cache[ctx.fieldnorm_id]
+        w = term_weight(df, ctx.doc_count, np.float32(boost) * np.float32(f.boost))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = (np.float32(w) * tf / (tf + norms)).astype(np.float32)
+        s = np.where(hit, s, np.float32(0.0))
+        acc = (acc + s).astype(np.float32)
+        mask |= hit
+    return mask, np.where(mask, acc, np.float32(0.0))
+
+
+def _phrase_slots(q: Phrase) -> list[tuple[int, list[str]]]:
+    slots: list[tuple[int, list[str]]] = []
+    for pt in q.terms:
+        if slots and pt.position == slots[-1][0]:
+            slots[-1][1].append(pt.text)
+        else:
+            slots.append((pt.position, [pt.text]))
+    return slots
+
+
+def phrase_freqs(
+    slots: list[tuple[int, list[str]]],
+    ctx: EvalContext,
+    rows: np.ndarray,
+) -> np.ndarray:
+    """Exact-adjacency phrase frequency per candidate row (argus.rs:1829+).
+
+    A match at base position p requires, for every slot i with position
+    delta d_i, some slot-term occurrence at p + d_i.
+    """
+    base_pos = slots[0][0]
+    out = np.zeros(len(rows), dtype=np.int64)
+    for i, r in enumerate(rows):
+        cand: np.ndarray | None = None
+        ok = True
+        for pos, terms in slots:
+            merged: list[np.ndarray] = []
+            for t in terms:
+                parr = ctx.positions.get(t)
+                if parr is None:
+                    continue
+                p = parr[r]
+                if p is None:
+                    continue
+                try:
+                    if len(p) == 0:
+                        continue
+                except TypeError:  # scalar NaN from a null Spark array
+                    continue
+                merged.append(np.asarray(p, dtype=np.int64))
+            if not merged:
+                ok = False
+                break
+            pos_arr = (
+                np.unique(np.concatenate(merged))
+                if len(merged) > 1
+                else np.asarray(merged[0], dtype=np.int64)
+            )
+            shifted = pos_arr - (pos - base_pos)
+            cand = shifted if cand is None else cand[np.isin(cand, shifted)]
+            if cand.size == 0:
+                ok = False
+                break
+        out[i] = int(cand.size) if ok and cand is not None else 0
+    return out
+
+
+def _eval_phrase(q: Phrase, ctx: EvalContext, boost: np.float32):
+    if q.slop != 0 or q.prefix:
+        raise UnsupportedQueryError(f"phrase slop={q.slop} prefix={q.prefix}")
+    if len(q.terms) == 1:
+        return _eval_term(Term(q.fields, q.terms[0].text), ctx, boost)
+    slots = _phrase_slots(q)
+    if len(slots) < 2:
+        raise UnsupportedQueryError("an exact phrase must span at least two positions")
+
+    # candidate rows: every slot has at least one present term occurrence
+    present = np.ones(ctx.n, dtype=bool)
+    for _pos, terms in slots:
+        slot_hit = np.zeros(ctx.n, dtype=bool)
+        for t in terms:
+            slot_hit |= ctx.tf_of(t) > 0
+        present &= slot_hit
+    rows = np.nonzero(present)[0]
+    mask, acc = _zeros(ctx.n)
+    if rows.size == 0:
+        return mask, acc
+
+    pf_rows = phrase_freqs(slots, ctx, rows)
+    pf = np.zeros(ctx.n, dtype=np.float32)
+    pf[rows] = pf_rows.astype(np.float32)
+    hit = pf > 0
+
+    # idf_sum accumulates per phrase TERM in order (argus.rs:1966)
+    idf_sum = np.float32(0.0)
+    for pt in q.terms:
+        idf_sum = np.float32(idf_sum + idf(ctx.df_of(pt.text), ctx.doc_count))
+    one_plus_k1 = np.float32(1.0) + BM25_K1
+    norms = ctx.tf_cache[ctx.fieldnorm_id]
+    for f in q.fields:
+        if f.kind != TEXT or f.name not in ctx.indexed_fields:
+            continue
+        w = np.float32(
+            idf_sum * one_plus_k1 * np.float32(np.float32(boost) * np.float32(f.boost))
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = (w * pf / (pf + norms)).astype(np.float32)
+        s = np.where(hit, s, np.float32(0.0))
+        acc = (acc + s).astype(np.float32)
+        mask |= hit
+    return mask, np.where(mask, acc, np.float32(0.0))
+
+
+def _is_raw_unit_all(q: Query, boost: np.float32) -> tuple[bool, bool]:
+    """(is_all, is_raw_unit): resolves Boost chains around an All node."""
+    b = np.float32(boost)
+    node = q
+    while isinstance(node, Boost):
+        b = np.float32(b * np.float32(node.factor))
+        node = node.query
+    if isinstance(node, All):
+        return True, bool(b == np.float32(1.0))
+    return False, False
+
+
+def _eval_boolean(q: Boolean, ctx: EvalContext, boost: np.float32):
+    musts = [c for c in q.clauses if c.occur == MUST]
+    shoulds = [c for c in q.clauses if c.occur == SHOULD]
+    nots = [c for c in q.clauses if c.occur == MUST_NOT]
+
+    # MustNot All (any boost) empties the result (argus.rs:2948-2951)
+    for c in nots:
+        is_all, _unit = _is_raw_unit_all(c.query, boost)
+        if is_all:
+            return _zeros(ctx.n)
+
+    # strip raw unit All scorers, keeping domain tokens (argus.rs:2941-2947)
+    must_all_token = False
+    ordinary_musts = []
+    for c in musts:
+        is_all, unit = _is_raw_unit_all(c.query, boost)
+        if is_all and unit:
+            must_all_token = True
+        else:
+            ordinary_musts.append(c)
+    should_all_token = False
+    ordinary_shoulds = []
+    for c in shoulds:
+        is_all, unit = _is_raw_unit_all(c.query, boost)
+        if is_all and unit:
+            should_all_token = True
+        else:
+            ordinary_shoulds.append(c)
+
+    acc = np.zeros(ctx.n, dtype=np.float32)
+    if ordinary_musts:
+        mask = np.ones(ctx.n, dtype=bool)
+        for c in ordinary_musts:
+            m, s = eval_query(c.query, ctx, boost)
+            mask &= m
+            acc = (acc + s).astype(np.float32)
+        # raw optional All is score-neutral once a MUST determines matching
+        for c in ordinary_shoulds:
+            _m, s = eval_query(c.query, ctx, boost)
+            acc = (acc + s).astype(np.float32)
+    elif must_all_token:
+        mask = np.ones(ctx.n, dtype=bool)
+        for c in ordinary_shoulds:
+            _m, s = eval_query(c.query, ctx, boost)
+            acc = (acc + s).astype(np.float32)
+    else:
+        mask = np.zeros(ctx.n, dtype=bool)
+        for c in ordinary_shoulds:
+            m, s = eval_query(c.query, ctx, boost)
+            mask |= m
+            acc = (acc + s).astype(np.float32)
+        if should_all_token:
+            # ordinary Should aggregate first, then union one AllScorer
+            mask = np.ones(ctx.n, dtype=bool)
+            acc = (acc + np.float32(1.0)).astype(np.float32)
+
+    for c in nots:
+        m, _s = eval_query(c.query, ctx, np.float32(1.0))
+        mask = mask & ~m
+    return mask, np.where(mask, acc, np.float32(0.0))

@@ -74,19 +74,27 @@ def build_docmeta(
     key_cols: list[str],
     postings: DataFrame,
     content_col: str = "content",
+    meta_cols: list[str] | None = None,
 ) -> DataFrame:
     """IDMAP + DOCLEN analogue (B10/B11): one row per document with the
     external key, the per-row content witness sha256 (quiver.rs:5824-5850
-    analogue), the admitted-token doclen and its fieldnorm id.
+    analogue), the admitted-token doclen and its fieldnorm id, plus any
+    extra keyword metadata columns (``meta_cols``; default: every
+    non-key non-content column, e.g. ``lang``) so metadata query leaves
+    (Range/Set/keyword Term, E8) can filter on them.
 
     doclen is recovered from the (persisted) postings rather than by
     re-tokenizing the corpus — tokenization is the build's dominant CPU
     cost and must run exactly once.  Docs with zero admitted tokens get
     doclen 0 via the left join (scribe.rs:1743 zero-fieldnorm rule)."""
+    if meta_cols is None:
+        skip = set(key_cols) | {content_col, "docid"}
+        meta_cols = [c for c in corpus_with_docid.columns if c not in skip]
     lens = postings.groupBy("docid").agg(F.first("doclen").alias("doclen"))
     ids = corpus_with_docid.select(
         "docid",
         *key_cols,
+        *meta_cols,
         F.sha2(F.col(content_col), 256).alias("content_sha256"),
     )
     return (

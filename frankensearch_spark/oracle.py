@@ -34,13 +34,15 @@ class OracleIndex:
     def __init__(self, docs, tokenizer=tokenize_fast):
         """``docs``: iterable of (docid:int, text:str)."""
         postings: dict[str, dict[int, int]] = {}
+        positions: dict[str, dict[int, list[int]]] = {}
         doclen: dict[int, int] = {}
         for docid, text in docs:
             toks = tokenizer(text)
             doclen[docid] = len(toks)
-            for term, _pos in toks:
+            for term, pos in toks:
                 postings.setdefault(term, {}).setdefault(docid, 0)
                 postings[term][docid] += 1
+                positions.setdefault(term, {}).setdefault(docid, []).append(pos)
 
         self.docids = np.array(sorted(doclen), dtype=np.int64)
         self._row = {d: i for i, d in enumerate(self.docids)}
@@ -57,6 +59,10 @@ class OracleIndex:
                 np.array([plist[d] for d in sorted(plist)], dtype=np.uint32),
             )
             for term, plist in postings.items()
+        }
+        self.positions = {
+            term: {d: np.array(sorted(pl), dtype=np.int64) for d, pl in per_doc.items()}
+            for term, per_doc in positions.items()
         }
 
     def term_doc_freq(self, term: str) -> int:
@@ -135,4 +141,84 @@ class OracleIndex:
         return [
             (d, int(np.float32(s).view(np.uint32)))
             for d, s in self.search(query, k, **kw)
+        ]
+
+    # --- AST path (parser-driven queries through the shared kernel) --------
+
+    def _eval_context(self, ast):
+        """Dense full-corpus :class:`EvalContext` for one query tree."""
+        from frankensearch_spark.kernel import EvalContext
+        from frankensearch_spark.query_ast import walk_leaf_terms
+
+        leaves = walk_leaf_terms(ast)
+        tf: dict[str, np.ndarray] = {}
+        pos: dict[str, np.ndarray] = {}
+        df: dict[str, int] = {}
+        for term, needs_pos in leaves:
+            p = self.postings.get(term)
+            if p is None:
+                continue
+            docids, tfs = p
+            rows = np.array([self._row[d] for d in docids], dtype=np.int64)
+            dense = np.zeros(self.doc_count, dtype=np.float32)
+            dense[rows] = tfs.astype(np.float32)
+            tf[term] = dense
+            df[term] = len(docids)
+            if needs_pos:
+                arr = np.empty(self.doc_count, dtype=object)
+                for d, parr in self.positions.get(term, {}).items():
+                    arr[self._row[d]] = parr
+                pos[term] = arr
+        return EvalContext(
+            n=self.doc_count,
+            fieldnorm_id=self.fieldnorm_id.astype(np.int64),
+            tf=tf,
+            positions=pos,
+            df=df,
+            doc_count=self.doc_count,
+            tf_cache=self.tf_cache,
+        )
+
+    def expand_glob(self, pattern: str, limit: int = 16_384) -> list[str]:
+        """Sorted term-dictionary glob expansion (grimoire.rs:1374-1460)."""
+        from frankensearch_spark.query_ast import glob_match
+
+        hits = sorted(t for t in self.postings if glob_match(pattern, t))
+        return hits[:limit]
+
+    def search_ast(self, ast, k: int = 10, offset: int = 0):
+        """Top-k for a parsed query tree under the pinned total order."""
+        from frankensearch_spark.kernel import eval_query
+        from frankensearch_spark.query_ast import (
+            Boolean,
+            Clause,
+            Term,
+            collect_globs,
+            substitute_globs,
+        )
+
+        globs = collect_globs(ast)
+        if globs:
+            expansion = {}
+            for g in globs:
+                terms = self.expand_glob(g.pattern)
+                expansion[g] = Boolean(
+                    tuple(Clause("Should", Term(g.fields, t)) for t in terms), None
+                )
+            ast = substitute_globs(ast, expansion)
+        ctx = self._eval_context(ast)
+        mask, scores = eval_query(ast, ctx)
+        rows = np.nonzero(mask)[0]
+        if rows.size == 0:
+            return []
+        sel_scores = scores[rows]
+        sel_docids = self.docids[rows]
+        order = score_total_order_key(sel_scores, sel_docids)
+        sel = order[offset : offset + k]
+        return [(int(sel_docids[i]), np.float32(sel_scores[i])) for i in sel]
+
+    def search_ast_bits(self, ast, k=10, **kw):
+        return [
+            (d, int(np.float32(s).view(np.uint32)))
+            for d, s in self.search_ast(ast, k, **kw)
         ]

@@ -1,0 +1,132 @@
+"""Parsed-query execution parity: Spark AST path ≡ numpy oracle, bit-exact.
+
+Covers the full frozen query set (including the boolean/phrase classes the
+flat QuerySpec path cannot express), plus globs, boosts, all-negative
+repair, and keyword-field constant-score filters (E8)."""
+
+import numpy as np
+import pytest
+
+from frankensearch_spark.corpus import FROZEN_QUERIES, corpus_docs
+from frankensearch_spark.operators.astexec import (
+    search_ast_bits,
+    search_ast_collect,
+)
+from frankensearch_spark.operators.build import build_index
+from frankensearch_spark.oracle import OracleIndex
+from frankensearch_spark.query_ast import ENGINE_SCHEMA, parse_lenient
+from frankensearch_spark.sources.corpus import CORPUS_KEY, synthetic_corpus_df
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    corpus = synthetic_corpus_df(spark, N_DOCS, partitions=4)
+    idx = build_index(corpus, CORPUS_KEY)
+    # docmeta keyword columns feed metadata leaves (lang via corpus join)
+    return idx
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleIndex(corpus_docs(N_DOCS))
+
+
+def _oracle_bits(oracle, text, k=10):
+    ast = parse_lenient(text, ENGINE_SCHEMA).query
+    return [
+        (d, int(np.float32(s).view(np.uint32)))
+        for d, s in oracle.search_ast(ast, k)
+    ]
+
+
+@pytest.mark.parametrize("qid", sorted(FROZEN_QUERIES))
+def test_frozen_queries_ast_rank_and_bits_exact(built, oracle, qid):
+    text = FROZEN_QUERIES[qid]
+    expected = _oracle_bits(oracle, text)
+    got = search_ast_bits(built, text, k=10)
+    assert got == expected, f"{qid}: {text!r}"
+
+
+EXTRA_QUERIES = [
+    "term000*",                       # glob expansion
+    "term0004?",                      # single-char glob
+    "term00001^2 term00002",          # leaf boost folds into weight
+    "(term00001 OR term00002)^2",     # group boost
+    "-fn",                            # all-negative repair with All
+    "fn AND NOT import",              # AND + NOT
+    '"term00001 term00002" OR term00003',  # phrase in a boolean
+    "+fn +import term00001",          # multiple musts plus should
+    "src/main.rs",                    # path-shaped phrase
+]
+
+
+@pytest.mark.parametrize("text", EXTRA_QUERIES)
+def test_extended_queries_ast_parity(built, oracle, text):
+    expected = _oracle_bits(oracle, text)
+    got = search_ast_bits(built, text, k=10)
+    assert got == expected, text
+
+
+def test_ast_pagination_matches(built, oracle):
+    text = "term00001 term00002 term00003"
+    ast = parse_lenient(text, ENGINE_SCHEMA).query
+    exp = oracle.search_ast(ast, k=5, offset=5)
+    got = search_ast_collect(built, text, k=5, offset=5)
+    assert [(d, np.float32(s).view(np.uint32)) for d, s in got] == [
+        (d, np.float32(s).view(np.uint32)) for d, s in exp
+    ]
+
+
+def test_flat_and_ast_paths_agree(built):
+    """The legacy QuerySpec pivot path and the AST kernel path emit
+    identical bits for flat bag-of-terms queries."""
+    from frankensearch_spark.operators.query import search_bits
+
+    for text in ("term00001 term00007 generated record", "fn import"):
+        assert search_ast_bits(built, text, k=10) == search_bits(
+            built, text, k=10
+        )
+
+
+def test_keyword_field_filter(built):
+    """lang:rust — constant-score metadata leaf over docmeta (E8)."""
+    rows = search_ast_collect(built, "lang:rust", k=N_DOCS)
+    # every corpus row with lang=rust and score == 1.0 (constant boost)
+    import pyspark.sql.functions as F
+
+    docmeta = built.docmeta
+    if "lang" not in docmeta.columns:
+        pytest.skip("docmeta built without lang column")
+    n_rust = docmeta.filter(F.col("lang") == "rust").count()
+    assert len(rows) == n_rust
+    assert all(np.float32(s) == np.float32(1.0) for _d, s in rows)
+
+
+def test_keyword_and_text_conjunction(built):
+    """lang:rust AND fn — metadata filter intersected with a scored term."""
+    import pyspark.sql.functions as F
+
+    if "lang" not in built.docmeta.columns:
+        pytest.skip("docmeta built without lang column")
+    rows = search_ast_collect(built, "lang:rust AND fn", k=N_DOCS)
+    got_docids = {d for d, _ in rows}
+    rust_docs = {
+        int(r["docid"])
+        for r in built.docmeta.filter(F.col("lang") == "rust").collect()
+    }
+    fn_docs = {
+        int(r["docid"])
+        for r in built.postings.filter(F.col("term") == "fn")
+        .select("docid")
+        .collect()
+    }
+    assert got_docids == rust_docs & fn_docs
+
+
+def test_phrase_without_positions_rejected(spark):
+    corpus = synthetic_corpus_df(spark, 50, partitions=2)
+    idx = build_index(corpus, CORPUS_KEY, with_positions=False)
+    with pytest.raises(ValueError):
+        search_ast_collect(idx, '"term00001 term00002"', k=5)
