@@ -146,6 +146,28 @@ def split_code_token(term: str) -> list[str]:
     return [p.lower() for p in parts]
 
 
+CASS_EDGE_NGRAM_MIN = 2
+CASS_EDGE_NGRAM_MAX = 20
+
+
+def cass_generate_edge_ngrams(text: str) -> list[str]:
+    """Per word: character prefixes of length 2..=20 (scribe.rs:1013-1052;
+    helper cases ``helper-edge-prefix-*``)."""
+    out: list[str] = []
+    for word in _WORD_RE.findall(text):
+        w = word.lower()
+        for n in range(CASS_EDGE_NGRAM_MIN, min(len(w), CASS_EDGE_NGRAM_MAX) + 1):
+            out.append(w[:n])
+    return out
+
+
+def cass_build_preview(text: str, max_chars: int) -> str:
+    """Character-truncating preview with ellipsis (helper-preview cases)."""
+    if len(text) <= max_chars:
+        return text
+    return text[:max_chars] + "…"
+
+
 def tokenize_code_aware(text: str) -> list[tuple[str, int]]:
     """Default stream plus lowered camelCase parts at the same positions."""
     if not text:

@@ -40,30 +40,41 @@ def _zipf_probs(n: int, s: float) -> np.ndarray:
 
 
 def make_corpus(n_docs: int, seed: int = 42, zipf_s: float = ZIPF_EXPONENT):
-    """Rows of (repo, path, commit, lang, content), deterministic."""
+    """Rows of (repo, path, commit, lang, content), deterministic.
+
+    Fully vectorized (one Zipf draw for the whole corpus) so scaling-bench
+    corpora of 10^5..10^6 docs generate in seconds on the driver."""
     rng = np.random.default_rng(seed)
     probs = _zipf_probs(VOCAB_SIZE, zipf_s)
-    vocab = np.array([f"term{i:05d}" for i in range(VOCAB_SIZE)])
+    vocab = np.array([f"term{i:05d}" for i in range(VOCAB_SIZE)], dtype=object)
 
     # log-normal lengths, clipped 10..2000 (FIXTURES.md §1)
     lengths = np.clip(
         rng.lognormal(mean=4.0, sigma=0.9, size=n_docs), 10, 2000
     ).astype(np.int64)
+    bounds = np.concatenate(([0], np.cumsum(lengths)))
+    all_ids = rng.choice(VOCAB_SIZE, size=int(bounds[-1]), p=probs)
+    all_toks = vocab[all_ids]
+    skew = rng.random(n_docs) < 0.6  # skew terms in ~60% of rows
 
+    commits = [
+        hashlib.sha256(f"c{g}".encode()).hexdigest()[:40]
+        for g in range(n_docs // 100 + 1)
+    ]
     rows = []
     for i in range(n_docs):
         lang = LANGS[i % len(LANGS)]
         repo = f"org{i % 7}/repo{i % 23}"
         path = f"src/m{i % 97}/file{i}.{EXTS[lang]}"
-        commit = hashlib.sha256(f"c{i // 100}".encode()).hexdigest()[:40]
-        toks = list(vocab[rng.choice(VOCAB_SIZE, size=lengths[i], p=probs)])
+        parts = []
         # code-shaped tokens sprinkled deterministically
         if i % 3 == 0:
-            toks.insert(0, CODE_TOKENS[i % len(CODE_TOKENS)])
-        # skew tokens in ~60% of rows (north-rule's named skew terms)
-        if rng.random() < 0.6:
-            toks.append("fn" if i % 2 == 0 else "import")
-        rows.append((repo, path, commit, lang, " ".join(toks)))
+            parts.append(CODE_TOKENS[i % len(CODE_TOKENS)])
+        parts.append(" ".join(all_toks[bounds[i] : bounds[i + 1]]))
+        # skew tokens (north-rule's named skew terms 'fn'/'import')
+        if skew[i]:
+            parts.append("fn" if i % 2 == 0 else "import")
+        rows.append((repo, path, commits[i // 100], lang, " ".join(parts)))
     return rows
 
 

@@ -266,6 +266,237 @@ def q_embedding_norms(spark, sf_dir):
     return emb.select("vec_id", "label", F.round(norm, 6).alias("l2_r"))
 
 
+def q_content_witness(spark, sf_dir):
+    """Per-row content sha256 witness (IDMAP analogue, the BASELINE.json
+    input_hint invariant carrier)."""
+    idx = documents_index(spark, sf_dir)
+    return idx.docmeta.select("docid", "content_sha256")
+
+
+def q_bm25_phrase(spark, sf_dir):
+    """Exact-adjacency phrase BM25 (E7), f64 oracle-comparable shape:
+    weight = (idf(a)+idf(b)) * 2.2, score = weight * pf/(pf + norm)."""
+    idx = documents_index(spark, sf_dir)
+    n_docs, total_tokens = idx.stats()
+    avgdl = total_tokens / n_docs
+    a, b = "key", "order"
+    pos = idx.positions.filter(F.col("term").isin([a, b]))
+    pa = pos.filter(F.col("term") == a).select(
+        "docid", F.explode("positions").alias("p")
+    )
+    pb = pos.filter(F.col("term") == b).select(
+        "docid", F.explode("positions").alias("p2")
+    )
+    pf = (
+        pa.join(pb, (pa["docid"] == pb["docid"]) & (pb["p2"] == pa["p"] + 1))
+        .groupBy(pa["docid"].alias("docid"))
+        .agg(F.count(F.lit(1)).cast("double").alias("pf"))
+    )
+    stats = {
+        r["term"]: float(r["df"])
+        for r in idx.termstats.filter(F.col("term").isin([a, b])).collect()
+    }
+    import math
+
+    idf_sum = sum(
+        math.log(1.0 + (n_docs - stats.get(t, 0.0) + 0.5) / (stats.get(t, 0.0) + 0.5))
+        for t in (a, b)
+    )
+    dl = idx.docmeta.select("docid", F.col("doclen").cast("double").alias("doclen"))
+    scored = pf.join(dl, "docid").select(
+        "docid",
+        (
+            F.lit(idf_sum * 2.2)
+            * F.col("pf")
+            / (F.col("pf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doclen") / F.lit(avgdl)))
+        ).alias("score"),
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+        .select("docid", F.round("score", 6).alias("score_r"))
+    )
+
+
+def q_glob_term_stats(spark, sf_dir):
+    """Term-dictionary glob expansion (Q5): terms matching 'th*'."""
+    idx = documents_index(spark, sf_dir)
+    return (
+        idx.termstats.filter(F.col("term").like("th%"))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy("term")
+    )
+
+
+def q_simhash16(spark, sf_dir):
+    """16-bit SimHash near-dup fingerprint: bit i = sign of the tf-weighted
+    sum over terms of (high bit of md5 hex nibble i)."""
+    idx = documents_index(spark, sf_dir)
+    p = idx.postings.select(
+        "docid", "term", F.col("tf").cast("long").alias("tf"),
+        F.md5("term").alias("h"),
+    )
+    bit_cols = []
+    for i in range(16):
+        nib = F.substring("h", i + 1, 1)
+        signed = F.when(
+            nib.isin("8", "9", "a", "b", "c", "d", "e", "f"), F.col("tf")
+        ).otherwise(-F.col("tf"))
+        bit_cols.append(
+            F.when(F.sum(signed) > 0, F.lit(1 << i)).otherwise(F.lit(0)).alias(f"b{i}")
+        )
+    agg = p.groupBy("docid").agg(*bit_cols)
+    total = agg.columns[1:]
+    expr = F.col(total[0])
+    for c in total[1:]:
+        expr = expr + F.col(c)
+    return agg.select("docid", expr.cast("long").alias("simhash16"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Token 3-shingle Jaccard similarity over the docid<30 pair grid
+    (n-gram near-dup measure; bounded pair set keeps it oracle-sized)."""
+    idx = documents_index(spark, sf_dir)
+    pos = idx.positions.filter(F.col("docid") < 30).select(
+        "docid", F.col("term"), F.explode("positions").alias("pos")
+    )
+    a, b, c = pos.alias("a"), pos.alias("b"), pos.alias("c")
+    sh = (
+        a.join(b, (F.col("a.docid") == F.col("b.docid")) & (F.col("b.pos") == F.col("a.pos") + 1))
+        .join(c, (F.col("a.docid") == F.col("c.docid")) & (F.col("c.pos") == F.col("a.pos") + 2))
+        .select(
+            F.col("a.docid").alias("docid"),
+            F.concat_ws(" ", "a.term", "b.term", "c.term").alias("shingle"),
+        )
+        .distinct()
+    )
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        x.join(y, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.docid") < F.col("y.docid")))
+        .groupBy(F.col("x.docid").alias("d1"), F.col("y.docid").alias("d2"))
+        .agg(F.count(F.lit(1)).cast("double").alias("inter"))
+    )
+    sizes = sh.groupBy("docid").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    s1 = sizes.select(F.col("docid").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("docid").alias("d2"), F.col("n").alias("n2"))
+    out = (
+        inter.join(s1, "d1").join(s2, "d2")
+        .select(
+            "d1", "d2",
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6).alias("jaccard_r"),
+        )
+        .filter(F.col("jaccard_r") > 0)
+    )
+    return out
+
+
+def q_lsh_band_buckets(spark, sf_dir):
+    """MinHash LSH banding: 8 md5-minhashes -> 4 bands of 2 -> band-bucket
+    candidate groups with >1 member (the shingle->minhash->band->bucket
+    join of the dedup pipeline)."""
+    idx = documents_index(spark, sf_dir)
+    terms = idx.postings.select("docid", "term")
+    seeds = spark.range(8).select(F.col("id").cast("int").alias("seed"))
+    h = F.md5(F.concat_ws("#", F.col("term"), F.col("seed").cast("string")))
+    sig = (
+        terms.crossJoin(F.broadcast(seeds))
+        .groupBy("docid", "seed")
+        .agg(F.min(h).alias("minhash"))
+    )
+    banded = sig.withColumn("band", (F.col("seed") / 2).cast("int"))
+    bucket = (
+        banded.groupBy("docid", "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
+    )
+    groups = (
+        bucket.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"), F.min("docid").alias("rep"))
+        .filter(F.col("n_docs") > 1)
+    )
+    return groups
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (ceil(len/4) pieces per token)."""
+    idx = documents_index(spark, sf_dir)
+    return idx.postings.groupBy("docid").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(F.ceil(F.length("term") / F.lit(4.0)).cast("long") * F.col("tf"))
+        .cast("long")
+        .alias("n_bpe_pieces"),
+    )
+
+
+def q_lang_marker_ratio(spark, sf_dir):
+    """Language-ID heuristic: per doc, ratio of language-marker tokens
+    (code keywords as markers) — the n-gram language-scoring shape."""
+    idx = documents_index(spark, sf_dir)
+    markers = ["fn", "import", "def", "class", "func", "void"]
+    p = idx.postings
+    return p.groupBy("docid").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("term").isin(markers), F.col("tf")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("tf").cast("double"),
+            6,
+        ).alias("marker_ratio_r")
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path next to brute-force cosine):
+    8 deterministic sin-hyperplanes -> sign-bit bucket; probe the query's
+    bucket, exact cosine inside it."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def bucket_expr():
+        # hyperplane components are round(sin(i*j), 6): deterministic and
+        # cross-engine stable (raw libm sin may differ in the last ulp)
+        total = F.lit(0)
+        for j in range(8):
+            dot = F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("embedding")),
+                        lambda i: F.round(
+                            F.sin(i.cast("double") * F.lit(float(j + 1))), 6
+                        ),
+                    ),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            total = total + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return total
+
+    withb = emb.withColumn("bucket", bucket_expr())
+    qrow = withb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cand = withb.crossJoin(F.broadcast(qrow)).filter(
+        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != 0)
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    sim = dot / (F.sqrt(sq("embedding")) * F.sqrt(sq("qv")))
+    return (
+        cand.select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("sim", 6).alias("sim_r"))
+    )
+
+
 QUERIES = {
     "tokenize_explode": q_tokenize_explode,
     "term_tf": q_term_tf,
@@ -280,7 +511,34 @@ QUERIES = {
     "minhash_signature": q_minhash_signature,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_norms": q_embedding_norms,
+    "content_witness": q_content_witness,
+    "bm25_phrase": q_bm25_phrase,
+    "glob_term_stats": q_glob_term_stats,
+    "simhash16": q_simhash16,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "lsh_band_buckets": q_lsh_band_buckets,
+    "token_count_bpe": q_token_count_bpe,
+    "lang_marker_ratio": q_lang_marker_ratio,
+    "ann_lsh_topk": q_ann_lsh_topk,
 }
+
+_SQL_SIMHASH_BITS = " + ".join(
+    f"CASE WHEN sum(CASE WHEN substring(h, {i + 1}, 1) IN "
+    f"('8','9','a','b','c','d','e','f') THEN tf ELSE -tf END) > 0 "
+    f"THEN {1 << i} ELSE 0 END"
+    for i in range(16)
+)
+
+_SQL_LSH_PLANES = ", ".join(
+    f"list_sum(list_transform(list_zip(embedding, "
+    f"[round(sin(i * {j + 1}.0), 6) for i in range(1, len(embedding) + 1)]), "
+    f"x -> x[1]::DOUBLE * x[2])) AS dot{j}"
+    for j in range(8)
+)
+
+_SQL_LSH_BUCKET = " + ".join(
+    f"CASE WHEN dot{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(8)
+)
 
 
 ORACLE_SQL = {
@@ -357,5 +615,135 @@ ORACLE_SQL = {
                round(sqrt(list_sum(list_transform(embedding,
                      x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_r
         FROM embeddings
+    """,
+    "content_witness": """
+        SELECT doc_id AS docid, sha256(text) AS content_sha256 FROM documents
+    """,
+    "bm25_phrase": f"""
+        WITH tok AS ({_SQL_TOKEN_ROWS}),
+        dl AS (SELECT docid, count(*)::BIGINT AS doclen FROM tok GROUP BY docid),
+        stats AS (
+          SELECT count(*)::BIGINT AS n_docs,
+                 sum(doclen)::DOUBLE / count(*)::DOUBLE AS avgdl
+          FROM dl
+        ),
+        df AS (
+          SELECT term, count(DISTINCT docid)::BIGINT AS df FROM tok
+          WHERE term IN ('key','order') GROUP BY term
+        ),
+        idfsum AS (
+          SELECT sum(ln(1.0 + ((stats.n_docs - df.df)::DOUBLE + 0.5)
+                              / (df.df::DOUBLE + 0.5))) AS s
+          FROM df CROSS JOIN stats
+        ),
+        pf AS (
+          SELECT a.docid, count(*)::DOUBLE AS pf
+          FROM tok a JOIN tok b
+            ON a.docid = b.docid AND b.pos = a.pos + 1
+          WHERE a.term = 'key' AND b.term = 'order'
+          GROUP BY a.docid
+        ),
+        scored AS (
+          SELECT pf.docid,
+                 idfsum.s * 2.2 * pf.pf
+                 / (pf.pf + 1.2 * (0.25 + 0.75 * dl.doclen::DOUBLE / stats.avgdl))
+                 AS score
+          FROM pf JOIN dl ON pf.docid = dl.docid
+          CROSS JOIN stats CROSS JOIN idfsum
+        )
+        SELECT docid, round(score, 6) AS score_r
+        FROM scored ORDER BY score DESC, docid ASC LIMIT 10
+    """,
+    "glob_term_stats": f"""
+        WITH tok AS ({_SQL_TOKEN_ROWS})
+        SELECT term, count(DISTINCT docid)::BIGINT AS df
+        FROM tok WHERE term LIKE 'th%' GROUP BY term ORDER BY term
+    """,
+    "simhash16": f"""
+        WITH tok AS ({_SQL_TOKEN_ROWS}),
+        tf AS (
+          SELECT docid, term, count(*)::BIGINT AS tf, md5(term) AS h
+          FROM tok GROUP BY docid, term
+        )
+        SELECT docid, ({_SQL_SIMHASH_BITS})::BIGINT AS simhash16
+        FROM tf GROUP BY docid
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH tok AS ({_SQL_TOKEN_ROWS}),
+        t AS (SELECT * FROM tok WHERE docid < 30),
+        sh AS (
+          SELECT DISTINCT a.docid,
+                 a.term || ' ' || b.term || ' ' || c.term AS shingle
+          FROM t a
+          JOIN t b ON a.docid = b.docid AND b.pos = a.pos + 1
+          JOIN t c ON a.docid = c.docid AND c.pos = a.pos + 2
+        ),
+        inter AS (
+          SELECT x.docid AS d1, y.docid AS d2, count(*)::DOUBLE AS inter
+          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.docid < y.docid
+          GROUP BY x.docid, y.docid
+        ),
+        sizes AS (SELECT docid, count(*)::DOUBLE AS n FROM sh GROUP BY docid)
+        SELECT d1, d2,
+               round(inter / (s1.n + s2.n - inter), 6) AS jaccard_r
+        FROM inter
+        JOIN sizes s1 ON inter.d1 = s1.docid
+        JOIN sizes s2 ON inter.d2 = s2.docid
+        WHERE round(inter / (s1.n + s2.n - inter), 6) > 0
+    """,
+    "lsh_band_buckets": f"""
+        WITH tok AS ({_SQL_TOKEN_ROWS}),
+        terms AS (SELECT DISTINCT docid, term FROM tok),
+        seeds AS (SELECT unnest(range(8))::INT AS seed),
+        sig AS (
+          SELECT docid, seed, min(md5(term || '#' || seed::VARCHAR)) AS minhash
+          FROM terms CROSS JOIN seeds GROUP BY docid, seed
+        ),
+        banded AS (SELECT docid, (seed // 2)::INT AS band, minhash FROM sig),
+        bucket AS (
+          SELECT docid, band,
+                 md5(string_agg(minhash, '|' ORDER BY minhash)) AS bucket
+          FROM banded GROUP BY docid, band
+        )
+        SELECT band, bucket, count(*)::BIGINT AS n_docs, min(docid) AS rep
+        FROM bucket GROUP BY band, bucket HAVING count(*) > 1
+    """,
+    "token_count_bpe": f"""
+        WITH tok AS ({_SQL_TOKEN_ROWS}),
+        tf AS (
+          SELECT docid, term, count(*)::BIGINT AS tf FROM tok GROUP BY docid, term
+        )
+        SELECT docid, sum(tf)::BIGINT AS n_tokens,
+               sum(ceil(len(term) / 4.0)::BIGINT * tf)::BIGINT AS n_bpe_pieces
+        FROM tf GROUP BY docid
+    """,
+    "lang_marker_ratio": f"""
+        WITH tok AS ({_SQL_TOKEN_ROWS})
+        SELECT docid,
+               round(sum(CASE WHEN term IN ('fn','import','def','class','func','void')
+                         THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+                 AS marker_ratio_r
+        FROM tok GROUP BY docid
+    """,
+    "ann_lsh_topk": f"""
+        WITH planes AS (
+          SELECT vec_id, embedding, {_SQL_LSH_PLANES} FROM embeddings
+        ),
+        bucketed AS (
+          SELECT vec_id, embedding, ({_SQL_LSH_BUCKET})::INT AS bucket FROM planes
+        ),
+        q AS (SELECT embedding AS qv, bucket AS qb FROM bucketed WHERE vec_id = 0),
+        cand AS (
+          SELECT b.vec_id,
+                 list_sum(list_transform(list_zip(b.embedding, q.qv),
+                          x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                 / (sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                    * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))))
+                 AS sim
+          FROM bucketed b CROSS JOIN q
+          WHERE b.bucket = q.qb AND b.vec_id <> 0
+        )
+        SELECT vec_id, round(sim, 6) AS sim_r
+        FROM cand ORDER BY sim DESC, vec_id ASC LIMIT 10
     """,
 }

@@ -1,0 +1,147 @@
+"""Top-level engine facade — the reference's ``LexicalWrite`` /
+``LexicalRead`` surface (crates/frankensearch-core/src/traits.rs:927-1060)
+re-expressed over the Spark index:
+
+    eng = FrankensearchSpark.build(corpus_df, key_cols=["repo","path","commit"])
+    hits = eng.search("block max wand", limit=10)      # [(external_id, f32)]
+    hits = eng.search('"error handling" AND rust')     # full lenient grammar
+    eng.search_with_snippets("term", limit=5)
+    eng = eng.delete_documents([...]).compact()
+    eng.save(path) / FrankensearchSpark.load(spark, path)
+
+Exhaustive scorer by default (rank/bit-exact vs the numpy oracle); the
+compressed block-max WAND path serves via :meth:`serving` for flat
+bag-of-words queries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frankensearch_spark.operators.build import BuiltIndex, build_index
+from frankensearch_spark.query_ast import ENGINE_SCHEMA, ParserSchema, parse_lenient
+
+
+class FrankensearchSpark:
+    """One built index + its query surface."""
+
+    def __init__(self, index: BuiltIndex, key_cols: list[str],
+                 corpus: DataFrame | None = None,
+                 schema: ParserSchema = ENGINE_SCHEMA):
+        self.index = index
+        self.key_cols = key_cols
+        self.corpus = corpus
+        self.schema = schema
+
+    # --- write path -------------------------------------------------------
+
+    @classmethod
+    def build(cls, corpus: DataFrame, key_cols: list[str],
+              content_col: str = "content", **kw) -> "FrankensearchSpark":
+        idx = build_index(corpus, key_cols, content_col, **kw)
+        return cls(idx, key_cols, corpus)
+
+    def delete_documents(self, docids) -> "FrankensearchSpark":
+        from frankensearch_spark.operators.lifecycle import delete_documents
+
+        return FrankensearchSpark(
+            delete_documents(self.index, docids), self.key_cols, self.corpus,
+            self.schema,
+        )
+
+    def delete_by_key(self, predicate) -> "FrankensearchSpark":
+        from frankensearch_spark.operators.lifecycle import delete_by_key
+
+        return FrankensearchSpark(
+            delete_by_key(self.index, predicate), self.key_cols, self.corpus,
+            self.schema,
+        )
+
+    def upsert(self, new_corpus: DataFrame) -> "FrankensearchSpark":
+        from frankensearch_spark.operators.lifecycle import upsert_documents
+
+        return FrankensearchSpark(
+            upsert_documents(self.index, new_corpus, self.key_cols),
+            self.key_cols, self.corpus, self.schema,
+        )
+
+    def compact(self, force: bool = True) -> "FrankensearchSpark":
+        from frankensearch_spark.operators.lifecycle import compact
+
+        return FrankensearchSpark(
+            compact(self.index, force=force), self.key_cols, self.corpus,
+            self.schema,
+        )
+
+    # --- read path --------------------------------------------------------
+
+    def parse(self, query: str):
+        return parse_lenient(query, self.schema)
+
+    def search_docids(self, query: str, limit: int = 10, offset: int = 0):
+        """[(docid, np.float32 score)] under the pinned total order."""
+        from frankensearch_spark.operators.astexec import search_ast_collect
+
+        return search_ast_collect(self.index, query, limit, offset, self.schema)
+
+    def search(self, query: str, limit: int = 10, offset: int = 0):
+        """[(external_id, np.float32)] — docids materialized through the
+        IDMAP analogue (E12), external id = key cols joined by '/'."""
+        hits = self.search_docids(query, limit, offset)
+        if not hits:
+            return []
+        ids = {int(d) for d, _ in hits}
+        rows = self.index.docmeta.filter(F.col("docid").isin(list(ids))).select(
+            "docid", *self.key_cols
+        ).collect()
+        ext = {
+            int(r["docid"]): "/".join(str(r[c]) for c in self.key_cols)
+            for r in rows
+        }
+        return [(ext.get(int(d), str(d)), np.float32(s)) for d, s in hits]
+
+    def search_with_snippets(self, query: str, limit: int = 10,
+                             content_col: str = "content"):
+        """[(external_id, score, snippet|None)] (E13)."""
+        from frankensearch_spark.functions.snippet import snippets_for_topk
+        from frankensearch_spark.query_ast import walk_leaf_terms
+
+        if self.corpus is None:
+            raise ValueError("snippets need the source corpus DataFrame")
+        hits = self.search_docids(query, limit)
+        terms = [t for t, _ in walk_leaf_terms(self.parse(query).query)]
+        src = self.corpus
+        if "docid" not in src.columns:
+            src = self.index.docmeta.select("docid", *self.key_cols).join(
+                src, self.key_cols
+            )
+        snips = dict(
+            snippets_for_topk(self.index, src, hits, terms, content_col)
+        )
+        out = []
+        ids = self.search(query, limit)
+        for (ext, score), (d, _s) in zip(ids, hits):
+            out.append((ext, score, snips.get(int(d))))
+        return out
+
+    def count(self, query: str) -> int:
+        """exact_count collector variant (E9)."""
+        from frankensearch_spark.operators.astexec import score_ast
+
+        return score_ast(self.index, query, self.schema).count()
+
+    # --- persistence ------------------------------------------------------
+
+    def save(self, path: str, **kw):
+        from frankensearch_spark.plans.manifest import write_index
+
+        return write_index(self.index, path, **kw)
+
+    @staticmethod
+    def load_serving(spark: SparkSession, path: str):
+        """Compressed serving index (block-max WAND path) from disk."""
+        from frankensearch_spark.plans.manifest import read_index
+
+        return read_index(spark, path)

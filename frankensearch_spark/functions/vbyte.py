@@ -39,6 +39,36 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def vbyte_encode_segmented(values: np.ndarray, seg_starts: np.ndarray) -> list[bytes]:
+    """Encode one big uint32 array, sliced back into per-segment buffers.
+
+    ``seg_starts``: value indices where each segment begins (ascending,
+    first element 0).  One vectorized encode for ALL segments — the
+    per-segment cost is a bytes slice, not a numpy kernel launch.  Output
+    is byte-identical to ``vbyte_encode`` applied per segment.
+    """
+    arr = np.asarray(values, dtype=np.uint64)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    if arr.size == 0:
+        return [b""] * seg_starts.size
+    nbytes = np.ones(arr.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += arr >= t
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    starts = ends - nbytes
+    out = np.zeros(total, dtype=np.uint8)
+    byte_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, nbytes)
+    val_rep = np.repeat(arr, nbytes)
+    groups = (val_rep >> (7 * byte_idx.astype(np.uint64))) & np.uint64(0x7F)
+    out[:] = groups.astype(np.uint8)
+    is_last = byte_idx == np.repeat(nbytes - 1, nbytes)
+    out[~is_last] |= 0x80
+    raw = out.tobytes()
+    bounds = np.append(starts[seg_starts], total)
+    return [raw[bounds[i] : bounds[i + 1]] for i in range(seg_starts.size)]
+
+
 def vbyte_decode(buf: bytes, expected_count: int | None = None) -> np.ndarray:
     """Decode canonical LEB128 bytes to a uint32 array."""
     b = np.frombuffer(buf, dtype=np.uint8)

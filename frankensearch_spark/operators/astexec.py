@@ -111,19 +111,19 @@ def score_ast(index: BuiltIndex, query, schema: ParserSchema = ENGINE_SCHEMA) ->
     if terms:
         base = (
             index.postings.filter(F.col("term").isin(terms))
-            .groupBy("docid", "fieldnorm_id")
+            .groupBy("docid", "doclen")
             .pivot("term", terms)
             .agg(F.first("tf"))
-            .toDF("docid", "fieldnorm_id", *tcols)
+            .toDF("docid", "doclen", *tcols)
         )
     else:
         base = None
     if has_all:
-        meta = index.docmeta.select("docid", "fieldnorm_id", *meta_fields)
+        meta = index.docmeta.select("docid", "doclen", *meta_fields)
         if base is None:
             base = meta
         else:
-            base = meta.join(base.drop("fieldnorm_id"), "docid", "left")
+            base = meta.join(base.drop("doclen"), "docid", "left")
     elif meta_fields:
         base = base.join(
             index.docmeta.select("docid", *meta_fields), "docid", "left"
@@ -140,6 +140,9 @@ def score_ast(index: BuiltIndex, query, schema: ParserSchema = ENGINE_SCHEMA) ->
         pcols = [f"p{i}" for i in range(len(phrase_terms))]
         pos_pivot = pos_pivot.toDF("docid", *pcols)
         base = base.join(pos_pivot, "docid", "left")
+
+    if index.tombstones is not None:
+        base = base.join(index.tombstones, "docid", "left_anti")
 
     term_col = dict(zip(terms, tcols))
     phrase_col = dict(zip(phrase_terms, pcols))
@@ -161,9 +164,13 @@ def score_ast(index: BuiltIndex, query, schema: ParserSchema = ENGINE_SCHEMA) ->
             positions = {}
             for t, c in phrase_col.items():
                 positions[t] = pdf[c].to_numpy(dtype=object)
+            from frankensearch_spark.contract import fieldnorm_to_id
+
             ctx = EvalContext(
                 n=n,
-                fieldnorm_id=pdf["fieldnorm_id"].to_numpy(dtype=np.int64),
+                fieldnorm_id=fieldnorm_to_id(
+                    pdf["doclen"].to_numpy(dtype=np.int64)
+                ).astype(np.int64),
                 tf=tf,
                 positions=positions,
                 df=df_stats,

@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
+from frankensearch_spark.contract import MAX_TERM_BYTES
+
 DOC_ORDS_PER_LEASE = 1 << 33  # scale-mode lease width (Q1 analogue)
 
 
@@ -49,24 +51,38 @@ def fieldnorm_id_udf(doclen: pd.Series) -> pd.Series:
 
 
 def assign_docids(
-    corpus: DataFrame, key_cols: list[str], mode: str = "global"
+    corpus: DataFrame, key_cols: list[str], mode: str = "global",
+    broadcast_map: bool = True,
 ) -> DataFrame:
-    """Deterministic, parallelism-invariant global docid (SURVEY.md B3)."""
+    """Deterministic, parallelism-invariant global docid (SURVEY.md B3).
+
+    The ordering pass runs on a SKINNY key-only projection, then the
+    (key -> docid) map joins back to the corpus — by broadcast when the
+    map fits (default; ~30 bytes/doc, fine to ~10^7 docs per driver GiB),
+    else a shuffle join.  The wide ``content`` column never rides the
+    range shuffle either way."""
+    keys = corpus.select(*[F.col(c) for c in key_cols])
     if mode == "global":
         w = Window.orderBy(*[F.col(c) for c in key_cols])
-        return corpus.withColumn("docid", F.row_number().over(w).cast("long") - 1)
-    if mode == "lease":
-        ranged = corpus.repartitionByRange(*[F.col(c) for c in key_cols])
+        mapdf = keys.withColumn(
+            "docid", F.row_number().over(w).cast("long") - 1
+        )
+    elif mode == "lease":
+        ranged = keys.repartitionByRange(*[F.col(c) for c in key_cols])
         w = Window.partitionBy(F.spark_partition_id()).orderBy(
             *[F.col(c) for c in key_cols]
         )
-        return ranged.withColumn(
+        mapdf = ranged.withColumn(
             "docid",
             F.spark_partition_id().cast("long") * F.lit(DOC_ORDS_PER_LEASE)
             + F.row_number().over(w).cast("long")
             - 1,
         )
-    raise ValueError(f"unknown docid mode {mode!r}")
+    else:
+        raise ValueError(f"unknown docid mode {mode!r}")
+    if broadcast_map:
+        mapdf = F.broadcast(mapdf)
+    return corpus.join(mapdf, key_cols)
 
 
 def build_docmeta(
@@ -173,14 +189,14 @@ def build_postings(
     ]
     if with_positions:
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    out = token_rows.groupBy("term", "docid").agg(*aggs)
-    return out.withColumn("fieldnorm_id", fieldnorm_id_udf(F.col("doclen")))
+    return token_rows.groupBy("term", "docid").agg(*aggs)
 
 
-POSTINGS_SCHEMA = (
-    "docid long, term string, tf int, positions array<int>, "
-    "doclen int, fieldnorm_id int"
-)
+# NOTE: no fieldnorm_id column — the quantized id is a pure function of
+# doclen (contract.rs:291-295) and is derived in numpy inside whichever
+# kernel needs it.  Storing it per posting forced a 13M-row Python eval
+# stage into the JVM build path; deriving it per batch is free.
+POSTINGS_SCHEMA = "docid long, term string, tf int, positions array<int>, doclen int"
 
 
 def build_postings_fused(
@@ -189,7 +205,7 @@ def build_postings_fused(
     code_aware: bool = False,
     with_positions: bool = True,
 ) -> DataFrame:
-    """Fused tokenize→aggregate: one mapInPandas pass, ZERO shuffles.
+    """Fused tokenize→aggregate: one mapInArrow pass, ZERO shuffles.
 
     A (term, docid) posting is local to its document, and a document is
     local to its partition — so per-doc tf/positions aggregation never
@@ -198,62 +214,126 @@ def build_postings_fused(
     wide exchanges left in the whole build are the small termstats agg
     and the merge job's repartition-by-term.
 
-    Inner aggregation is vectorized numpy (factorize + lexsort +
-    run-length boundaries), not per-token Python.
+    Inner aggregation is vectorized numpy (factorize + argsort +
+    run-length boundaries), and the output batch is assembled directly in
+    Arrow — the ``positions`` list column comes from
+    ``ListArray.from_arrays(offsets, values)``, O(1) instead of the
+    per-posting ``np.split`` an object-column round-trip would need
+    (measured ~2.3x build throughput on the 50k-doc corpus).
     """
     from frankensearch_spark.analyze import tokenize_code_aware, tokenize_fast
-    from frankensearch_spark.contract import fieldnorm_to_id
 
     tok_fn = tokenize_code_aware if code_aware else tokenize_fast
 
     def gen(batches):
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            doc_col: list = []
+        for rb in batches:
+            docid_in = rb.column(0).to_numpy(zero_copy_only=False)
+            contents = rb.column(1).to_pylist()
             term_col: list[str] = []
-            pos_col: list[int] = []
-            dl_col: list[int] = []
-            for docid, content in zip(pdf["docid"], pdf[content_col]):
-                toks = tok_fn(content) if content is not None else []
+            pos_col: list[int] = []  # analyzer positions (gaps preserved, T3)
+            doc_idx: list[int] = []  # row index within this batch, per token
+            dls = np.zeros(len(contents), dtype=np.int32)
+            for i, content in enumerate(contents):
+                if content is None:
+                    continue
+                toks = tok_fn(content)
                 n = len(toks)
                 if n == 0:
                     continue
-                doc_col.extend([docid] * n)
-                term_col.extend(t for t, _ in toks)
-                pos_col.extend(p for _, p in toks)
-                dl_col.extend([n] * n)
+                dls[i] = n
+                for t, p in toks:
+                    term_col.append(t)
+                    pos_col.append(p)
+                doc_idx.extend([i] * n)
             if not term_col:
                 continue
-            docids = np.asarray(doc_col, dtype=np.int64)
+            rows = np.asarray(doc_idx, dtype=np.int64)
             poss = np.asarray(pos_col, dtype=np.int32)
-            dls = np.asarray(dl_col, dtype=np.int32)
             codes, uniq_terms = pd.factorize(np.asarray(term_col, dtype=object))
-            order = np.lexsort((poss, codes, docids))
-            d_s, c_s, p_s, l_s = docids[order], codes[order], poss[order], dls[order]
-            # run boundaries where (docid, term-code) changes
-            change = np.empty(len(d_s), dtype=bool)
+            # tokens are already docid-major and position-ascending; a
+            # stable sort by code within the existing order groups the
+            # (doc, term) runs without disturbing position order
+            order = np.lexsort((codes, rows))
+            r_s, c_s, p_s = rows[order], codes[order], poss[order]
+            change = np.empty(len(r_s), dtype=bool)
             change[0] = True
-            change[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+            change[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
             starts = np.nonzero(change)[0]
-            ends = np.append(starts[1:], len(d_s))
-            tf = (ends - starts).astype(np.int32)
-            out = {
-                "docid": d_s[starts],
-                "term": uniq_terms[c_s[starts]],
-                "tf": tf,
-                "positions": (
-                    np.split(p_s, starts[1:])
-                    if with_positions
-                    else [None] * len(starts)
-                ),
-                "doclen": l_s[starts],
-                "fieldnorm_id": fieldnorm_to_id(l_s[starts]).astype(np.int32),
-            }
-            yield pd.DataFrame(out)
+            tf = np.diff(np.append(starts, len(r_s))).astype(np.int32)
+            head_rows = r_s[starts]
+            doclen_out = dls[head_rows]
+            term_arr = pa.array(uniq_terms, type=pa.string()).take(
+                pa.array(c_s[starts], type=pa.int64())
+            )
+            if with_positions:
+                offsets = np.append(starts, len(p_s)).astype(np.int32)
+                pos_arr = pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(p_s, type=pa.int32()),
+                )
+            else:
+                pos_arr = pa.nulls(len(starts), type=pa.list_(pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(docid_in[head_rows], type=pa.int64()),
+                    term_arr,
+                    pa.array(tf, type=pa.int32()),
+                    pos_arr,
+                    pa.array(doclen_out, type=pa.int32()),
+                ],
+                names=["docid", "term", "tf", "positions", "doclen"],
+            )
 
-    return corpus_with_docid.select("docid", content_col).mapInPandas(
+    return corpus_with_docid.select("docid", content_col).mapInArrow(
         gen, POSTINGS_SCHEMA
+    )
+
+
+def build_postings_sql(
+    corpus_with_docid: DataFrame,
+    content_col: str = "content",
+    with_positions: bool = True,
+) -> DataFrame:
+    """Pure-JVM tokenize→aggregate: whole-stage-codegen split/explode/agg.
+
+    Token boundary rule expressed in Spark SQL: split on runs of
+    non-alphanumeric chars, lowercase, drop empties, then admission-filter
+    oversized tokens AFTER position assignment (gap-preserving, T3).  On
+    ASCII corpora this emits the exact token stream of the Arrow tokenizer
+    (tests assert posting-table equality); for exotic Unicode the Java
+    regex class ``\\p{L}\\p{N}`` differs from Rust ``char::is_alphanumeric``
+    only on the Nl/No categories — use the Arrow path when that matters.
+
+    Scale rationale: no Python workers — the build saturates executor
+    cores without JVM/Python oversubscription, which is what makes the
+    N→4N scaling criterion reachable (JVM codegen throughput, ~10x the
+    vectorized-Python path per core on the synthetic corpus).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(content_col)), r"[^\p{L}\p{N}]+"),
+        lambda x: x != F.lit(""),
+    )
+    exploded = (
+        corpus_with_docid.select("docid", F.posexplode(toks).alias("pos", "term"))
+        .where(F.octet_length("term") <= MAX_TERM_BYTES)
+        # ONE explicit shuffle by docid: hashpartitioning(docid) satisfies
+        # the clustering needs of groupBy(docid, term), the doclen window,
+        # and every per-doc aggregate downstream — Catalyst inserts no
+        # further exchange in this path
+        .repartition("docid")
+    )
+    aggs = [F.count(F.lit(1)).cast("int").alias("tf")]
+    if with_positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    else:
+        aggs.append(F.lit(None).cast("array<int>").alias("positions"))
+    grouped = exploded.groupBy("docid", "term").agg(*aggs)
+    w = Window.partitionBy("docid")
+    return grouped.withColumn("doclen", F.sum("tf").over(w).cast("int")).select(
+        "docid", "term", "tf", "positions", "doclen"
     )
 
 
@@ -284,11 +364,13 @@ def build_fieldstats(docmeta: DataFrame) -> DataFrame:
 class BuiltIndex:
     """In-memory handle over the four index tables."""
 
-    postings: DataFrame  # serving table: docid, term, tf, doclen, fieldnorm_id
+    postings: DataFrame  # serving table: docid, term, tf, doclen
     docmeta: DataFrame
     termstats: DataFrame
     fieldstats: DataFrame
     positions: DataFrame | None = None  # (docid, term, positions) — phrase path
+    tombstones: DataFrame | None = None  # (docid) — excluded from results,
+    # NOT from stats (grimoire.rs:68-71 rule; folded by lifecycle.compact)
     _cached_stats: tuple[int, int] | None = None
 
     def stats(self) -> tuple[int, int]:
@@ -306,18 +388,42 @@ def build_index(
     with_positions: bool = True,
     code_aware: bool = False,
     cache: bool = True,
+    tokenizer: str = "arrow",
+    n_build_partitions: int | None = None,
 ) -> BuiltIndex:
     """Full batch build: corpus -> postings/docmeta/termstats/fieldstats.
 
-    If the corpus already carries a ``docid`` column it is trusted as the
-    global docid (e.g. the driver testdata's ``doc_id``)."""
+    ``tokenizer="arrow"`` runs the exact reference analyzer in a fused
+    mapInArrow pass; ``tokenizer="sql"`` runs the pure-JVM codegen path
+    (identical postings on ASCII corpora, ~10x faster per core — see
+    :func:`build_postings_sql`).  If the corpus already carries a
+    ``docid`` column it is trusted as the global docid (e.g. the driver
+    testdata's ``doc_id``)."""
+    spark = corpus.sparkSession
+    if n_build_partitions is None:
+        n_build_partitions = spark.sparkContext.defaultParallelism
     if "docid" in corpus.columns:
         with_docid = corpus
     else:
         with_docid = assign_docids(corpus, key_cols, docid_mode)
-    postings_src = build_postings_fused(
-        with_docid, content_col, code_aware, with_positions
-    )
+    # Explicit repartition before tokenization: AQE coalesces the upstream
+    # scan/join partitions by SIZE (a few hundred MB of text -> ~5 tasks),
+    # which would leave most cores idle through the CPU-heavy tokenize
+    # stage.  An explicit numbered repartition is exempt from coalescing,
+    # so the build fans out to every core (measured 4x at local[32]).
+    with_docid = with_docid.repartition(n_build_partitions)
+    if cache:
+        # docmeta re-reads this frame; without a persist the docid
+        # assignment and repartition would run twice
+        with_docid = with_docid.persist()
+    if tokenizer == "sql":
+        if code_aware:
+            raise ValueError("code_aware analysis requires tokenizer='arrow'")
+        postings_src = build_postings_sql(with_docid, content_col, with_positions)
+    else:
+        postings_src = build_postings_fused(
+            with_docid, content_col, code_aware, with_positions
+        )
     positions = None
     if with_positions:
         # positions live outside the serving table: query scans must not

@@ -33,15 +33,12 @@ posting list — the reference's concat-merge theorem Q1
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from frankensearch_spark.contract import POSTINGS_PER_BLOCK
-from frankensearch_spark.functions.vbyte import delta_encode, vbyte_encode
+from frankensearch_spark.contract import POSTINGS_PER_BLOCK, fieldnorm_to_id
 
 DEFAULT_BUCKET_SHIFT = 13  # 8,192 docids per bucket
 DEFAULT_TERM_PARTITIONS = 64
@@ -49,61 +46,89 @@ DEFAULT_TERM_PARTITIONS = 64
 BLOCKS_SCHEMA = (
     "term string, bucket long, first_doc long, n int, "
     "doc_bytes binary, tf_bytes binary, norm_bytes binary, "
-    "max_tf_code int, min_fieldnorm_id int"
+    "max_tf_code int, min_fieldnorm_id int, tpart int"
 )
 
 
 def term_partition(term: str, n_parts: int = DEFAULT_TERM_PARTITIONS) -> int:
-    """Stable engine-independent term partition (md5-based)."""
-    return int.from_bytes(hashlib.md5(term.encode("utf-8")).digest()[:4], "big") % n_parts
+    """Stable engine-independent term partition.
+
+    CRC-32 so the Spark side can compute it JVM-native (``F.crc32``) while
+    the Python query planner computes the identical value via zlib."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_parts
 
 
 def _blockify_partition(pdfs, bucket_shift: int):
     """mapInPandas kernel over partitions pre-sorted by (term, bucket, docid).
 
-    Group boundaries are run-length detected; each (term, bucket) run is
-    chunked into 128-posting blocks and encoded with numpy — one Python
-    call per *partition*, not per group.
+    Fully vectorized: group/block boundaries via run-length detection,
+    delta + LEB128 encoding in ONE numpy pass for the whole partition
+    (``vbyte_encode_segmented``), block aggregates via ``np.*.reduceat``.
+    Per-block Python cost is a bytes slice — nothing else.
     """
+    from frankensearch_spark.functions.vbyte import vbyte_encode_segmented
+
     for pdf in pdfs:
-        if len(pdf) == 0:
+        n_rows = len(pdf)
+        if n_rows == 0:
             continue
         terms = pdf["term"].to_numpy(dtype=object)
         docids = pdf["docid"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        fids = pdf["fieldnorm_id"].to_numpy(dtype=np.int64)
+        tparts = pdf["tpart"].to_numpy(dtype=np.int64)
+        fids = fieldnorm_to_id(pdf["doclen"].to_numpy(dtype=np.int64)).astype(
+            np.uint8
+        )
         buckets = docids >> bucket_shift
 
-        change = np.empty(len(pdf), dtype=bool)
+        change = np.empty(n_rows, dtype=bool)
         change[0] = True
         change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
         g_starts = np.nonzero(change)[0]
-        g_ends = np.append(g_starts[1:], len(pdf))
+        g_sizes = np.diff(np.append(g_starts, n_rows))
+        # index of each row within its (term, bucket) group
+        idx_in_group = np.arange(n_rows, dtype=np.int64) - np.repeat(
+            g_starts, g_sizes
+        )
+        # block boundary: group start or every POSTINGS_PER_BLOCK rows
+        b_start_mask = (idx_in_group % POSTINGS_PER_BLOCK) == 0
+        b_starts = np.nonzero(b_start_mask)[0]
+        b_sizes = np.diff(np.append(b_starts, n_rows))
 
-        out: dict[str, list] = {k: [] for k in (
-            "term", "bucket", "first_doc", "n", "doc_bytes", "tf_bytes",
-            "norm_bytes", "max_tf_code", "min_fieldnorm_id",
-        )}
-        for gs, ge in zip(g_starts, g_ends):
-            term = terms[gs]
-            bucket = int(buckets[gs])
-            base = bucket << bucket_shift
-            for bs in range(gs, ge, POSTINGS_PER_BLOCK):
-                be = min(bs + POSTINGS_PER_BLOCK, ge)
-                d = docids[bs:be]
-                t = tfs[bs:be]
-                f = fids[bs:be]
-                offs = (d - base).astype(np.uint32)
-                out["term"].append(term)
-                out["bucket"].append(bucket)
-                out["first_doc"].append(int(d[0]))
-                out["n"].append(be - bs)
-                out["doc_bytes"].append(vbyte_encode(delta_encode(offs)))
-                out["tf_bytes"].append(vbyte_encode(t.astype(np.uint32)))
-                out["norm_bytes"].append(f.astype(np.uint8).tobytes())
-                out["max_tf_code"].append(int(min(t.max(), 255)))
-                out["min_fieldnorm_id"].append(int(f.min()))
-        yield pd.DataFrame(out)
+        # docid offsets within bucket, delta-coded with block-absolute first
+        offs = (docids - (buckets << bucket_shift)).astype(np.uint64)
+        deltas = np.empty(n_rows, dtype=np.uint64)
+        deltas[0] = offs[0]
+        deltas[1:] = offs[1:] - offs[:-1]
+        deltas[b_starts] = offs[b_starts]
+
+        doc_bytes = vbyte_encode_segmented(deltas, b_starts)
+        tf_bytes = vbyte_encode_segmented(tfs.astype(np.uint64), b_starts)
+        norm_raw = fids.tobytes()
+        norm_bounds = np.append(b_starts, n_rows)
+        norm_bytes = [
+            norm_raw[norm_bounds[i] : norm_bounds[i + 1]]
+            for i in range(b_starts.size)
+        ]
+        max_tf = np.minimum(np.maximum.reduceat(tfs, b_starts), 255)
+        min_fn = np.minimum.reduceat(fids, b_starts)
+
+        yield pd.DataFrame(
+            {
+                "term": terms[b_starts],
+                "bucket": buckets[b_starts],
+                "first_doc": docids[b_starts],
+                "n": b_sizes.astype(np.int32),
+                "doc_bytes": doc_bytes,
+                "tf_bytes": tf_bytes,
+                "norm_bytes": norm_bytes,
+                "max_tf_code": max_tf.astype(np.int32),
+                "min_fieldnorm_id": min_fn.astype(np.int32),
+                "tpart": tparts[b_starts].astype(np.int32),
+            }
+        )
 
 
 def build_blocks(
@@ -118,29 +143,36 @@ def build_blocks(
     component is the explicit skew salt — then a partition-local sort and
     a single vectorized blockify pass.
     """
-    n_shuffle = shuffle_partitions or postings.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"
+    spark = postings.sparkSession
+    n_shuffle = int(
+        shuffle_partitions
+        or max(spark.sparkContext.defaultParallelism * 4, 16)
     )
-    src = postings.select("term", "docid", "tf", "fieldnorm_id").withColumn(
-        "bucket", F.shiftright(F.col("docid"), bucket_shift)
+    src = (
+        postings.select("term", "docid", "tf", "doclen")
+        .withColumn("bucket", F.shiftright(F.col("docid"), bucket_shift))
+        .withColumn(
+            "tpart",
+            (F.crc32(F.col("term").cast("binary")) % n_term_partitions).cast("int"),
+        )
+        # 64-bit hash sort prefix: the big partition-local sort runs on a
+        # radix-friendly long almost everywhere; the string key only breaks
+        # the rare hash ties.  Grouping correctness needs term-contiguity,
+        # which (thash, term) preserves.
+        .withColumn("thash", F.xxhash64(F.col("term")))
     )
-    arranged = src.repartition(int(n_shuffle), "term", "bucket").sortWithinPartitions(
-        "term", "bucket", "docid"
-    )
-    blocks = arranged.mapInPandas(
+    # RANGE partition on (tpart, thash, ..., docid): contiguous global
+    # term partitions on disk (plain parquet files carry narrow tpart
+    # min/max -> row-group pruning at query time), while the sampling
+    # range partitioner splits a skewed mega-term ('fn'/'import') across
+    # partitions at bucket boundaries — the explicit skew salt the
+    # north-rule demands, with balance chosen by data, not by guess.
+    arranged = src.repartitionByRange(
+        n_shuffle, "tpart", "thash", "term", "bucket", "docid"
+    ).sortWithinPartitions("tpart", "thash", "term", "bucket", "docid").drop("thash")
+    return arranged.mapInPandas(
         lambda it: _blockify_partition(it, bucket_shift), BLOCKS_SCHEMA
     )
-
-    @F.pandas_udf("int")
-    def tpart_udf(terms: pd.Series) -> pd.Series:
-        import hashlib as _h
-
-        return terms.map(
-            lambda t: int.from_bytes(_h.md5(t.encode("utf-8")).digest()[:4], "big")
-            % n_term_partitions
-        ).astype("int32")
-
-    return blocks.withColumn("tpart", tpart_udf(F.col("term")))
 
 
 def decode_blocks_pdf(pdf: pd.DataFrame, bucket_shift: int = DEFAULT_BUCKET_SHIFT):

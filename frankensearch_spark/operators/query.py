@@ -65,8 +65,10 @@ def _make_score_udf(clause_terms, col_of_term, weights, tf_cache):
     cache = tf_cache.copy()
 
     @pandas_udf(T.FloatType())
-    def score_udf(fieldnorm_id: pd.Series, *tf_cols: pd.Series) -> pd.Series:
-        fids = fieldnorm_id.to_numpy(dtype=np.int64)
+    def score_udf(doclen: pd.Series, *tf_cols: pd.Series) -> pd.Series:
+        from frankensearch_spark.contract import fieldnorm_to_id
+
+        fids = fieldnorm_to_id(doclen.to_numpy(dtype=np.int64)).astype(np.int64)
         norms = cache[fids]
         acc = np.zeros(len(fids), dtype=np.float32)
         for col_idx, w in order:
@@ -115,14 +117,16 @@ def score_dataframe(index: BuiltIndex, spec: QuerySpec) -> DataFrame:
     weights = {t: term_weight(stats[t], doc_count) for t in present}
 
     p = index.postings.filter(F.col("term").isin(present)).select(
-        "term", "docid", "tf", "fieldnorm_id"
+        "term", "docid", "tf", "doclen"
     )
     pivoted = (
-        p.groupBy("docid", "fieldnorm_id").pivot("term", present).agg(F.first("tf"))
+        p.groupBy("docid", "doclen").pivot("term", present).agg(F.first("tf"))
     )
-    safe = ["docid", "fieldnorm_id"] + [f"t{i}" for i in range(len(present))]
+    safe = ["docid", "doclen"] + [f"t{i}" for i in range(len(present))]
     pivoted = pivoted.toDF(*safe)
 
+    if index.tombstones is not None:
+        pivoted = pivoted.join(index.tombstones, "docid", "left_anti")
     for t in spec.must:
         pivoted = pivoted.filter(F.col(f"t{present.index(t)}").isNotNull())
     if spec.must_not:
@@ -137,7 +141,7 @@ def score_dataframe(index: BuiltIndex, spec: QuerySpec) -> DataFrame:
     udf = _make_score_udf(spec.clause_terms(), col_of_term, weights, tf_cache)
     tf_cols = [F.col(f"t{i}") for i in range(len(present))]
     return pivoted.select(
-        "docid", udf(F.col("fieldnorm_id"), *tf_cols).alias("score")
+        "docid", udf(F.col("doclen"), *tf_cols).alias("score")
     )
 
 

@@ -57,6 +57,7 @@ class ServingIndex:
     fieldstats: DataFrame
     bucket_shift: int = DEFAULT_BUCKET_SHIFT
     n_term_partitions: int = 64
+    tombstones: DataFrame | None = None
     _cached_stats: tuple[int, int] | None = None
 
     def stats(self) -> tuple[int, int]:
@@ -75,12 +76,13 @@ def serving_from_built(built, bucket_shift: int = DEFAULT_BUCKET_SHIFT,
         blocks = blocks.persist()
     return ServingIndex(
         blocks, built.termstats, built.docmeta, built.fieldstats,
-        bucket_shift, n_term_partitions,
+        bucket_shift, n_term_partitions, built.tombstones,
     )
 
 
 def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_cache: np.ndarray,
-                          k: int, bucket_shift: int):
+                          k: int, bucket_shift: int,
+                          excluded: np.ndarray | None = None):
     """applyInPandas kernel: one call per docid bucket -> local top-k rows.
 
     Dense bucket-local accumulation (bucket span is bounded by
@@ -132,6 +134,11 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_cache: np.ndarray,
             sel = post_terms == term
             ok = ok.copy()
             ok[offs[sel]] = False
+        if excluded is not None and excluded.size:
+            local = excluded[(excluded >= base) & (excluded < base + span)] - base
+            if local.size:
+                ok = ok.copy()
+                ok[local] = False
 
         hit_offs = np.nonzero(ok)[0]
         if hit_offs.size == 0:
@@ -198,7 +205,13 @@ def wand_topk(
     weights, tf_cache, avgdl, cand = prep
     shift = index.bucket_shift
     want = offset + k
-    kernel = _score_buckets_kernel(spec, weights, tf_cache, want, shift)
+    excluded = None
+    if index.tombstones is not None:
+        excluded = np.array(
+            sorted(int(r["docid"]) for r in index.tombstones.collect()),
+            dtype=np.int64,
+        )
+    kernel = _score_buckets_kernel(spec, weights, tf_cache, want, shift, excluded)
     out_schema = "docid long, score float"
 
     def run(blocks_df) -> list[tuple[int, np.float32]]:

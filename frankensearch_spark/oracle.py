@@ -64,6 +64,20 @@ class OracleIndex:
             term: {d: np.array(sorted(pl), dtype=np.int64) for d, pl in per_doc.items()}
             for term, per_doc in positions.items()
         }
+        # tombstoned docids: excluded from results, still counted in stats
+        # (grimoire.rs:68-71 / argus.rs:1327-1344)
+        self.excluded: set[int] = set()
+
+    def delete(self, docids) -> None:
+        self.excluded.update(int(d) for d in docids)
+
+    def _excluded_rows(self) -> np.ndarray:
+        if not self.excluded:
+            return np.array([], dtype=np.int64)
+        return np.array(
+            [self._row[d] for d in self.excluded if d in self._row],
+            dtype=np.int64,
+        )
 
     def term_doc_freq(self, term: str) -> int:
         p = self.postings.get(term)
@@ -126,6 +140,10 @@ class OracleIndex:
                 rows = np.array([self._row[d] for d in p[0]], dtype=np.int64)
                 ok = ok.copy()
                 ok[rows] = False
+        ex = self._excluded_rows()
+        if ex.size:
+            ok = ok.copy()
+            ok[ex] = False
 
         rows = np.nonzero(ok)[0]
         if rows.size == 0:
@@ -208,6 +226,10 @@ class OracleIndex:
             ast = substitute_globs(ast, expansion)
         ctx = self._eval_context(ast)
         mask, scores = eval_query(ast, ctx)
+        ex = self._excluded_rows()
+        if ex.size:
+            mask = mask.copy()
+            mask[ex] = False
         rows = np.nonzero(mask)[0]
         if rows.size == 0:
             return []

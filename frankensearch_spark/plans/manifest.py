@@ -102,19 +102,32 @@ def write_index(
     n_term_partitions = manifest.n_term_partitions
     n_groups = manifest.n_groups
 
-    blocks = build_blocks(built.postings, bucket_shift, n_term_partitions).persist()
+    spark = built.postings.sparkSession
+    blocks = build_blocks(built.postings, bucket_shift, n_term_partitions)
+    # with one group the block stream writes straight through (no second
+    # pass, no cache); staged builds pay one persist for the group filters
+    if n_groups > 1:
+        blocks = blocks.persist()
     for g in range(n_groups):
         key = str(g)
         if key in manifest.committed_groups:
             continue
-        part = blocks.filter(F.col("tpart") % n_groups == g)
+        part = (
+            blocks.filter(F.col("tpart") % n_groups == g)
+            if n_groups > 1
+            else blocks
+        )
         dest = os.path.join(path, "blocks", f"group={g}")
         t0 = time.time()
-        # partitioned by tpart: query-time term->tpart filters prune
-        # directories (the TERMDICT block-first-key index analogue)
-        part.write.mode("overwrite").partitionBy("tpart").parquet(dest)
+        # plain parquet: the block stream is range-partitioned and sorted
+        # by tpart, so every file/row-group carries a narrow tpart span —
+        # query-time term->tpart filters prune via parquet statistics
+        # (TERMDICT block-first-key analogue) without the dynamic-
+        # partition writer's per-directory fan-out
+        part.write.mode("overwrite").parquet(dest)
         manifest.committed_groups[key] = {
-            "rows": part.count(),
+            # row count from parquet footers — metadata-only, no recompute
+            "rows": spark.read.parquet(dest).count(),
             "seconds": round(time.time() - t0, 3),
         }
         _publish(path, manifest)  # checkpoint after every group
@@ -128,15 +141,56 @@ def write_index(
             continue
         dest = os.path.join(path, name)
         df.write.mode("overwrite").parquet(dest)
-        manifest.tables[name] = {"rows": df.count()}
+        manifest.tables[name] = {"rows": spark.read.parquet(dest).count()}
         _publish(path, manifest)
 
-    blocks.unpersist()
+    if n_groups > 1:
+        blocks.unpersist()
     manifest.completed = True
     _publish(path, manifest)
     with open(os.path.join(path, "_COMMITTED"), "w") as f:
         f.write("ok\n")
     return manifest
+
+
+def gc_orphans(path: str, grace_seconds: float = 300.0) -> list[str]:
+    """Garbage-collect artifacts not referenced by the manifest (M4 —
+    keeper.rs:85, 4260-4280: grace-window sweep of unreferenced files).
+
+    Removes block-group directories with no committed manifest entry and
+    stale ``manifest.json.tmp`` files, but only when older than the grace
+    window (a concurrent writer may be mid-publication).  Returns the
+    removed paths."""
+    import shutil
+    import time as _time
+
+    manifest = load_manifest(path)
+    if manifest is None:
+        return []
+    removed: list[str] = []
+    now = _time.time()
+
+    def old_enough(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) >= grace_seconds
+        except OSError:
+            return False
+
+    blocks_dir = os.path.join(path, "blocks")
+    if os.path.isdir(blocks_dir):
+        for entry in os.listdir(blocks_dir):
+            if not entry.startswith("group="):
+                continue
+            g = entry.split("=", 1)[1]
+            full = os.path.join(blocks_dir, entry)
+            if g not in manifest.committed_groups and old_enough(full):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+    tmp = _manifest_path(path) + ".tmp"
+    if os.path.exists(tmp) and old_enough(tmp):
+        os.unlink(tmp)
+        removed.append(tmp)
+    return removed
 
 
 def read_index(spark: SparkSession, path: str) -> ServingIndex:

@@ -33,6 +33,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # ephemeral shuffle/spill on tmpfs when available: shuffle I/O must not
+    # serialize behind the VM's single virtio disk (~700 MB/s) — on a real
+    # cluster this is per-node local NVMe
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        b = b.config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -1,0 +1,84 @@
+"""Structured Streaming incremental index build (SURVEY.md §7 step 8 —
+the delta-segment analogue of quill/delta.rs + bulk-load checkpointing,
+COMPREHENSIVE_PLAN.md:255-260 watch mode).
+
+Design: each micro-batch is a MINI-SEGMENT — the batch's docs get a
+disjoint docid lease ``(batch_id + base_lease) * DOC_ORDS_PER_LEASE + i``
+(never reused, Q1 discipline), are tokenized with the same fused kernel
+as the bulk build, and appended to parquet tables.  A reader recomputes
+snapshot-global stats from the union — so BM25 scores follow the same
+"stats are snapshot-global" rule as the reference and are IDENTICAL to a
+one-shot batch build over the same docs modulo docid numbering.
+
+``foreachBatch`` gives exactly-once appends when the sink directory and
+the checkpoint location are kept together (Spark's own streaming
+checkpoint + parquet atomic commit)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frankensearch_spark.operators.build import (
+    DOC_ORDS_PER_LEASE,
+    BuiltIndex,
+    build_docmeta,
+    build_fieldstats,
+    build_postings_fused,
+    build_termstats,
+)
+
+STREAM_LEASE_BASE = 1 << 20  # streaming leases start far above batch builds
+
+
+def index_microbatch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    key_cols: list[str],
+    content_col: str = "content",
+) -> None:
+    """foreachBatch body: seal one micro-batch as a mini-segment."""
+    w = F.row_number().over(Window.orderBy(*[F.col(c) for c in key_cols]))
+    lease = (STREAM_LEASE_BASE + int(batch_id)) * DOC_ORDS_PER_LEASE
+    with_docid = batch_df.withColumn(
+        "docid", (w.cast("long") - 1 + F.lit(lease))
+    )
+    postings = build_postings_fused(with_docid, content_col).drop("positions")
+    docmeta = build_docmeta(with_docid, key_cols, postings, content_col)
+    postings.write.mode("append").parquet(os.path.join(out_dir, "postings"))
+    docmeta.write.mode("append").parquet(os.path.join(out_dir, "docmeta"))
+
+
+def start_incremental_build(
+    stream_df: DataFrame,
+    out_dir: str,
+    key_cols: list[str],
+    content_col: str = "content",
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+):
+    """Wire a streaming corpus source into the mini-segment sink."""
+    writer = stream_df.writeStream.foreachBatch(
+        lambda df, bid: index_microbatch(df, bid, out_dir, key_cols, content_col)
+    ).option(
+        "checkpointLocation", checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_incremental_index(spark: SparkSession, out_dir: str) -> BuiltIndex:
+    """Snapshot over every sealed mini-segment: stats recomputed globally,
+    so scores equal a batch build over the same docs (Q1-OB3 law)."""
+    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+    docmeta = spark.read.parquet(os.path.join(out_dir, "docmeta"))
+    return BuiltIndex(
+        postings=postings,
+        docmeta=docmeta,
+        termstats=build_termstats(postings),
+        fieldstats=build_fieldstats(docmeta),
+    )

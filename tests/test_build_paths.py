@@ -18,7 +18,6 @@ def canon(df):
             r["tf"],
             tuple(r["positions"]),
             r["doclen"],
-            r["fieldnorm_id"],
         )
         for r in rows
     )
@@ -33,6 +32,19 @@ def test_fused_equals_reference_postings(spark):
     assert canon(fused) == canon(ref)
 
 
+def test_sql_path_equals_arrow_postings(spark):
+    """The pure-JVM codegen tokenizer emits the exact posting table of the
+    reference Arrow tokenizer on the (ASCII) synthetic corpus."""
+    from frankensearch_spark.operators.build import build_postings_sql
+
+    corpus = assign_docids(
+        synthetic_corpus_df(spark, 120, partitions=3), CORPUS_KEY
+    )
+    arrow = canon(build_postings_fused(corpus))
+    sql = canon(build_postings_sql(corpus))
+    assert sql == arrow
+
+
 def test_fused_handles_empty_and_null_content(spark):
     corpus = spark.createDataFrame(
         [(0, "a b a"), (1, ""), (2, None), (3, "b")],
@@ -40,7 +52,7 @@ def test_fused_handles_empty_and_null_content(spark):
     )
     rows = canon(build_postings_fused(corpus))
     assert rows == [
-        (0, "a", 2, (0, 2), 3, 3),
-        (0, "b", 1, (1,), 3, 3),
-        (3, "b", 1, (0,), 1, 1),
+        (0, "a", 2, (0, 2), 3),
+        (0, "b", 1, (1,), 3),
+        (3, "b", 1, (0,), 1),
     ]

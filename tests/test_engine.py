@@ -1,0 +1,55 @@
+"""Facade surface: build/search/snippets/count/lifecycle round-trip."""
+
+import pytest
+
+from frankensearch_spark.engine import FrankensearchSpark
+from frankensearch_spark.sources.corpus import CORPUS_KEY, synthetic_corpus_df
+
+N_DOCS = 150
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    corpus = synthetic_corpus_df(spark, N_DOCS, partitions=3)
+    return FrankensearchSpark.build(corpus, CORPUS_KEY)
+
+
+def test_search_returns_external_ids(eng):
+    hits = eng.search("fn import", limit=5)
+    assert hits
+    for ext, score in hits:
+        repo, rest = ext.split("/", 1)
+        assert repo.startswith("org")
+        assert float(score) > 0
+
+
+def test_boolean_and_phrase_queries(eng):
+    assert eng.search("fn AND import", limit=5) == []  # disjoint by corpus
+    ph = eng.search('"term00001 term00002"', limit=5)
+    loose = eng.search("term00001 term00002", limit=5)
+    assert len(loose) >= len(ph)
+
+
+def test_count(eng):
+    n = eng.count("fn")
+    assert 0 < n < N_DOCS
+    assert eng.count("nosuchtermzzz") == 0
+
+
+def test_snippets(eng):
+    out = eng.search_with_snippets("snake_case_identifier", limit=3)
+    assert out
+    for _ext, _score, snip in out:
+        assert snip is not None and "<b>" in snip
+
+
+def test_lifecycle_roundtrip(eng):
+    baseline = eng.search_docids("fn import", limit=3)
+    victim = int(baseline[0][0])
+    after = eng.delete_documents([victim])
+    got = after.search_docids("fn import", limit=3)
+    assert victim not in {d for d, _ in got}
+    compacted = after.compact()
+    assert compacted.index.tombstones is None
+    still = compacted.search_docids("fn import", limit=3)
+    assert victim not in {d for d, _ in still}

@@ -1,0 +1,111 @@
+"""Streaming incremental build + multimodal plumbing tests."""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from frankensearch_spark.corpus import make_corpus
+from frankensearch_spark.sources.corpus import CORPUS_KEY, CORPUS_SCHEMA
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def stream_dirs():
+    src = tempfile.mkdtemp(prefix="fsx_stream_src_")
+    out = tempfile.mkdtemp(prefix="fsx_stream_out_")
+    yield src, out
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_incremental_equals_batch_scores(spark, stream_dirs):
+    """Streamed mini-segments answer queries with the same scores as a
+    one-shot batch build over the same docs (Q1-OB3 merge law)."""
+    from frankensearch_spark.operators.build import build_index
+    from frankensearch_spark.operators.query import search_collect
+    from frankensearch_spark.streaming.incremental import (
+        read_incremental_index,
+        start_incremental_build,
+    )
+
+    src, out = stream_dirs
+    rows = make_corpus(N_DOCS)
+    df = spark.createDataFrame(rows, schema=CORPUS_SCHEMA).repartition(3)
+    df.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(src)
+    )
+    q = start_incremental_build(stream, out, CORPUS_KEY)
+    q.awaitTermination(120)
+
+    inc = read_incremental_index(spark, out)
+    batch = build_index(df, CORPUS_KEY)
+    n_inc, tok_inc = inc.stats()
+    n_b, tok_b = batch.stats()
+    assert (n_inc, tok_inc) == (n_b, tok_b)
+
+    for text in ("fn import", "term00001 term00002"):
+        inc_hits = search_collect(inc, text, k=10)
+        b_hits = search_collect(batch, text, k=10)
+        # docid numbering differs (stream leases); scores must match as
+        # multisets of f32 bits
+        assert sorted(
+            np.float32(s).view(np.uint32) for _d, s in inc_hits
+        ) == sorted(np.float32(s).view(np.uint32) for _d, s in b_hits)
+
+
+def test_multimodal_plumbing(spark):
+    from frankensearch_spark.operators.multimodal import (
+        extract_features,
+        frame_sample,
+        media_from_documents,
+        resize_metadata,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i} " * (i + 1)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    media = media_from_documents(docs, kind="image")
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["sha256"]) == 64
+        assert 1 <= r["width"] <= 64 and 1 <= r["height"] <= 64
+        assert r["n_frames"] == 1  # images have one frame
+        assert len(r["embedding"]) == 16
+
+    # determinism: same payload -> same features
+    feats2 = extract_features(media).collect()
+    assert sorted(r["sha256"] for r in feats) == sorted(r["sha256"] for r in feats2)
+
+    video = media_from_documents(docs, kind="video")
+    frames = frame_sample(video, every_n=4)
+    got = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in got)
+
+    rs = resize_metadata(media, max_side=16).collect()
+    for r in rs:
+        assert max(r["target_width"], r["target_height"]) <= 16
+        assert min(r["target_width"], r["target_height"]) >= 1
+
+
+def test_unknown_media_kind_raises(spark):
+    from frankensearch_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    bad = media_from_documents(docs, kind="hologram")
+    with pytest.raises(Exception) as exc:
+        extract_features(bad).collect()
+    assert "hologram" in str(exc.value) or isinstance(exc.value, Py4JJavaError)

@@ -49,8 +49,10 @@ def test_block_roundtrip(built, spark):
             fids.tolist(),
         )
     )
+    from frankensearch_spark.contract import fieldnorm_to_id
+
     exp = sorted(
-        (r["term"], r["docid"], r["tf"], r["fieldnorm_id"])
+        (r["term"], r["docid"], r["tf"], int(fieldnorm_to_id(r["doclen"])))
         for r in built.postings.collect()
     )
     assert got == exp

@@ -1,0 +1,100 @@
+"""spark-submit entry: build the full durable index from a corpus parquet.
+
+Usage (what tools/scaling_bench.py invokes):
+
+    spark-submit --master local[N] \
+        --py-files dist/frankensearch_spark.zip \
+        tools/submit_build.py --corpus /path/corpus.parquet \
+        --out /path/index --tokenizer arrow [--warm]
+
+Prints ONE JSON line: {"cpus": N, "docs": D, "build_secs": S,
+"docs_per_sec": R, "write_secs": W, ...}.
+
+The build is the north-rule pipeline: read corpus table -> deterministic
+docid assignment -> tokenize -> posting aggregation -> docmeta/termstats/
+fieldstats -> sort-merge reduce into compressed global term partitions ->
+durable write with per-partition lineage manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--tokenizer", default="arrow", choices=["arrow", "sql"])
+    ap.add_argument("--no-warm", action="store_true")
+    ap.add_argument("--skip-write", action="store_true",
+                    help="stop after in-memory index materialization")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from frankensearch_spark.operators.build import build_index
+    from frankensearch_spark.plans.manifest import write_index
+    from frankensearch_spark.sources.corpus import CORPUS_KEY
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cpus = spark.sparkContext.defaultParallelism
+
+    corpus = spark.read.parquet(args.corpus)
+
+    if not args.no_warm:
+        # steady-state measurement: spawn+import every Python worker before
+        # the clock starts (the reference's 30-run medians are warm too)
+        def wf(batches):
+            import numpy as np  # noqa: F401
+            import pandas as pd  # noqa: F401
+            import pyarrow as pa  # noqa: F401
+            for rb in batches:
+                yield rb
+
+        spark.range(0, cpus * 4, 1, cpus * 4).mapInArrow(wf, "id long").count()
+
+    shutil.rmtree(args.out, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    idx = build_index(
+        corpus, CORPUS_KEY, docid_mode="lease", tokenizer=args.tokenizer
+    )
+    idx.postings.count()
+    idx.docmeta.count()
+    idx.termstats.count()
+    n_docs, total_tokens = idx.stats()
+    build_secs = time.perf_counter() - t0
+
+    write_secs = None
+    if not args.skip_write:
+        t0 = time.perf_counter()
+        write_index(idx, args.out, n_groups=1, source=args.corpus)
+        write_secs = round(time.perf_counter() - t0, 2)
+
+    total = build_secs + (write_secs or 0.0)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "docs": n_docs,
+                "total_tokens": total_tokens,
+                "tokenizer": args.tokenizer,
+                "build_secs": round(build_secs, 2),
+                "write_secs": write_secs,
+                "total_secs": round(total, 2),
+                "docs_per_sec": round(n_docs / total, 1),
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
