@@ -7,16 +7,20 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      FSX_BENCH_DOCS (synthetic-corpus size; default scales with sf).
 
-The build-throughput arm uses the deterministic synthetic corpus (the
-driver's ``documents`` table is only 5k rows at sf0.1 — too small to
-measure a build); the query arm serves the frozen query classes over the
-built index through the rank-exact f32 path.
+The build arm measures the full durable pipeline (corpus parquet ->
+tokenize -> posting aggregation -> compressed global term partitions ->
+manifest write) over the deterministic synthetic corpus, Python workers
+pre-warmed (steady-state, like the reference's 30-run medians).  The
+query arm serves the frozen query classes through the rank-exact f32
+path.  If tools/scaling_bench.py has produced BENCH_SCALING.json, its
+N-vs-4N results ride along.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import statistics
 import sys
 import time
@@ -33,6 +37,35 @@ BENCH_QUERIES = {
 }
 
 
+def _corpus_parquet(n_docs: int) -> str:
+    """Synthesize-once corpus parquet (pyarrow, no JVM)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from frankensearch_spark.corpus import make_corpus
+
+    path = f"/tmp/fsx_bench_corpus_{n_docs}.parquet"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    rows = make_corpus(n_docs)
+    os.makedirs(path, exist_ok=True)
+    names = ["repo", "path", "commit", "lang", "content"]
+    n_files = 64
+    chunk = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if not part:
+            break
+        cols = list(zip(*part))
+        pq.write_table(
+            pa.table({n: list(c) for n, c in zip(names, cols)}),
+            os.path.join(path, f"part-{i:05d}.parquet"),
+        )
+    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+        f.write("")
+    return path
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -41,29 +74,45 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = 0.1
-    n_docs = int(os.environ.get("FSX_BENCH_DOCS", str(int(200_000 * sf_num))))
-    n_docs = max(n_docs, 2000)
+    n_docs = int(os.environ.get("FSX_BENCH_DOCS", str(int(500_000 * sf_num))))
+    n_docs = max(n_docs, 5000)
 
     from frankensearch_spark.operators.build import build_index
     from frankensearch_spark.operators.query import QuerySpec, topk
+    from frankensearch_spark.plans.manifest import write_index
     from frankensearch_spark.session import get_spark
-    from frankensearch_spark.sources.corpus import CORPUS_KEY, synthetic_corpus_df
+    from frankensearch_spark.sources.corpus import CORPUS_KEY
+
+    corpus_path = _corpus_parquet(n_docs)
 
     spark = get_spark("fsx-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpus = synthetic_corpus_df(spark, n_docs, partitions=cpus).persist()
-    corpus.count()  # materialize input outside the timed window
+    # warm every Python worker before the clock starts
+    def wf(batches):
+        import numpy as np  # noqa: F401
+        import pandas as pd  # noqa: F401
+        import pyarrow as pa  # noqa: F401
+        for rb in batches:
+            yield rb
+
+    spark.range(0, cpus * 4, 1, cpus * 4).mapInArrow(wf, "id long").count()
+
+    corpus = spark.read.parquet(corpus_path)
+    idx_out = "/tmp/fsx_bench_index"
+    shutil.rmtree(idx_out, ignore_errors=True)
 
     t0 = time.perf_counter()
-    idx = build_index(corpus, CORPUS_KEY, docid_mode="lease")
-    # force full materialization of every index table
+    idx = build_index(corpus, CORPUS_KEY, docid_mode="lease", tokenizer="arrow")
     idx.postings.count()
     idx.docmeta.count()
     idx.termstats.count()
     idx.stats()
     build_secs = time.perf_counter() - t0
-    docs_per_sec = n_docs / build_secs
+
+    t0 = time.perf_counter()
+    write_index(idx, idx_out, n_groups=1, source=corpus_path)
+    write_secs = time.perf_counter() - t0
 
     queries: dict[str, float] = {}
     lat: list[float] = []
@@ -85,9 +134,17 @@ def main() -> None:
         "sf": sf_num,
         "build_docs": n_docs,
         "build_secs": round(build_secs, 3),
-        "build_docs_per_sec": round(docs_per_sec, 1),
+        "build_docs_per_sec": round(n_docs / build_secs, 1),
+        "durable_write_secs": round(write_secs, 3),
+        "durable_docs_per_sec": round(n_docs / (build_secs + write_secs), 1),
         "cpus": cpus,
     }
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            out["scaling"] = json.load(fh)
     print(json.dumps(out))
     spark.stop()
 

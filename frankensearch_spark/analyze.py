@@ -148,6 +148,104 @@ def split_code_token(term: str) -> list[str]:
 
 CASS_EDGE_NGRAM_MIN = 2
 CASS_EDGE_NGRAM_MAX = 20
+CASS_MAX_TOKEN_BYTES = 256  # scribe.rs:794
+
+
+def is_cass_cjk(ch: str) -> bool:
+    """Exact CJK ranges of the incumbent CASS tokenizer (scribe.rs:814-833);
+    pinned — broadening would change durable term bytes."""
+    o = ord(ch)
+    return (
+        0x4E00 <= o <= 0x9FFF
+        or 0x3400 <= o <= 0x4DBF
+        or 0x3040 <= o <= 0x309F
+        or 0x30A0 <= o <= 0x30FF
+        or 0xAC00 <= o <= 0xD7AF
+        or 0x3100 <= o <= 0x312F
+        or 0x3300 <= o <= 0x33FF
+        or 0xF900 <= o <= 0xFAFF
+        or 0x20000 <= o <= 0x2A6DF
+    )
+
+
+def _is_ascii_alnum(ch: str) -> bool:
+    return ("0" <= ch <= "9") or ("a" <= ch <= "z") or ("A" <= ch <= "Z")
+
+
+def analyze_cass(text: str, hyphen_decompose: bool = True) -> list[Token]:
+    """CASS analyzer family (T4, scribe.rs:794-1010).
+
+    ``hyphen_decompose=True`` is CassHyphenNormalize (compound emitted
+    whole + '-'-split parts at the same position); ``False`` is
+    CassPrefixNormalize.  ASCII tokens are alnum runs with interior
+    single hyphens; CJK runs emit character bigrams sharing one position;
+    all other characters (including accented Latin) are separators.
+    Tokens over 256 bytes are dropped (cap applies per emission)."""
+    out: list[Token] = []
+    chars = list(text)
+    # byte offset of each char + sentinel end
+    offs = [0] * (len(chars) + 1)
+    for i, ch in enumerate(chars):
+        offs[i + 1] = offs[i] + len(ch.encode("utf-8"))
+
+    def emit(source: str, position: int, a: int, b: int) -> None:
+        if len(source.encode("utf-8")) > CASS_MAX_TOKEN_BYTES:
+            return
+        out.append(Token(source.lower(), position, offs[a], offs[b]))
+
+    i = 0
+    position = 0
+    n = len(chars)
+    while i < n:
+        ch = chars[i]
+        if _is_ascii_alnum(ch):
+            # ascii token end: alnum runs, single interior hyphens
+            # (scribe.rs cass_ascii_token_end)
+            end = i
+            j = i
+            last_alnum = False
+            while j < n:
+                cj = chars[j]
+                if _is_ascii_alnum(cj):
+                    j += 1
+                    end = j
+                    last_alnum = True
+                    continue
+                if (
+                    cj == "-"
+                    and last_alnum
+                    and j + 1 < n
+                    and _is_ascii_alnum(chars[j + 1])
+                ):
+                    j += 1
+                    end = j
+                    last_alnum = False
+                    continue
+                break
+            source = "".join(chars[i:end])
+            emit(source, position, i, end)
+            if hyphen_decompose and "-" in source:
+                for part in source.split("-"):
+                    if part:
+                        emit(part, position, i, end)
+            position += 1
+            i = end
+            continue
+        if is_cass_cjk(ch):
+            end = i + 1
+            while end < n and is_cass_cjk(chars[end]):
+                end += 1
+            run = chars[i:end]
+            if len(run) == 1:
+                emit(run[0], position, i, end)
+            else:
+                for k in range(len(run) - 1):
+                    emit(run[k] + run[k + 1], position, i, end)
+            position += 1
+            i = end
+            continue
+        i += 1
+    return out
 
 
 def cass_generate_edge_ngrams(text: str) -> list[str]:

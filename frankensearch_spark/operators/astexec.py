@@ -118,15 +118,16 @@ def score_ast(index: BuiltIndex, query, schema: ParserSchema = ENGINE_SCHEMA) ->
         )
     else:
         base = None
+    extra_meta = [f for f in meta_fields if f not in ("docid", "doclen")]
     if has_all:
-        meta = index.docmeta.select("docid", "doclen", *meta_fields)
+        meta = index.docmeta.select("docid", "doclen", *extra_meta)
         if base is None:
             base = meta
         else:
             base = meta.join(base.drop("doclen"), "docid", "left")
-    elif meta_fields:
+    elif extra_meta:
         base = base.join(
-            index.docmeta.select("docid", *meta_fields), "docid", "left"
+            index.docmeta.select("docid", *extra_meta), "docid", "left"
         )
 
     pcols = []

@@ -96,6 +96,9 @@ ENGINE_SCHEMA = ParserSchema(
         QueryField("path", 1.0, KEYWORD),
         QueryField("commit", 1.0, KEYWORD),
         QueryField("lang", 1.0, KEYWORD),
+        # numeric fast-column analogue (I64{fast}, schema.rs:58): admitted
+        # token count, served from docmeta for range predicates
+        QueryField("doclen", 1.0, NUMERIC),
     ),
     default_names=("content",),
 )

@@ -83,3 +83,62 @@ def test_code_aware_extension():
     assert ("http", 1) in got and ("server", 1) in got and ("2", 1) in got
     assert split_code_token("simple") == []
     assert split_code_token("HTTPServer2") == ["http", "server", "2"]
+
+
+# --- CASS analyzer family (T4, scribe.rs:794-1010) ------------------------
+
+FIXTURE = "/root/reference/tests/fixtures/quill_language_contract.json"
+
+
+def _cass_cases():
+    import json
+
+    with open(FIXTURE) as fh:
+        data = json.load(fh)
+    return [
+        c
+        for c in data["analyzer_cases"]
+        if c.get("analyzer") in ("hyphen_normalize", "prefix_normalize")
+    ]
+
+
+def test_cass_analyzer_contract_cases():
+    from frankensearch_spark.analyze import analyze_cass
+
+    ran = 0
+    for c in _cass_cases():
+        hyphen = c["analyzer"] == "hyphen_normalize"
+        if "input" in c:
+            toks = analyze_cass(c["input"], hyphen_decompose=hyphen)
+            got = [
+                [t.text, t.position, t.offset_from, t.offset_to] for t in toks
+            ]
+            exp = [
+                [t["text"], t["position"], t["offset_from"], t["offset_to"]]
+                for t in c["expected_tokens"]
+            ]
+            assert got == exp, c["id"]
+            ran += 1
+        elif "generated_input" in c:
+            gi = c["generated_input"]
+            text = gi["repeat"] * gi.get("count", gi.get("count_bytes", 0))
+            toks = analyze_cass(text, hyphen_decompose=hyphen)
+            if "expected_token_count" in c:
+                assert len(toks) == c["expected_token_count"], c["id"]
+                assert len(toks[0].text.encode()) == c["expected_token_bytes"]
+                assert set(toks[0].text) == {c["expected_token_repeat"]}
+            else:
+                assert [
+                    [t.text] for t in toks
+                ] == [[t["text"]] for t in c["expected_tokens"]], c["id"]
+            ran += 1
+    assert ran == 8  # every CASS analyzer case exercised
+
+
+def test_cass_prefix_skips_hyphen_decompose():
+    from frankensearch_spark.analyze import analyze_cass
+
+    full = analyze_cass("BD-Q3FY", hyphen_decompose=True)
+    pre = analyze_cass("BD-Q3FY", hyphen_decompose=False)
+    assert [t.text for t in full] == ["bd-q3fy", "bd", "q3fy"]
+    assert [t.text for t in pre] == ["bd-q3fy"]

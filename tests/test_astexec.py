@@ -125,6 +125,39 @@ def test_keyword_and_text_conjunction(built):
     assert got_docids == rust_docs & fn_docs
 
 
+def test_numeric_range_on_doclen(built):
+    """doclen:[50 TO 200] — numeric fast-column range (E8/RangeI64)."""
+    import pyspark.sql.functions as F
+
+    rows = search_ast_collect(built, "doclen:[50 TO 200]", k=N_DOCS)
+    got = {d for d, _ in rows}
+    exp = {
+        int(r["docid"])
+        for r in built.docmeta.filter(
+            (F.col("doclen") >= 50) & (F.col("doclen") <= 200)
+        ).collect()
+    }
+    assert got == exp
+    assert all(np.float32(s) == np.float32(1.0) for _d, s in rows)
+
+    # exclusive upper bound + unbounded lower
+    rows2 = search_ast_collect(built, "doclen:{* TO 50}", k=N_DOCS)
+    exp2 = {
+        int(r["docid"])
+        for r in built.docmeta.filter(F.col("doclen") < 50).collect()
+    }
+    assert {d for d, _ in rows2} == exp2
+
+    # conjunction with a scored term keeps term scoring
+    conj = search_ast_collect(built, "fn AND doclen:[50 TO 200]", k=N_DOCS)
+    fn_docs = {
+        int(r["docid"])
+        for r in built.postings.filter(F.col("term") == "fn")
+        .select("docid").collect()
+    }
+    assert {d for d, _ in conj} == exp & fn_docs
+
+
 def test_phrase_without_positions_rejected(spark):
     corpus = synthetic_corpus_df(spark, 50, partitions=2)
     idx = build_index(corpus, CORPUS_KEY, with_positions=False)

@@ -134,6 +134,22 @@ def main() -> None:
         }
     print("SCALING " + json.dumps(report), flush=True)
 
+    # merge into the repo-root scaling record (bench.py folds this into
+    # its one-line JSON so the driver's BENCH_r{N}.json carries it)
+    record_path = os.path.join(REPO, "BENCH_SCALING.json")
+    record = {}
+    if os.path.exists(record_path):
+        with open(record_path) as fh:
+            record = json.load(fh)
+    record.setdefault("levels", {}).update(
+        {str(k): v for k, v in report["levels"].items()}
+    )
+    record.setdefault("pairs", {}).update(report["pairs"])
+    record["docs"] = report["docs"]
+    record["tokenizer"] = report["tokenizer"]
+    with open(record_path, "w") as fh:
+        json.dump(record, fh, indent=1)
+
 
 if __name__ == "__main__":
     main()
