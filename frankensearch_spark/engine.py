@@ -43,6 +43,21 @@ class FrankensearchSpark:
         idx = build_index(corpus, key_cols, content_col, **kw)
         return cls(idx, key_cols, corpus)
 
+    @classmethod
+    def build_multifield(cls, corpus: DataFrame, key_cols: list[str],
+                         field_cols: dict[str, str], schema=None,
+                         **kw) -> "FrankensearchSpark":
+        """Multi-field build (e.g. {"content": "content", "title":
+        "title"}) — bare terms then expand over every schema default
+        field with its boost, like the reference's content^1 + title^2."""
+        from frankensearch_spark.operators.build import build_multifield_index
+
+        idx = build_multifield_index(corpus, key_cols, field_cols, **kw)
+        eng = cls(idx, key_cols, corpus)
+        if schema is not None:
+            eng.schema = schema
+        return eng
+
     def delete_documents(self, docids) -> "FrankensearchSpark":
         from frankensearch_spark.operators.lifecycle import delete_documents
 

@@ -67,14 +67,15 @@ class UnsupportedQueryError(ValueError):
 
 
 @dataclass
-class EvalContext:
-    """Candidate-row view of the index the kernel scores against.
+class FieldView:
+    """One indexed text field's candidate-row data.
 
     ``tf``: term -> float32[n] (0 where absent); ``positions``: term ->
     object array of per-row int arrays (only phrase terms need entries);
-    ``fieldnorm_id``: int array[n]; ``df``: per-term doc freq; ``meta``:
-    keyword/numeric field name -> value column over the candidate rows;
-    ``doc_count``/``tf_cache`` are snapshot-global (argus.rs:1279-1350).
+    ``fieldnorm_id``: int array[n] for THIS field's doclen; ``df``:
+    per-term doc freq in this field; ``tf_cache`` is this field's
+    snapshot-global 256-entry norm cache (per (field, snapshot) —
+    contract.rs:395-404).
     """
 
     n: int
@@ -82,10 +83,7 @@ class EvalContext:
     tf: dict[str, np.ndarray]
     positions: dict[str, np.ndarray]
     df: dict[str, int]
-    doc_count: int
     tf_cache: np.ndarray
-    meta: dict[str, np.ndarray] = dc_field(default_factory=dict)
-    indexed_fields: frozenset[str] = frozenset({"content"})
 
     def tf_of(self, term: str) -> np.ndarray:
         arr = self.tf.get(term)
@@ -95,6 +93,39 @@ class EvalContext:
 
     def df_of(self, term: str) -> int:
         return self.df.get(term, 0)
+
+
+@dataclass
+class EvalContext:
+    """Candidate-row view of the index the kernel scores against.
+
+    ``views``: text field name -> :class:`FieldView` (multi-field Term =
+    Should union of per-field scorers, quill/index.rs:11168-11191);
+    ``meta``: keyword/numeric field name -> value column; ``doc_count``
+    is snapshot-global (argus.rs:1279-1350).
+    """
+
+    n: int
+    views: dict[str, FieldView]
+    doc_count: int
+    meta: dict[str, np.ndarray] = dc_field(default_factory=dict)
+
+    @classmethod
+    def single_field(
+        cls, n, fieldnorm_id, tf, positions, df, doc_count, tf_cache,
+        meta=None, field_name: str = "content",
+    ) -> "EvalContext":
+        view = FieldView(
+            n=n, fieldnorm_id=fieldnorm_id, tf=tf, positions=positions,
+            df=df, tf_cache=tf_cache,
+        )
+        return cls(
+            n=n, views={field_name: view}, doc_count=doc_count,
+            meta=meta or {},
+        )
+
+    def view_of(self, field_name: str) -> "FieldView | None":
+        return self.views.get(field_name)
 
     def meta_of(self, field_name: str) -> np.ndarray:
         arr = self.meta.get(field_name)
@@ -161,7 +192,6 @@ def _eval_range(q: RangeStr | RangeI64, ctx: EvalContext, boost: np.float32):
 
 def _eval_term(q: Term, ctx: EvalContext, boost: np.float32):
     mask, acc = _zeros(ctx.n)
-    norms = None
     for f in q.fields:
         if f.kind == KEYWORD or f.kind == "numeric":
             col = ctx.meta_of(f.name)
@@ -171,15 +201,15 @@ def _eval_term(q: Term, ctx: EvalContext, boost: np.float32):
             acc = (acc + s).astype(np.float32)
             mask |= hit
             continue
-        if f.kind == TEXT and f.name not in ctx.indexed_fields:
+        view = ctx.view_of(f.name)
+        if view is None:
             continue  # unindexed text field contributes nothing
-        tf = ctx.tf_of(q.text)
+        tf = view.tf_of(q.text)
         hit = tf > 0
-        df = ctx.df_of(q.text)
+        df = view.df_of(q.text)
         if df == 0:
             continue
-        if norms is None:
-            norms = ctx.tf_cache[ctx.fieldnorm_id]
+        norms = view.tf_cache[view.fieldnorm_id]
         w = term_weight(df, ctx.doc_count, np.float32(boost) * np.float32(f.boost))
         with np.errstate(invalid="ignore", divide="ignore"):
             s = (np.float32(w) * tf / (tf + norms)).astype(np.float32)
@@ -201,7 +231,7 @@ def _phrase_slots(q: Phrase) -> list[tuple[int, list[str]]]:
 
 def phrase_freqs(
     slots: list[tuple[int, list[str]]],
-    ctx: EvalContext,
+    view: FieldView,
     rows: np.ndarray,
 ) -> np.ndarray:
     """Exact-adjacency phrase frequency per candidate row (argus.rs:1829+).
@@ -217,7 +247,7 @@ def phrase_freqs(
         for pos, terms in slots:
             merged: list[np.ndarray] = []
             for t in terms:
-                parr = ctx.positions.get(t)
+                parr = view.positions.get(t)
                 if parr is None:
                     continue
                 p = parr[r]
@@ -255,32 +285,35 @@ def _eval_phrase(q: Phrase, ctx: EvalContext, boost: np.float32):
     if len(slots) < 2:
         raise UnsupportedQueryError("an exact phrase must span at least two positions")
 
-    # candidate rows: every slot has at least one present term occurrence
-    present = np.ones(ctx.n, dtype=bool)
-    for _pos, terms in slots:
-        slot_hit = np.zeros(ctx.n, dtype=bool)
-        for t in terms:
-            slot_hit |= ctx.tf_of(t) > 0
-        present &= slot_hit
-    rows = np.nonzero(present)[0]
-    mask, acc = _zeros(ctx.n)
-    if rows.size == 0:
-        return mask, acc
-
-    pf_rows = phrase_freqs(slots, ctx, rows)
-    pf = np.zeros(ctx.n, dtype=np.float32)
-    pf[rows] = pf_rows.astype(np.float32)
-    hit = pf > 0
-
-    # idf_sum accumulates per phrase TERM in order (argus.rs:1966)
-    idf_sum = np.float32(0.0)
-    for pt in q.terms:
-        idf_sum = np.float32(idf_sum + idf(ctx.df_of(pt.text), ctx.doc_count))
     one_plus_k1 = np.float32(1.0) + BM25_K1
-    norms = ctx.tf_cache[ctx.fieldnorm_id]
+    mask, acc = _zeros(ctx.n)
     for f in q.fields:
-        if f.kind != TEXT or f.name not in ctx.indexed_fields:
+        if f.kind != TEXT:
             continue
+        view = ctx.view_of(f.name)
+        if view is None:
+            continue
+        # candidate rows: every slot has a present term occurrence in
+        # THIS field
+        present = np.ones(ctx.n, dtype=bool)
+        for _pos, terms in slots:
+            slot_hit = np.zeros(ctx.n, dtype=bool)
+            for t in terms:
+                slot_hit |= view.tf_of(t) > 0
+            present &= slot_hit
+        rows = np.nonzero(present)[0]
+        if rows.size == 0:
+            continue
+        pf_rows = phrase_freqs(slots, view, rows)
+        pf = np.zeros(ctx.n, dtype=np.float32)
+        pf[rows] = pf_rows.astype(np.float32)
+        hit = pf > 0
+        # idf_sum accumulates per phrase TERM in order, with THIS field's
+        # doc freqs (argus.rs:1966)
+        idf_sum = np.float32(0.0)
+        for pt in q.terms:
+            idf_sum = np.float32(idf_sum + idf(view.df_of(pt.text), ctx.doc_count))
+        norms = view.tf_cache[view.fieldnorm_id]
         w = np.float32(
             idf_sum * one_plus_k1 * np.float32(np.float32(boost) * np.float32(f.boost))
         )

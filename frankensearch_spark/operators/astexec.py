@@ -1,16 +1,22 @@
 """Spark execution of parsed query trees (SURVEY.md Q1-Q5, E1-E2, E7-E9).
 
-The plan keeps every relational step declarative — posting-table filter by
-the query's terms (partition-prunable), one pivot shuffle, an optional
-positions join for phrase clauses — and runs the *scoring* through the
-same numpy kernel the oracle uses (:mod:`frankensearch_spark.kernel`),
-inside one ``mapInPandas`` pass.  Rank/bit parity with the oracle is
-therefore structural, not coincidental.
+The plan keeps every relational step declarative — per-field posting-table
+filters by the query's terms (partition-prunable), one pivot shuffle per
+queried field, an optional positions join for phrase clauses — and runs
+the *scoring* through the same numpy kernel the oracle uses
+(:mod:`frankensearch_spark.kernel`), inside one ``mapInPandas`` pass.
+Rank/bit parity with the oracle is therefore structural, not coincidental.
 
-Glob expansion (Q5) probes the term-stats table with a LIKE filter
-(grimoire.rs:1374-1460 analogue; cap 16,384 per config.rs:33) and rewrites
-the tree to a Should union before execution, exactly like the reference's
-lowering.
+Multi-field queries (the reference's default ``content^1 + title^2``
+expansion, quill/index.rs:11168-11191) join the per-field candidate
+pivots FULL OUTER on docid: a doc matching only one field still
+candidates, each field scores with its own df/avgdl/fieldnorms, and the
+kernel sums per-field contributions in field order.
+
+Glob expansion (Q5) probes the term-stats tables of the glob's fields
+with a LIKE filter (grimoire.rs:1374-1460 analogue; cap 16,384 per
+config.rs:33) and rewrites the tree to a Should union before execution,
+exactly like the reference's lowering.
 """
 
 from __future__ import annotations
@@ -22,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from frankensearch_spark.contract import compute_avgdl, compute_tf_cache
-from frankensearch_spark.operators.build import BuiltIndex
+from frankensearch_spark.operators.build import BuiltIndex, MultiFieldIndex
 from frankensearch_spark.query_ast import (
     ENGINE_SCHEMA,
     GLOB_EXPANSION_LIMIT,
@@ -38,24 +44,36 @@ from frankensearch_spark.query_ast import (
     substitute_globs,
     walk_leaf_terms,
     walk_metadata_fields,
+    walk_text_fields,
 )
 
 
-def expand_globs(index: BuiltIndex, ast: Query) -> Query:
+def _field_indexes(index) -> tuple[dict[str, BuiltIndex], BuiltIndex]:
+    if isinstance(index, MultiFieldIndex):
+        return index.fields, index.primary
+    return {"content": index}, index
+
+
+def expand_globs(index, ast: Query) -> Query:
     globs = collect_globs(ast)
     if not globs:
         return ast
+    fidx, _primary = _field_indexes(index)
     expansion = {}
     for g in globs:
-        rows = (
-            index.termstats.filter(F.col("term").like(glob_to_like(g.pattern)))
-            .select("term")
-            .orderBy("term")
-            .limit(GLOB_EXPANSION_LIMIT)
-            .collect()
-        )
+        names = [f.name for f in g.fields if f.name in fidx]
+        terms: list[str] = []
+        for name in names:
+            rows = (
+                fidx[name]
+                .termstats.filter(F.col("term").like(glob_to_like(g.pattern)))
+                .select("term")
+                .collect()
+            )
+            terms.extend(r["term"] for r in rows)
+        uniq = sorted(set(terms))[:GLOB_EXPANSION_LIMIT]
         expansion[g] = Boolean(
-            tuple(Clause("Should", Term(g.fields, r["term"])) for r in rows), None
+            tuple(Clause("Should", Term(g.fields, t)) for t in uniq), None
         )
     return substitute_globs(ast, expansion)
 
@@ -66,9 +84,10 @@ def _as_ast(query, schema: ParserSchema = ENGINE_SCHEMA) -> Query:
     return query
 
 
-def score_ast(index: BuiltIndex, query, schema: ParserSchema = ENGINE_SCHEMA) -> DataFrame:
+def score_ast(index, query, schema: ParserSchema = ENGINE_SCHEMA) -> DataFrame:
     """(docid, score) for every matching document of a parsed query tree."""
-    spark = index.postings.sparkSession
+    fidx, primary = _field_indexes(index)
+    spark = primary.postings.sparkSession
     out_schema = T.StructType(
         [
             T.StructField("docid", T.LongType()),
@@ -82,7 +101,7 @@ def score_ast(index: BuiltIndex, query, schema: ParserSchema = ENGINE_SCHEMA) ->
     has_all = contains_all_node(ast)
     meta_fields = walk_metadata_fields(ast)
     for mf in meta_fields:
-        if mf not in index.docmeta.columns:
+        if mf not in primary.docmeta.columns:
             raise ValueError(
                 f"metadata field {mf!r} not present in docmeta"
             )  # capability validation (query.rs:699-752)
@@ -91,95 +110,124 @@ def score_ast(index: BuiltIndex, query, schema: ParserSchema = ENGINE_SCHEMA) ->
 
     terms = [t for t, _ in leaves]
     phrase_terms = [t for t, needs_pos in leaves if needs_pos]
-    if phrase_terms and index.positions is None:
-        raise ValueError(
-            "phrase query on an index built with with_positions=False"
-        )  # capability validation (query.rs:699-752)
+    qfields = [f for f in walk_text_fields(ast) if f in fidx]
+    if phrase_terms:
+        for f in qfields:
+            if fidx[f].positions is None:
+                raise ValueError(
+                    f"phrase query on field {f!r} built with with_positions=False"
+                )
 
-    df_stats = {
-        r["term"]: int(r["df"])
-        for r in index.termstats.filter(F.col("term").isin(terms)).collect()
-    } if terms else {}
-    doc_count, total_tokens = index.stats()
+    doc_count, _tt = primary.stats()
     if doc_count == 0:
         return empty
-    tf_cache = compute_tf_cache(compute_avgdl(total_tokens, doc_count))
 
-    # candidate rows: pivot tf per query term (explicit value list — one
-    # shuffle on near-unique (docid) keys)
-    tcols = [f"t{i}" for i in range(len(terms))]
-    if terms:
-        base = (
-            index.postings.filter(F.col("term").isin(terms))
+    # per-field snapshot statistics: df map + tf cache (field avgdl)
+    field_df: dict[str, dict[str, int]] = {}
+    field_cache: dict[str, np.ndarray] = {}
+    for f in qfields:
+        sub = fidx[f]
+        field_df[f] = {
+            r["term"]: int(r["df"])
+            for r in sub.termstats.filter(F.col("term").isin(terms)).collect()
+        } if terms else {}
+        _n, total_tokens = sub.stats()
+        field_cache[f] = compute_tf_cache(compute_avgdl(total_tokens, doc_count))
+
+    # candidate assembly: one pivot per queried field, full-outer joined
+    base: DataFrame | None = None
+    tf_col: dict[tuple[str, str], str] = {}
+    pos_col: dict[tuple[str, str], str] = {}
+    dl_col: dict[str, str] = {}
+    for fi, f in enumerate(qfields):
+        if not terms:
+            continue
+        sub = fidx[f]
+        tcols = [f"f{fi}t{j}" for j in range(len(terms))]
+        pivot = (
+            sub.postings.filter(F.col("term").isin(terms))
             .groupBy("docid", "doclen")
             .pivot("term", terms)
             .agg(F.first("tf"))
-            .toDF("docid", "doclen", *tcols)
+            .toDF("docid", f"dl{fi}", *tcols)
         )
-    else:
-        base = None
-    extra_meta = [f for f in meta_fields if f not in ("docid", "doclen")]
+        dl_col[f] = f"dl{fi}"
+        for j, t in enumerate(terms):
+            tf_col[(f, t)] = tcols[j]
+        if phrase_terms:
+            pcols = [f"f{fi}p{j}" for j in range(len(phrase_terms))]
+            ppivot = (
+                sub.positions.filter(F.col("term").isin(phrase_terms))
+                .groupBy("docid")
+                .pivot("term", phrase_terms)
+                .agg(F.first("positions"))
+                .toDF("docid", *pcols)
+            )
+            for j, t in enumerate(phrase_terms):
+                pos_col[(f, t)] = pcols[j]
+            pivot = pivot.join(ppivot, "docid", "left")
+        base = pivot if base is None else base.join(pivot, "docid", "full_outer")
+
+    extra_meta = [c for c in meta_fields if c not in ("docid", "doclen")]
+    # 'doclen' metadata leaves read the PRIMARY field's doclen
+    needs_primary_doclen = "doclen" in meta_fields
     if has_all:
-        meta = index.docmeta.select("docid", "doclen", *extra_meta)
-        if base is None:
-            base = meta
-        else:
-            base = meta.join(base.drop("doclen"), "docid", "left")
-    elif extra_meta:
-        base = base.join(
-            index.docmeta.select("docid", *extra_meta), "docid", "left"
-        )
+        sel = ["docid"] + (["doclen"] if needs_primary_doclen else []) + extra_meta
+        meta = primary.docmeta.select(*sel)
+        base = meta if base is None else meta.join(base, "docid", "left")
+    elif extra_meta or needs_primary_doclen:
+        sel = ["docid"] + (["doclen"] if needs_primary_doclen else []) + extra_meta
+        base = base.join(primary.docmeta.select(*sel), "docid", "left")
 
-    pcols = []
-    if phrase_terms:
-        pos_pivot = (
-            index.positions.filter(F.col("term").isin(phrase_terms))
-            .groupBy("docid")
-            .pivot("term", phrase_terms)
-            .agg(F.first("positions"))
-        )
-        pcols = [f"p{i}" for i in range(len(phrase_terms))]
-        pos_pivot = pos_pivot.toDF("docid", *pcols)
-        base = base.join(pos_pivot, "docid", "left")
+    if primary.tombstones is not None:
+        base = base.join(primary.tombstones, "docid", "left_anti")
 
-    if index.tombstones is not None:
-        base = base.join(index.tombstones, "docid", "left_anti")
-
-    term_col = dict(zip(terms, tcols))
-    phrase_col = dict(zip(phrase_terms, pcols))
-    cache = tf_cache.copy()
+    ast_b = ast
+    meta_list = list(meta_fields)
 
     def run(batches):
-        from frankensearch_spark.kernel import EvalContext, eval_query
+        from frankensearch_spark.contract import fieldnorm_to_id
+        from frankensearch_spark.kernel import EvalContext, FieldView, eval_query
 
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            tf = {
-                t: np.nan_to_num(
-                    pdf[c].to_numpy(dtype=np.float64), nan=0.0
-                ).astype(np.float32)
-                for t, c in term_col.items()
-            }
-            positions = {}
-            for t, c in phrase_col.items():
-                positions[t] = pdf[c].to_numpy(dtype=object)
-            from frankensearch_spark.contract import fieldnorm_to_id
-
+            views = {}
+            for f in qfields:
+                tf = {
+                    t: np.nan_to_num(
+                        pdf[c].to_numpy(dtype=np.float64), nan=0.0
+                    ).astype(np.float32)
+                    for (ff, t), c in tf_col.items()
+                    if ff == f
+                }
+                positions = {
+                    t: pdf[c].to_numpy(dtype=object)
+                    for (ff, t), c in pos_col.items()
+                    if ff == f
+                }
+                if f in dl_col:
+                    dl = np.nan_to_num(
+                        pdf[dl_col[f]].to_numpy(dtype=np.float64), nan=0.0
+                    ).astype(np.int64)
+                else:
+                    dl = np.zeros(n, dtype=np.int64)
+                views[f] = FieldView(
+                    n=n,
+                    fieldnorm_id=fieldnorm_to_id(dl).astype(np.int64),
+                    tf=tf,
+                    positions=positions,
+                    df=field_df[f],
+                    tf_cache=field_cache[f],
+                )
             ctx = EvalContext(
                 n=n,
-                fieldnorm_id=fieldnorm_to_id(
-                    pdf["doclen"].to_numpy(dtype=np.int64)
-                ).astype(np.int64),
-                tf=tf,
-                positions=positions,
-                df=df_stats,
+                views=views,
                 doc_count=doc_count,
-                tf_cache=cache,
-                meta={f: pdf[f].to_numpy(dtype=object) for f in meta_fields},
+                meta={m: pdf[m].to_numpy(dtype=object) for m in meta_list},
             )
-            mask, scores = eval_query(ast, ctx)
+            mask, scores = eval_query(ast_b, ctx)
             rows = np.nonzero(mask)[0]
             if rows.size == 0:
                 continue
@@ -194,7 +242,7 @@ def score_ast(index: BuiltIndex, query, schema: ParserSchema = ENGINE_SCHEMA) ->
 
 
 def topk_ast(
-    index: BuiltIndex, query, k: int = 10, offset: int = 0,
+    index, query, k: int = 10, offset: int = 0,
     schema: ParserSchema = ENGINE_SCHEMA,
 ) -> DataFrame:
     """Top-k DataFrame under the pinned total order (TakeOrderedAndProject)."""
@@ -203,7 +251,7 @@ def topk_ast(
 
 
 def search_ast_collect(
-    index: BuiltIndex, query, k: int = 10, offset: int = 0,
+    index, query, k: int = 10, offset: int = 0,
     schema: ParserSchema = ENGINE_SCHEMA,
 ) -> list[tuple[int, np.float32]]:
     rows = topk_ast(index, query, k, offset, schema).collect()
@@ -211,7 +259,7 @@ def search_ast_collect(
     return out[offset : offset + k]
 
 
-def search_ast_bits(index: BuiltIndex, query, k: int = 10, **kw):
+def search_ast_bits(index, query, k: int = 10, **kw):
     return [
         (d, int(np.float32(s).view(np.uint32)))
         for d, s in search_ast_collect(index, query, k, **kw)

@@ -380,6 +380,67 @@ class BuiltIndex:
         return self._cached_stats
 
 
+@dataclass
+class MultiFieldIndex:
+    """Several single-field indexes over ONE docid space (the reference's
+    multi-field document model: content + title^2, schema.rs:295-298).
+
+    Each field has its own postings/termstats and its own avgdl/tf-cache
+    (per (field, snapshot) — contract.rs:395-404); ``doc_count`` is
+    snapshot-global and shared.  ``primary`` carries docmeta (external
+    keys, sha256 witness, metadata columns) and the tombstone set.
+    """
+
+    fields: dict[str, BuiltIndex]
+    primary_name: str
+
+    @property
+    def primary(self) -> BuiltIndex:
+        return self.fields[self.primary_name]
+
+    @property
+    def docmeta(self) -> DataFrame:
+        return self.primary.docmeta
+
+    @property
+    def tombstones(self) -> DataFrame | None:
+        return self.primary.tombstones
+
+    def stats(self) -> tuple[int, int]:
+        return self.primary.stats()
+
+
+def build_multifield_index(
+    corpus: DataFrame,
+    key_cols: list[str],
+    field_cols: dict[str, str],
+    primary: str | None = None,
+    docid_mode: str = "global",
+    **kw,
+) -> MultiFieldIndex:
+    """Build one index per text field over a single docid assignment.
+
+    ``field_cols``: field name -> source column (e.g. {"content":
+    "content", "title": "title"}).  Missing/null field values index as
+    empty documents (doclen 0), keeping N global across fields."""
+    if "docid" in corpus.columns:
+        with_docid = corpus
+    else:
+        with_docid = assign_docids(corpus, key_cols, docid_mode).persist()
+    primary = primary or next(iter(field_cols))
+    sources = set(field_cols.values())
+    skip = set(key_cols) | sources | {"docid"}
+    primary_meta = [c for c in with_docid.columns if c not in skip]
+    out: dict[str, BuiltIndex] = {}
+    for fname, col in field_cols.items():
+        out[fname] = build_index(
+            with_docid, key_cols, content_col=col,
+            meta_cols=primary_meta if fname == primary else [],
+            **kw,
+        )
+    return MultiFieldIndex(out, primary)
+
+
 def build_index(
     corpus: DataFrame,
     key_cols: list[str],
@@ -390,6 +451,7 @@ def build_index(
     cache: bool = True,
     tokenizer: str = "arrow",
     n_build_partitions: int | None = None,
+    meta_cols: list[str] | None = None,
 ) -> BuiltIndex:
     """Full batch build: corpus -> postings/docmeta/termstats/fieldstats.
 
@@ -434,7 +496,7 @@ def build_index(
         postings = postings_src
     if cache:
         postings = postings.persist()
-    docmeta = build_docmeta(with_docid, key_cols, postings, content_col)
+    docmeta = build_docmeta(with_docid, key_cols, postings, content_col, meta_cols)
     if cache:
         docmeta = docmeta.persist()
     termstats = build_termstats(postings)

@@ -187,7 +187,7 @@ class OracleIndex:
                 for d, parr in self.positions.get(term, {}).items():
                     arr[self._row[d]] = parr
                 pos[term] = arr
-        return EvalContext(
+        return EvalContext.single_field(
             n=self.doc_count,
             fieldnorm_id=self.fieldnorm_id.astype(np.int64),
             tf=tf,
@@ -230,6 +230,115 @@ class OracleIndex:
         if ex.size:
             mask = mask.copy()
             mask[ex] = False
+        rows = np.nonzero(mask)[0]
+        if rows.size == 0:
+            return []
+        sel_scores = scores[rows]
+        sel_docids = self.docids[rows]
+        order = score_total_order_key(sel_scores, sel_docids)
+        sel = order[offset : offset + k]
+        return [(int(sel_docids[i]), np.float32(sel_scores[i])) for i in sel]
+
+    def search_ast_bits(self, ast, k=10, **kw):
+        return [
+            (d, int(np.float32(s).view(np.uint32)))
+            for d, s in self.search_ast(ast, k, **kw)
+        ]
+
+
+class OracleMultiIndex:
+    """Multi-field exhaustive oracle: one :class:`OracleIndex` per text
+    field over a SHARED docid space (missing field text indexes as the
+    empty document so N stays snapshot-global across fields)."""
+
+    def __init__(self, docs, field_names):
+        """``docs``: iterable of (docid, {field_name: text})."""
+        docs = list(docs)
+        self.sub = {
+            f: OracleIndex([(d, t.get(f) or "") for d, t in docs])
+            for f in field_names
+        }
+        first = next(iter(self.sub.values()))
+        self.docids = first.docids
+        self.doc_count = first.doc_count
+        self.excluded: set[int] = set()
+
+    def delete(self, docids) -> None:
+        self.excluded.update(int(d) for d in docids)
+
+    def _eval_context(self, ast):
+        from frankensearch_spark.kernel import EvalContext, FieldView
+        from frankensearch_spark.query_ast import walk_leaf_terms
+
+        leaves = walk_leaf_terms(ast)
+        views = {}
+        for fname, sub in self.sub.items():
+            tf: dict[str, np.ndarray] = {}
+            pos: dict[str, np.ndarray] = {}
+            df: dict[str, int] = {}
+            for term, needs_pos in leaves:
+                p = sub.postings.get(term)
+                if p is None:
+                    continue
+                docids, tfs = p
+                rows = np.array([sub._row[d] for d in docids], dtype=np.int64)
+                dense = np.zeros(sub.doc_count, dtype=np.float32)
+                dense[rows] = tfs.astype(np.float32)
+                tf[term] = dense
+                df[term] = len(docids)
+                if needs_pos:
+                    arr = np.empty(sub.doc_count, dtype=object)
+                    for d, parr in sub.positions.get(term, {}).items():
+                        arr[sub._row[d]] = parr
+                    pos[term] = arr
+            views[fname] = FieldView(
+                n=sub.doc_count,
+                fieldnorm_id=sub.fieldnorm_id.astype(np.int64),
+                tf=tf,
+                positions=pos,
+                df=df,
+                tf_cache=sub.tf_cache,
+            )
+        return EvalContext(n=self.doc_count, views=views, doc_count=self.doc_count)
+
+    def search_ast(self, ast, k: int = 10, offset: int = 0):
+        from frankensearch_spark.kernel import eval_query
+        from frankensearch_spark.query_ast import (
+            Boolean,
+            Clause,
+            Term,
+            collect_globs,
+            substitute_globs,
+        )
+
+        globs = collect_globs(ast)
+        if globs:
+            expansion = {}
+            for g in globs:
+                terms: set[str] = set()
+                for f in g.fields:
+                    sub = self.sub.get(f.name)
+                    if sub is not None:
+                        terms.update(sub.expand_glob(g.pattern))
+                expansion[g] = Boolean(
+                    tuple(
+                        Clause("Should", Term(g.fields, t))
+                        for t in sorted(terms)
+                    ),
+                    None,
+                )
+            ast = substitute_globs(ast, expansion)
+        ctx = self._eval_context(ast)
+        mask, scores = eval_query(ast, ctx)
+        if self.excluded:
+            first = next(iter(self.sub.values()))
+            ex = np.array(
+                [first._row[d] for d in self.excluded if d in first._row],
+                dtype=np.int64,
+            )
+            if ex.size:
+                mask = mask.copy()
+                mask[ex] = False
         rows = np.nonzero(mask)[0]
         if rows.size == 0:
             return []

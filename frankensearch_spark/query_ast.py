@@ -786,6 +786,28 @@ def walk_leaf_terms(q: Query) -> list[tuple[str, bool]]:
     return [(t, seen[t]) for t in order]
 
 
+def walk_text_fields(q: Query) -> list[str]:
+    """Text field names referenced by Term/Phrase/Glob leaves (stable order)."""
+    out: list[str] = []
+
+    def add(fields) -> None:
+        for f in fields:
+            if f.kind == TEXT and f.name not in out:
+                out.append(f.name)
+
+    def collect(node: Query) -> None:
+        if isinstance(node, (Term, Phrase, Glob)):
+            add(node.fields)
+        elif isinstance(node, Boolean):
+            for c in node.clauses:
+                collect(c.query)
+        elif isinstance(node, Boost):
+            collect(node.query)
+
+    collect(q)
+    return out
+
+
 def walk_metadata_fields(q: Query) -> list[str]:
     """Keyword/numeric field names referenced by metadata leaves."""
     out: list[str] = []

@@ -1,0 +1,97 @@
+"""Multi-field (content^1 + title^2) execution — the reference's default
+query surface (quill/index.rs:11168-11191 multi-field lowering;
+score-multifield-title-boost scoring case): Spark bit-exact vs the
+multi-field numpy oracle on the reference's 120-doc fixture corpus."""
+
+import json
+
+import numpy as np
+import pytest
+
+from frankensearch_spark.operators.astexec import search_ast_bits
+from frankensearch_spark.operators.build import build_multifield_index
+from frankensearch_spark.oracle import OracleMultiIndex
+from frankensearch_spark.query_ast import REFERENCE_SCHEMA, parse_lenient
+
+FIX = "/root/reference/tests/fixtures"
+
+
+def _docs():
+    with open(f"{FIX}/corpus.json") as fh:
+        docs = json.load(fh)["documents"]
+    # docid = rank of doc_id (parallelism-invariant natural-key order)
+    ordered = sorted(docs, key=lambda d: d["doc_id"])
+    return [
+        (i, {"content": d.get("content", ""), "title": d.get("title", "")})
+        for i, d in enumerate(ordered)
+    ]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    rows = [
+        (docid, t["title"], t["content"]) for docid, t in _docs()
+    ]
+    corpus = spark.createDataFrame(
+        rows, "docid long, title string, content string"
+    )
+    return build_multifield_index(
+        corpus, ["docid"], {"content": "content", "title": "title"}
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleMultiIndex(_docs(), ["content", "title"])
+
+
+QUERIES = [
+    "rust ownership borrowing",          # default expansion hits both fields
+    "ownership",                         # title-boost decides ranking
+    "search index",                      # common terms, different fields
+    "rust AND ownership",                # boolean over multi-field leaves
+    '"error handling"',                  # phrase scored per field
+    "title:ownership",                   # explicit single-field scope
+    "title:ownership^3 rust",            # field scope + boost + bare term
+    "owner*",                            # glob expanded across both fields
+    "-rust",                             # all-negative repair
+    "transformer embeddings semantic",   # multi-term natural language
+]
+
+
+@pytest.mark.parametrize("text", QUERIES)
+def test_multifield_rank_and_bits_exact(built, oracle, text):
+    ast = parse_lenient(text, REFERENCE_SCHEMA).query
+    exp = oracle.search_ast_bits(ast, k=10)
+    got = search_ast_bits(built, ast, k=10, schema=REFERENCE_SCHEMA)
+    assert got == exp, text
+
+
+def test_title_boost_outranks_content_match(built, oracle):
+    """A title match must outscore an equivalent content match (TITLE_BOOST
+    2.0 folds into the leaf weight)."""
+    ast = parse_lenient("ownership", REFERENCE_SCHEMA).query
+    hits = oracle.search_ast(ast, k=120)
+    assert hits
+    docs = dict(_docs())
+    top = docs[hits[0][0]]
+    assert "ownership" in top["title"].lower()
+
+
+def test_doc_matching_both_fields_sums_scores(oracle):
+    """Default Term = Should union of per-field scorers: a doc matching in
+    both fields scores the SUM of both BM25 components
+    (score-multifield-title-boost)."""
+    from frankensearch_spark.query_ast import QueryField, Term
+
+    ast_both = parse_lenient("ownership", REFERENCE_SCHEMA).query
+    content_only = Term((QueryField("content", 1.0),), "ownership")
+    title_only = Term((QueryField("title", 2.0),), "ownership")
+    both = dict(oracle.search_ast(ast_both, k=120))
+    c = dict(oracle.search_ast(content_only, k=120))
+    t = dict(oracle.search_ast(title_only, k=120))
+    for d, s in both.items():
+        expect = np.float32(
+            np.float32(c.get(d, np.float32(0.0))) + np.float32(t.get(d, np.float32(0.0)))
+        )
+        assert np.float32(s).view(np.uint32) == expect.view(np.uint32), d
