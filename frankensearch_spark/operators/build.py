@@ -473,7 +473,10 @@ def build_index(
     # which would leave most cores idle through the CPU-heavy tokenize
     # stage.  An explicit numbered repartition is exempt from coalescing,
     # so the build fans out to every core (measured 4x at local[32]).
-    with_docid = with_docid.repartition(n_build_partitions)
+    # Hashing by docid (evenly distributed) additionally leaves the cached
+    # postings hash-partitioned on docid, so query-time groupBy(docid)
+    # pivots run EXCHANGE-FREE against the cache.
+    with_docid = with_docid.repartition(n_build_partitions, "docid")
     if cache:
         # docmeta re-reads this frame; without a persist the docid
         # assignment and repartition would run twice
