@@ -1,0 +1,105 @@
+"""Property-based robustness (hypothesis): codec roundtrips, the lenient
+parser's never-error guarantee, chunker coverage invariants, and
+analyzer/oracle consistency on arbitrary input."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from frankensearch_spark.analyze import analyze_default, tokenize_fast
+from frankensearch_spark.functions.vbyte import (
+    delta_decode,
+    delta_encode,
+    vbyte_decode,
+    vbyte_encode,
+    vbyte_encode_segmented,
+)
+from frankensearch_spark.query_ast import ENGINE_SCHEMA, parse_lenient
+from frankensearch_spark.sources.chunking import chunk_text
+
+
+@given(st.lists(st.integers(min_value=0, max_value=0xFFFFFFFF), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_vbyte_roundtrip(values):
+    arr = np.asarray(values, dtype=np.uint32)
+    assert np.array_equal(vbyte_decode(vbyte_encode(arr), len(arr)), arr)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=0xFFFFFFFF), min_size=1, max_size=300),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_vbyte_segmented_matches_per_segment(values, data):
+    arr = np.asarray(values, dtype=np.uint32)
+    n_segs = data.draw(st.integers(min_value=1, max_value=min(8, len(arr))))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=len(arr) - 1),
+                max_size=n_segs - 1,
+                unique=True,
+            )
+        )
+    ) if len(arr) > 1 else []
+    starts = np.asarray([0] + cuts, dtype=np.int64)
+    segs = vbyte_encode_segmented(arr, starts)
+    bounds = list(starts) + [len(arr)]
+    for i, seg in enumerate(segs):
+        assert seg == vbyte_encode(arr[bounds[i] : bounds[i + 1]])
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=100))
+@settings(max_examples=100, deadline=None)
+def test_delta_roundtrip_on_sorted(values):
+    arr = np.unique(np.asarray(values, dtype=np.uint64))
+    assert np.array_equal(delta_decode(delta_encode(arr)), arr)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_lenient_parser_never_raises(text):
+    p = parse_lenient(text, ENGINE_SCHEMA)
+    assert p.query is not None
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_cass_parser_never_raises(text):
+    from frankensearch_spark.cass import parse_cass
+
+    p = parse_cass(text)
+    assert p.query is not None
+
+
+@given(st.text(max_size=2000), st.integers(min_value=1, max_value=200),
+       st.integers(min_value=0, max_value=250))
+@settings(max_examples=150, deadline=None)
+def test_chunker_invariants(text, max_chars, overlap):
+    chunks = chunk_text(text, max_chars, overlap)
+    raw = text.encode("utf-8")
+    if not text:
+        assert chunks == []
+        return
+    assert chunks
+    assert chunks[0].byte_start == 0
+    assert chunks[-1].byte_end == len(raw)
+    for c in chunks:
+        # byte ranges decode cleanly and reproduce the chunk text
+        assert raw[c.byte_start : c.byte_end].decode("utf-8") == c.text
+    for a, b in zip(chunks, chunks[1:]):
+        assert b.byte_start > a.byte_start  # forward progress
+        assert b.byte_start <= a.byte_end  # no gaps
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_fast_tokenizer_matches_reference_terms(text):
+    fast = tokenize_fast(text)
+    ref = [(t.text, t.position) for t in analyze_default(text)]
+    # daylight only permitted for exotic Other_Alphabetic scalars; on the
+    # hypothesis default alphabet mismatches would surface immediately
+    if all(ch.isascii() for ch in text):
+        assert fast == ref
