@@ -1,0 +1,179 @@
+"""Full-grammar query execution over the COMPRESSED serving index.
+
+The durable index (``plans/manifest.py``) stores delta+vbyte posting
+blocks; this module decodes only the query's candidate blocks (tpart +
+term parquet pruning) back into posting rows inside a mapInPandas pass,
+then reuses the exact same candidate-pivot + numpy-kernel path as the
+primary executor — so boolean / phrase-free AST queries served from disk
+are bit-identical to the in-memory index and the oracle.
+
+Positions are not stored in blocks (the positions table is a separate
+artifact); phrase queries on the serving path raise a capability error
+(query.rs:699-752 validation analogue).  Flat bag-of-words queries can
+also take the block-max WAND pruned path (:mod:`operators.wand`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from frankensearch_spark.contract import compute_avgdl, compute_tf_cache
+from frankensearch_spark.operators.merge import decode_blocks_pdf, term_partition
+from frankensearch_spark.operators.wand import ServingIndex
+from frankensearch_spark.query_ast import (
+    ENGINE_SCHEMA,
+    ParserSchema,
+    parse_lenient,
+    walk_leaf_terms,
+    walk_metadata_fields,
+)
+
+
+def blocks_to_postings(
+    index: ServingIndex, terms: list[str]
+) -> DataFrame:
+    """Decode the candidate blocks of ``terms`` into posting rows
+    (docid, term, tf, fieldnorm_id) — parquet-pruned by tpart + term."""
+    tparts = sorted({term_partition(t, index.n_term_partitions) for t in terms})
+    cand = index.blocks.filter(
+        F.col("tpart").isin(tparts) & F.col("term").isin(terms)
+    )
+    shift = index.bucket_shift
+
+    def decode(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            docids, tfs, fids, rows = decode_blocks_pdf(pdf, shift)
+            yield pd.DataFrame(
+                {
+                    "docid": docids.astype(np.int64),
+                    "term": pdf["term"].to_numpy(dtype=object)[rows],
+                    "tf": tfs.astype(np.int32),
+                    "fieldnorm_id": fids.astype(np.int32),
+                }
+            )
+
+    return cand.mapInPandas(
+        decode, "docid long, term string, tf int, fieldnorm_id int"
+    )
+
+
+def serving_score_ast(
+    index: ServingIndex, query, schema: ParserSchema = ENGINE_SCHEMA
+) -> DataFrame:
+    """(docid, score) over the compressed index via the shared kernel."""
+    spark = index.blocks.sparkSession
+    empty = spark.createDataFrame([], "docid long, score float")
+    ast = parse_lenient(query, schema).query if isinstance(query, str) else query
+    from frankensearch_spark.operators.astexec import expand_globs
+
+    ast = expand_globs(index, ast)  # duck-typed: ServingIndex has termstats
+
+    leaves = walk_leaf_terms(ast)
+    if any(needs_pos for _t, needs_pos in leaves):
+        raise ValueError(
+            "phrase queries need positions; serve them from the primary "
+            "index (the block store is positions-free)"
+        )
+    from frankensearch_spark.query_ast import contains_all_node
+
+    has_all = contains_all_node(ast)
+    meta_fields = walk_metadata_fields(ast)
+    terms = [t for t, _ in leaves]
+    if not terms and not has_all:
+        return empty
+
+    doc_count, total_tokens = index.stats()
+    if doc_count == 0:
+        return empty
+    tf_cache = compute_tf_cache(compute_avgdl(total_tokens, doc_count))
+    df_stats = {
+        r["term"]: int(r["df"])
+        for r in index.termstats.filter(F.col("term").isin(terms)).collect()
+    } if terms else {}
+
+    base = None
+    tcols = [f"t{i}" for i in range(len(terms))]
+    if terms:
+        postings = blocks_to_postings(index, terms)
+        base = (
+            postings.groupBy("docid", "fieldnorm_id")
+            .pivot("term", terms)
+            .agg(F.first("tf"))
+            .toDF("docid", "fnid", *tcols)
+        )
+    extra_meta = [c for c in meta_fields if c not in ("docid", "doclen")]
+    needs_doclen = "doclen" in meta_fields
+    if has_all:
+        sel = ["docid"] + (["doclen"] if needs_doclen else []) + extra_meta
+        meta = index.docmeta.select(*sel)
+        base = meta if base is None else meta.join(base, "docid", "left")
+    elif extra_meta or needs_doclen:
+        sel = ["docid"] + (["doclen"] if needs_doclen else []) + extra_meta
+        base = base.join(index.docmeta.select(*sel), "docid", "left")
+    if index.tombstones is not None:
+        base = base.join(index.tombstones, "docid", "left_anti")
+
+    term_col = dict(zip(terms, tcols))
+    meta_list = list(meta_fields)
+    cache = tf_cache.copy()
+
+    def run(batches):
+        from frankensearch_spark.kernel import EvalContext, FieldView, eval_query
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            tf = {
+                t: np.nan_to_num(
+                    pdf[c].to_numpy(dtype=np.float64), nan=0.0
+                ).astype(np.float32)
+                for t, c in term_col.items()
+            }
+            if "fnid" in pdf.columns:
+                fnid = np.nan_to_num(
+                    pdf["fnid"].to_numpy(dtype=np.float64), nan=0.0
+                ).astype(np.int64)
+            else:
+                fnid = np.zeros(n, dtype=np.int64)
+            view = FieldView(
+                n=n, fieldnorm_id=fnid, tf=tf, positions={},
+                df=df_stats, tf_cache=cache,
+            )
+            ctx = EvalContext(
+                n=n,
+                views={"content": view},
+                doc_count=doc_count,
+                meta={m: pdf[m].to_numpy(dtype=object) for m in meta_list},
+            )
+            mask, scores = eval_query(ast, ctx)
+            rows = np.nonzero(mask)[0]
+            if rows.size == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "docid": pdf["docid"].to_numpy(dtype=np.int64)[rows],
+                    "score": scores[rows],
+                }
+            )
+
+    return base.mapInPandas(run, "docid long, score float")
+
+
+def serving_search_bits(index: ServingIndex, query, k: int = 10,
+                        schema: ParserSchema = ENGINE_SCHEMA):
+    rows = (
+        serving_score_ast(index, query, schema)
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+        .collect()
+    )
+    return [
+        (int(r["docid"]), int(np.float32(r["score"]).view(np.uint32)))
+        for r in rows
+    ]

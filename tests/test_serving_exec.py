@@ -1,0 +1,61 @@
+"""Full-grammar queries over the durable compressed index: decode-and-
+score path ≡ in-memory index ≡ oracle, straight from disk."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from frankensearch_spark.corpus import corpus_docs
+from frankensearch_spark.operators.build import build_index
+from frankensearch_spark.operators.serving_exec import serving_search_bits
+from frankensearch_spark.oracle import OracleIndex
+from frankensearch_spark.plans.manifest import read_index, write_index
+from frankensearch_spark.query_ast import ENGINE_SCHEMA, parse_lenient
+from frankensearch_spark.sources.corpus import CORPUS_KEY, synthetic_corpus_df
+
+N_DOCS = 250
+
+
+@pytest.fixture(scope="module")
+def serving(spark):
+    corpus = synthetic_corpus_df(spark, N_DOCS, partitions=4)
+    built = build_index(corpus, CORPUS_KEY)
+    path = tempfile.mkdtemp(prefix="fsx_serving_")
+    write_index(built, path, n_groups=2, source="test")
+    yield read_index(spark, path)
+    shutil.rmtree(path, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleIndex(corpus_docs(N_DOCS))
+
+
+QUERIES = [
+    "term00001 term00002 term00003",
+    "fn AND NOT import",
+    "+term00001 -term00002 term00003",
+    "term000*",
+    "-fn",
+    "term00042^2 term00100",
+    "missingkeywordzzz",
+]
+
+
+@pytest.mark.parametrize("text", QUERIES)
+def test_serving_matches_oracle_bits(serving, oracle, text):
+    ast = parse_lenient(text, ENGINE_SCHEMA).query
+    import numpy as np
+
+    exp = [
+        (d, int(np.float32(s).view(np.uint32)))
+        for d, s in oracle.search_ast(ast, 10)
+    ]
+    got = serving_search_bits(serving, text, k=10)
+    assert got == exp, text
+
+
+def test_phrase_rejected_on_serving_path(serving):
+    with pytest.raises(ValueError):
+        serving_search_bits(serving, '"term00001 term00002"', k=5)
