@@ -36,6 +36,10 @@ BENCH_QUERIES = {
     "q_miss": "missingkeywordalpha",
 }
 
+# per-class arm (QG-6 shape): the frozen query set incl. boolean/phrase
+# classes, served through the full-grammar AST path
+from frankensearch_spark.corpus import FROZEN_QUERIES  # noqa: E402
+
 
 def _corpus_parquet(n_docs: int) -> str:
     """Synthesize-once corpus parquet (pyarrow, no JVM)."""
@@ -125,6 +129,21 @@ def main() -> None:
         queries[name] = round(secs, 4)
         lat.append(secs)
 
+    # per-class p50 over the frozen query set (AST path: booleans,
+    # phrases, globs all supported)
+    from frankensearch_spark.operators.astexec import topk_ast
+
+    by_class: dict[str, list[float]] = {}
+    for qid, text in sorted(FROZEN_QUERIES.items()):
+        cls = qid.split("/")[0]
+        topk_ast(idx, text, k=10).collect()  # warm (plan + caches)
+        t0 = time.perf_counter()
+        topk_ast(idx, text, k=10).collect()
+        by_class.setdefault(cls, []).append(time.perf_counter() - t0)
+    class_p50 = {
+        cls: round(statistics.median(v), 4) for cls, v in by_class.items()
+    }
+
     p50 = statistics.median(lat)
     out = {
         "metric": "bm25_topk_p50_latency",
@@ -137,6 +156,7 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / build_secs, 1),
         "durable_write_secs": round(write_secs, 3),
         "durable_docs_per_sec": round(n_docs / (build_secs + write_secs), 1),
+        "class_p50": class_p50,
         "cpus": cpus,
     }
     scaling_path = os.path.join(

@@ -494,6 +494,10 @@ def build_index(
         # positions live outside the serving table: query scans must not
         # pay their deserialization (measured 2.4x scan cost otherwise)
         positions = postings_src.select("docid", "term", "positions")
+        if cache:
+            # lazy persist: nothing materializes until the first phrase
+            # query, which then pays the tokenize pass once, not per query
+            positions = positions.persist()
         postings = postings_src.drop("positions")
     else:
         postings = postings_src
