@@ -237,19 +237,25 @@ def phrase_freqs(
     """Exact-adjacency phrase frequency per candidate row (argus.rs:1829+).
 
     A match at base position p requires, for every slot i with position
-    delta d_i, some slot-term occurrence at p + d_i.
+    delta d_i, some slot-term occurrence at p + d_i.  Vectorized across
+    ALL candidate rows at once: (row, position) pairs are packed into
+    int64 keys (row << 32 | pos) and slots intersect with one sorted
+    ``np.isin`` per slot instead of a per-document cursor dance.
     """
     base_pos = slots[0][0]
     out = np.zeros(len(rows), dtype=np.int64)
-    for i, r in enumerate(rows):
-        cand: np.ndarray | None = None
-        ok = True
-        for pos, terms in slots:
-            merged: list[np.ndarray] = []
-            for t in terms:
-                parr = view.positions.get(t)
-                if parr is None:
-                    continue
+    if not len(rows):
+        return out
+    row_of = {int(r): i for i, r in enumerate(rows)}
+
+    def slot_keys(terms: list[str], delta: int) -> np.ndarray:
+        key_rows: list[np.ndarray] = []
+        key_pos: list[np.ndarray] = []
+        for t in terms:
+            parr = view.positions.get(t)
+            if parr is None:
+                continue
+            for r in rows:
                 p = parr[r]
                 if p is None:
                     continue
@@ -258,21 +264,26 @@ def phrase_freqs(
                         continue
                 except TypeError:  # scalar NaN from a null Spark array
                     continue
-                merged.append(np.asarray(p, dtype=np.int64))
-            if not merged:
-                ok = False
-                break
-            pos_arr = (
-                np.unique(np.concatenate(merged))
-                if len(merged) > 1
-                else np.asarray(merged[0], dtype=np.int64)
-            )
-            shifted = pos_arr - (pos - base_pos)
-            cand = shifted if cand is None else cand[np.isin(cand, shifted)]
-            if cand.size == 0:
-                ok = False
-                break
-        out[i] = int(cand.size) if ok and cand is not None else 0
+                a = np.asarray(p, dtype=np.int64)
+                key_rows.append(np.full(a.size, row_of[int(r)], dtype=np.int64))
+                key_pos.append(a - delta)
+        if not key_rows:
+            return np.array([], dtype=np.int64)
+        keys = (np.concatenate(key_rows) << 32) | (
+            np.concatenate(key_pos) + (1 << 20)
+        )  # +2^20 keeps shifted positions non-negative in the low bits
+        return np.unique(keys)
+
+    cand = slot_keys(slots[0][1], 0)
+    for pos, terms in slots[1:]:
+        if cand.size == 0:
+            return out
+        keys = slot_keys(terms, pos - base_pos)
+        cand = cand[np.isin(cand, keys, assume_unique=True)]
+    if cand.size == 0:
+        return out
+    counts = np.bincount((cand >> 32).astype(np.int64), minlength=len(rows))
+    out[: len(counts)] = counts[: len(out)]
     return out
 
 
