@@ -1,0 +1,104 @@
+"""CASS query EXECUTION over a CASS-schema corpus: the parsed trees
+(title/content multi-field + keyword/numeric metadata filters) run end-
+to-end through the multi-field executor."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from frankensearch_spark.cass import CASS_SCHEMA, CassQueryFilters, parse_cass
+from frankensearch_spark.operators.astexec import search_ast_collect
+from frankensearch_spark.operators.build import build_multifield_index
+
+DOCS = [
+    # (docid, title, content, agent, workspace, origin_kind, created_at)
+    (0, "auth token rotation", "cache invalidation for auth tokens",
+     "claude", "/alpha", "local", 1_700_000_000_100),
+    (1, "token cache", "auth middleware with token cache layers",
+     "codex", "/alpha", "ssh", 1_700_000_000_200),
+    (2, "deprecated auth flows", "legacy deprecated token handling",
+     "claude", "/beta", "local", 1_700_000_000_900),
+    (3, "search engine internals", "posting lists and block max pruning",
+     "codex", "/beta", "ssh", 1_700_000_001_500),
+    (4, "cache eviction", "lru cache eviction under pressure",
+     "claude", "/alpha", "local", 1_700_000_002_000),
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    corpus = spark.createDataFrame(
+        DOCS,
+        "docid long, title string, content string, agent string, "
+        "workspace string, origin_kind string, created_at long",
+    )
+    return build_multifield_index(
+        corpus, ["docid"], {"title": "title", "content": "content"},
+        primary="title",
+    )
+
+
+def _ids(built, text, filters=None):
+    ast = parse_cass(text, filters).query
+    return {
+        d for d, _s in search_ast_collect(built, ast, k=20, schema=CASS_SCHEMA)
+    }
+
+
+def test_implicit_and(built):
+    # doc 2 matches too: 'auth' in its title, 'token' in its content —
+    # each Must leaf unions over both fields
+    assert _ids(built, "auth token") == {0, 1, 2}
+    assert _ids(built, "auth && cache") == {0, 1}
+
+
+def test_or_tighter_than_and(built):
+    # (auth OR search) AND cache
+    assert _ids(built, "auth OR search AND cache") == {0, 1}
+
+
+def test_negative_standalone_complement(built):
+    assert _ids(built, "-deprecated") == {0, 1, 3, 4}
+
+
+def test_not_with_positive(built):
+    assert _ids(built, "auth -deprecated") == {0, 1}
+
+
+def test_empty_query_matches_all(built):
+    assert _ids(built, "") == {0, 1, 2, 3, 4}
+
+
+def test_agent_workspace_filters(built):
+    f = CassQueryFilters(agents=["claude"])
+    assert _ids(built, "cache", f) == {0, 4}
+    f = CassQueryFilters(agents=["claude", "codex"], workspaces=["/alpha"])
+    assert _ids(built, "cache", f) == {0, 1, 4}
+
+
+def test_created_range_filter(built):
+    f = CassQueryFilters(created_from=1_700_000_000_150,
+                         created_to=1_700_000_001_000)
+    assert _ids(built, "", f) == {1, 2}
+
+
+def test_source_filters(built):
+    assert _ids(built, "", CassQueryFilters(source_filter="local")) == {0, 2, 4}
+    assert _ids(built, "", CassQueryFilters(source_filter="remote")) == {1, 3}
+
+
+def test_filter_conjunction_with_query(built):
+    f = CassQueryFilters(workspaces=["/beta"],
+                         source_filter="remote")
+    assert _ids(built, "search", f) == {3}
+
+
+def test_title_and_content_both_match(built):
+    # 'cache' appears in titles and contents across docs; multi-field
+    # union should find every doc containing it in either field
+    assert _ids(built, "cache") == {0, 1, 4}
+    scores = dict(
+        search_ast_collect(built, parse_cass("cache").query, k=10,
+                           schema=CASS_SCHEMA)
+    )
+    assert all(np.float32(s) > 0 for s in scores.values())
