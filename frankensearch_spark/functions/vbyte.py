@@ -84,6 +84,11 @@ def vbyte_decode(buf: bytes, expected_count: int | None = None) -> np.ndarray:
     lengths = last_idx - starts + 1
     if np.any(lengths > 5):
         raise ValueError("over-long vbyte value (non-canonical)")
+    # canonical minimal width (quiver.rs:1040-1380): a multi-byte value
+    # whose final (most-significant) byte is 0 is an over-long encoding
+    # of a smaller value, e.g. b"\x80\x00" for 0
+    if np.any((lengths > 1) & (b[last_idx] == 0)):
+        raise ValueError("non-minimal vbyte encoding (trailing zero byte)")
     offs = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lengths)
     groups = (b & np.uint8(0x7F)).astype(np.uint64) << (7 * offs.astype(np.uint64))
     values = np.add.reduceat(groups, starts)

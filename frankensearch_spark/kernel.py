@@ -39,12 +39,14 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dc_field
 
 import numpy as np
+import pandas as pd
 
 from frankensearch_spark.contract import BM25_K1, idf, term_weight
 from frankensearch_spark.query_ast import (
     KEYWORD,
     MUST,
     MUST_NOT,
+    NUMERIC,
     SHOULD,
     TEXT,
     All,
@@ -168,20 +170,41 @@ def eval_query(
 
 
 def _isin_mask(col: np.ndarray, values: set) -> np.ndarray:
-    return np.array([v in values for v in col], dtype=bool)
+    # hashtable membership in pandas' cython path — no per-row Python
+    return pd.Series(col, dtype=object).isin(values).to_numpy(dtype=bool)
+
+
+def _numeric_col(col: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(float64 values, valid mask) for an object/int metadata column.
+
+    Metadata numerics are doclen-scale i64 (≤ 2**53, exact in float64);
+    NaN rows (nulls) compare False through the valid mask."""
+    ser = pd.Series(col)
+    vals = pd.to_numeric(ser, errors="coerce").to_numpy(dtype=np.float64)
+    return vals, ~np.isnan(vals)
+
+
+def _str_col(col: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(numpy <U array, valid mask) — vectorized lexicographic compares."""
+    ser = pd.Series(col, dtype=object)
+    valid = ser.notna().to_numpy(dtype=bool)
+    return ser.fillna("").astype(str).to_numpy(dtype=str), valid
 
 
 def _bound_mask(col: np.ndarray, b: RangeBound, is_lower: bool) -> np.ndarray:
     if b.bound == "Unbounded":
         return np.ones(len(col), dtype=bool)
     v = b.value
+    if isinstance(v, (int, np.integer)):
+        vals, valid = _numeric_col(col)
+    else:
+        vals, valid = _str_col(col)
+        v = str(v)
     if is_lower:
-        if b.bound == "Included":
-            return np.array([c is not None and c >= v for c in col], dtype=bool)
-        return np.array([c is not None and c > v for c in col], dtype=bool)
-    if b.bound == "Included":
-        return np.array([c is not None and c <= v for c in col], dtype=bool)
-    return np.array([c is not None and c < v for c in col], dtype=bool)
+        cmp = vals >= v if b.bound == "Included" else vals > v
+    else:
+        cmp = vals <= v if b.bound == "Included" else vals < v
+    return cmp & valid
 
 
 def _eval_range(q: RangeStr | RangeI64, ctx: EvalContext, boost: np.float32):
@@ -193,9 +216,20 @@ def _eval_range(q: RangeStr | RangeI64, ctx: EvalContext, boost: np.float32):
 def _eval_term(q: Term, ctx: EvalContext, boost: np.float32):
     mask, acc = _zeros(ctx.n)
     for f in q.fields:
-        if f.kind == KEYWORD or f.kind == "numeric":
+        if f.kind == KEYWORD or f.kind == NUMERIC:
             col = ctx.meta_of(f.name)
-            hit = np.array([v == q.text for v in col], dtype=bool)
+            if f.kind == NUMERIC:
+                # I64 fields parse bare terms numerically (query.rs:2759-2760
+                # raw.parse().ok()); unparseable text is a dropped leaf
+                try:
+                    target = int(q.text)
+                except ValueError:
+                    continue
+                vals, valid = _numeric_col(col)
+                hit = (vals == float(target)) & valid
+            else:
+                vals, valid = _str_col(col)
+                hit = (vals == q.text) & valid
             s = np.where(hit, np.float32(np.float32(boost) * np.float32(f.boost)),
                          np.float32(0.0))
             acc = (acc + s).astype(np.float32)

@@ -31,9 +31,9 @@ from frankensearch_spark.contract import compute_avgdl, compute_tf_cache
 from frankensearch_spark.operators.build import BuiltIndex, MultiFieldIndex
 from frankensearch_spark.query_ast import (
     ENGINE_SCHEMA,
-    GLOB_EXPANSION_LIMIT,
     Boolean,
     Clause,
+    cap_glob_expansion,
     ParserSchema,
     Query,
     Term,
@@ -71,7 +71,7 @@ def expand_globs(index, ast: Query) -> Query:
                 .collect()
             )
             terms.extend(r["term"] for r in rows)
-        uniq = sorted(set(terms))[:GLOB_EXPANSION_LIMIT]
+        uniq = cap_glob_expansion(terms)
         expansion[g] = Boolean(
             tuple(Clause("Should", Term(g.fields, t)) for t in uniq), None
         )

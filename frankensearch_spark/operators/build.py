@@ -9,11 +9,11 @@ Scale design notes (100 TB / 1000 executors):
 
 * **Docid discipline** — the reference's invariant Q1 (global u32 docids,
   disjoint per-shard leases, quill/scribe.rs:77-83) maps to two modes:
-  ``mode="global"`` uses a global ``row_number`` over the natural key
-  (exact, parallelism-invariant; fine to ~10^8 rows), ``mode="lease"``
-  range-partitions by the natural key and assigns
-  ``partition_id * LEASE + local_ordinal`` — disjoint, never reused,
-  monotone with the key, no global sort.
+  ``mode="lease"`` (the DEFAULT — no global sort) range-partitions by the
+  natural key and assigns ``partition_id * LEASE + local_ordinal`` —
+  disjoint, never reused, monotone with the key; ``mode="global"`` uses a
+  global ``row_number`` over the natural key (dense ordinals, but the
+  window funnels the key projection through ONE task — test-scale only).
 * **Skew** — posting-list construction groups by ``(term, docid bucket)``
   rather than bare ``term`` (quill/scribe.rs radix partition analogue,
   B4): the docid bucket is a *deterministic salt*, so the 'fn'/'import'
@@ -51,8 +51,8 @@ def fieldnorm_id_udf(doclen: pd.Series) -> pd.Series:
 
 
 def assign_docids(
-    corpus: DataFrame, key_cols: list[str], mode: str = "global",
-    broadcast_map: bool = True,
+    corpus: DataFrame, key_cols: list[str], mode: str = "lease",
+    broadcast_map: bool = True, assert_unique: bool = True,
 ) -> DataFrame:
     """Deterministic, parallelism-invariant global docid (SURVEY.md B3).
 
@@ -60,8 +60,31 @@ def assign_docids(
     (key -> docid) map joins back to the corpus — by broadcast when the
     map fits (default; ~30 bytes/doc, fine to ~10^7 docs per driver GiB),
     else a shuffle join.  The wide ``content`` column never rides the
-    range shuffle either way."""
+    range shuffle either way.
+
+    External keys must be UNIQUE per row (the reference's external-id
+    contract — upserts replace by id, types.rs:39-50): the map is built
+    over DISTINCT keys and joined back null-safely, so null key columns
+    index rather than vanish; with ``assert_unique`` (default) a skinny
+    one-pass agg rejects duplicate keys up front instead of silently
+    sharing one docid across rows."""
     keys = corpus.select(*[F.col(c) for c in key_cols])
+    if assert_unique:
+        dup = (
+            keys.groupBy(*[F.col(c) for c in key_cols])
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "duplicate external key "
+                f"{tuple(dup[0][c] for c in key_cols)!r}: the reference's "
+                "external-id contract requires unique keys (upsert replaces "
+                "by id) — deduplicate or upsert instead"
+            )
+    keys = keys.distinct()
     if mode == "global":
         w = Window.orderBy(*[F.col(c) for c in key_cols])
         mapdf = keys.withColumn(
@@ -82,7 +105,16 @@ def assign_docids(
         raise ValueError(f"unknown docid mode {mode!r}")
     if broadcast_map:
         mapdf = F.broadcast(mapdf)
-    return corpus.join(mapdf, key_cols)
+    # null-safe equality: rows with null key columns still join their docid
+    # (plain equality would silently drop them from the index)
+    renamed = mapdf.select(
+        *[F.col(c).alias(f"__k_{c}") for c in key_cols], "docid"
+    )
+    cond = None
+    for c in key_cols:
+        eq = corpus[c].eqNullSafe(renamed[f"__k_{c}"])
+        cond = eq if cond is None else cond & eq
+    return corpus.join(renamed, cond).drop(*[f"__k_{c}" for c in key_cols])
 
 
 def build_docmeta(
@@ -415,7 +447,7 @@ def build_multifield_index(
     key_cols: list[str],
     field_cols: dict[str, str],
     primary: str | None = None,
-    docid_mode: str = "global",
+    docid_mode: str = "lease",
     **kw,
 ) -> MultiFieldIndex:
     """Build one index per text field over a single docid assignment.
@@ -445,7 +477,7 @@ def build_index(
     corpus: DataFrame,
     key_cols: list[str],
     content_col: str = "content",
-    docid_mode: str = "global",
+    docid_mode: str = "lease",
     with_positions: bool = True,
     code_aware: bool = False,
     cache: bool = True,

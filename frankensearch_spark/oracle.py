@@ -197,12 +197,18 @@ class OracleIndex:
             tf_cache=self.tf_cache,
         )
 
-    def expand_glob(self, pattern: str, limit: int = 16_384) -> list[str]:
-        """Sorted term-dictionary glob expansion (grimoire.rs:1374-1460)."""
+    def expand_glob(self, pattern: str, limit: int | None = 16_384) -> list[str]:
+        """Sorted term-dictionary glob expansion (grimoire.rs:1374-1460).
+
+        ``limit=None`` returns all matches — multi-field expansion caps
+        the UNION (``cap_glob_expansion``), not the per-field lists."""
+        hits = self.glob_matches(pattern)
+        return hits if limit is None else hits[:limit]
+
+    def glob_matches(self, pattern: str) -> list[str]:
         from frankensearch_spark.query_ast import glob_match
 
-        hits = sorted(t for t in self.postings if glob_match(pattern, t))
-        return hits[:limit]
+        return sorted(t for t in self.postings if glob_match(pattern, t))
 
     def search_ast(self, ast, k: int = 10, offset: int = 0):
         """Top-k for a parsed query tree under the pinned total order."""
@@ -217,9 +223,11 @@ class OracleIndex:
 
         globs = collect_globs(ast)
         if globs:
+            from frankensearch_spark.query_ast import cap_glob_expansion
+
             expansion = {}
             for g in globs:
-                terms = self.expand_glob(g.pattern)
+                terms = cap_glob_expansion(self.glob_matches(g.pattern))
                 expansion[g] = Boolean(
                     tuple(Clause("Should", Term(g.fields, t)) for t in terms), None
                 )
@@ -313,17 +321,19 @@ class OracleMultiIndex:
 
         globs = collect_globs(ast)
         if globs:
+            from frankensearch_spark.query_ast import cap_glob_expansion
+
             expansion = {}
             for g in globs:
                 terms: set[str] = set()
                 for f in g.fields:
                     sub = self.sub.get(f.name)
                     if sub is not None:
-                        terms.update(sub.expand_glob(g.pattern))
+                        terms.update(sub.glob_matches(g.pattern))
                 expansion[g] = Boolean(
                     tuple(
                         Clause("Should", Term(g.fields, t))
-                        for t in sorted(terms)
+                        for t in cap_glob_expansion(terms)
                     ),
                     None,
                 )

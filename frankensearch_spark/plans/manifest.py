@@ -132,11 +132,17 @@ def write_index(
         }
         _publish(path, manifest)  # checkpoint after every group
 
-    for name, df in (
+    tables = [
         ("docmeta", built.docmeta),
         ("termstats", built.termstats),
         ("fieldstats", built.fieldstats),
-    ):
+    ]
+    # tombstones are part of the durable state (the reference's MANIFEST
+    # tracks per-segment tombstone sets, keeper.rs:929): without this,
+    # delete -> save -> load silently resurrects deleted documents
+    if getattr(built, "tombstones", None) is not None:
+        tables.append(("tombstones", built.tombstones))
+    for name, df in tables:
         if name in manifest.tables:
             continue
         dest = os.path.join(path, name)
@@ -198,6 +204,9 @@ def read_index(spark: SparkSession, path: str) -> ServingIndex:
     if manifest is None or not manifest.completed:
         raise FileNotFoundError(f"no completed index at {path}")
     blocks = spark.read.parquet(os.path.join(path, "blocks"))
+    tombstones = None
+    if "tombstones" in manifest.tables:
+        tombstones = spark.read.parquet(os.path.join(path, "tombstones"))
     return ServingIndex(
         blocks=blocks,
         termstats=spark.read.parquet(os.path.join(path, "termstats")),
@@ -205,4 +214,5 @@ def read_index(spark: SparkSession, path: str) -> ServingIndex:
         fieldstats=spark.read.parquet(os.path.join(path, "fieldstats")),
         bucket_shift=manifest.bucket_shift,
         n_term_partitions=manifest.n_term_partitions,
+        tombstones=tombstones,
     )

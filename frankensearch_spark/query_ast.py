@@ -38,6 +38,14 @@ MAX_QUERY_DEPTH = 64  # query.rs:24
 TITLE_BOOST = 2.0  # query.rs:27
 GLOB_EXPANSION_LIMIT = 16_384  # config.rs:33
 
+
+def cap_glob_expansion(terms) -> list[str]:
+    """ONE shared cap rule for every glob-expansion site (Spark executor,
+    single- and multi-field oracle): the sorted, deduplicated union of all
+    per-field matches, capped at GLOB_EXPANSION_LIMIT — so Spark/oracle
+    parity holds even past 16,384 expansions (grimoire.rs:1374-1460)."""
+    return sorted(set(terms))[:GLOB_EXPANSION_LIMIT]
+
 MUST = "Must"
 SHOULD = "Should"
 MUST_NOT = "MustNot"

@@ -23,7 +23,7 @@ N_DOCS = 300
 @pytest.fixture(scope="module")
 def built(spark):
     corpus = synthetic_corpus_df(spark, N_DOCS, partitions=4)
-    idx = build_index(corpus, CORPUS_KEY)
+    idx = build_index(corpus, CORPUS_KEY, docid_mode="global")
     # docmeta keyword columns feed metadata leaves (lang via corpus join)
     return idx
 
@@ -158,8 +158,28 @@ def test_numeric_range_on_doclen(built):
     assert {d for d, _ in conj} == exp & fn_docs
 
 
+def test_numeric_term_equality(built):
+    """doclen:42 — bare terms on NUMERIC fields parse numerically
+    (query.rs:2759-2760 raw.parse().ok()), so term equality == the
+    degenerate range [42 TO 42]; unparseable text is a dropped leaf."""
+    import pyspark.sql.functions as F
+
+    some = built.docmeta.select("doclen").limit(1).collect()[0][0]
+    rows = search_ast_collect(built, f"doclen:{some}", k=N_DOCS)
+    ranged = search_ast_collect(built, f"doclen:[{some} TO {some}]", k=N_DOCS)
+    assert rows == ranged
+    assert len(rows) >= 1
+    exp = {
+        int(r["docid"])
+        for r in built.docmeta.filter(F.col("doclen") == some).collect()
+    }
+    assert {d for d, _ in rows} == exp
+    # non-numeric text on a numeric field: dropped leaf, matches nothing
+    assert search_ast_collect(built, "doclen:notanumber", k=N_DOCS) == []
+
+
 def test_phrase_without_positions_rejected(spark):
     corpus = synthetic_corpus_df(spark, 50, partitions=2)
-    idx = build_index(corpus, CORPUS_KEY, with_positions=False)
+    idx = build_index(corpus, CORPUS_KEY, with_positions=False, docid_mode="global")
     with pytest.raises(ValueError):
         search_ast_collect(idx, '"term00001 term00002"', k=5)

@@ -45,6 +45,74 @@ def test_sql_path_equals_arrow_postings(spark):
     assert sql == arrow
 
 
+def test_assign_docids_null_keys_survive(spark):
+    """Rows with NULL key columns must still index (null-safe map join);
+    duplicate external keys are rejected up front (external-id contract)."""
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [("r1", "a.rs", "x"), ("r1", None, "y"), (None, None, "z")],
+        "repo string, path string, content string",
+    )
+    out = assign_docids(corpus, ["repo", "path"], mode="global")
+    rows = out.collect()
+    assert len(rows) == 3
+    assert len({r["docid"] for r in rows}) == 3
+    assert set(out.columns) == {"repo", "path", "content", "docid"}
+
+    dup = spark.createDataFrame(
+        [("r1", "a.rs", "x"), ("r1", "a.rs", "y")],
+        "repo string, path string, content string",
+    )
+    with pytest.raises(ValueError, match="duplicate external key"):
+        assign_docids(dup, ["repo", "path"])
+    # null-key duplicates are duplicates too
+    dup_null = spark.createDataFrame(
+        [("r1", None, "x"), ("r1", None, "y")],
+        "repo string, path string, content string",
+    )
+    with pytest.raises(ValueError, match="duplicate external key"):
+        assign_docids(dup_null, ["repo", "path"])
+
+
+def test_lease_mode_rank_invariance(spark):
+    """Default lease docids: disjoint, parallelism-invariant ranking.
+
+    Builds at two parallelism levels; results must agree with each other
+    and with the oracle as (external key -> score bits) under identical
+    rank order (docid VALUES differ from the oracle's dense numbering —
+    the Q1 lease discipline only promises disjointness + key order)."""
+    import numpy as np
+
+    from frankensearch_spark.corpus import corpus_docs, make_corpus
+    from frankensearch_spark.operators.build import build_index
+    from frankensearch_spark.operators.query import search_bits
+    from frankensearch_spark.oracle import OracleIndex
+
+    n = 150
+    oracle = OracleIndex(corpus_docs(n))
+    rows = make_corpus(n)
+    ordered = sorted(range(len(rows)), key=lambda i: rows[i][:3])
+    key_of_dense = {d: rows[i][:3] for d, i in enumerate(ordered)}
+
+    results = []
+    for parts in (1, 5):
+        corpus = synthetic_corpus_df(spark, n, partitions=parts)
+        idx = build_index(corpus, CORPUS_KEY, cache=False)  # lease default
+        got = search_bits(idx, "fn import term00000", k=10)
+        ext = {
+            int(r["docid"]): (r["repo"], r["path"], r["commit"])
+            for r in idx.docmeta.collect()
+        }
+        results.append([(ext[d], bits) for d, bits in got])
+    assert results[0] == results[1]
+    exp = [
+        (key_of_dense[d], bits)
+        for d, bits in oracle.search_bits("fn import term00000", k=10)
+    ]
+    assert results[0] == exp
+
+
 def test_fused_handles_empty_and_null_content(spark):
     corpus = spark.createDataFrame(
         [(0, "a b a"), (1, ""), (2, None), (3, "b")],

@@ -32,7 +32,7 @@ QUERY = "term00001 term00002 fn"
 @pytest.fixture(scope="module")
 def built(spark):
     corpus = synthetic_corpus_df(spark, N_DOCS, partitions=4)
-    return build_index(corpus, CORPUS_KEY)
+    return build_index(corpus, CORPUS_KEY, docid_mode="global")
 
 
 def test_delete_excludes_but_preserves_scores(built):

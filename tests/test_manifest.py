@@ -23,7 +23,7 @@ N_DOCS = 200
 
 @pytest.fixture(scope="module")
 def built(spark):
-    return build_index(synthetic_corpus_df(spark, N_DOCS, partitions=3), CORPUS_KEY)
+    return build_index(synthetic_corpus_df(spark, N_DOCS, partitions=3), CORPUS_KEY, docid_mode="global")
 
 
 def test_write_read_query_roundtrip(built, spark, tmp_path_factory):
@@ -74,6 +74,25 @@ def test_rewrite_of_completed_index_is_noop(built, tmp_path_factory):
     g1 = dict(m1.committed_groups)
     m2 = write_index(built, path)
     assert m2.completed and m2.committed_groups == g1
+
+
+def test_tombstones_survive_save_load(built, spark, tmp_path_factory):
+    """delete -> save -> load must NOT resurrect deleted docs (the
+    reference's MANIFEST durably records tombstone sets, keeper.rs:929)."""
+    from frankensearch_spark.operators.lifecycle import delete_documents
+
+    oracle = OracleIndex(corpus_docs(N_DOCS))
+    victims = [d for d, _ in oracle.search_bits("fn", k=2)]
+    deleted = delete_documents(built, victims)
+    path = str(tmp_path_factory.mktemp("idx5"))
+    write_index(deleted, path, bucket_shift=7, n_term_partitions=8, n_groups=2)
+
+    idx = read_index(spark, path)
+    assert idx.tombstones is not None
+    oracle.delete(victims)
+    got = wand_bits(idx, "fn", k=10)
+    assert got == oracle.search_bits("fn", k=10)
+    assert not any(d in set(victims) for d, _ in got)
 
 
 def test_boolean_query_on_persisted_index(built, spark, tmp_path_factory):

@@ -20,7 +20,7 @@ N_DOCS = 250
 @pytest.fixture(scope="module")
 def serving(spark):
     corpus = synthetic_corpus_df(spark, N_DOCS, partitions=4)
-    built = build_index(corpus, CORPUS_KEY)
+    built = build_index(corpus, CORPUS_KEY, docid_mode="global")
     path = tempfile.mkdtemp(prefix="fsx_serving_")
     write_index(built, path, n_groups=2, source="test")
     yield read_index(spark, path)

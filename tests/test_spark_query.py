@@ -24,7 +24,7 @@ N_DOCS = 300
 @pytest.fixture(scope="module")
 def built(spark):
     corpus = synthetic_corpus_df(spark, N_DOCS, partitions=4)
-    return build_index(corpus, CORPUS_KEY)
+    return build_index(corpus, CORPUS_KEY, docid_mode="global")
 
 
 @pytest.fixture(scope="module")
@@ -111,7 +111,7 @@ def test_partition_count_invariance(spark, oracle):
     """Q1-OB3 analogue: identical results regardless of parallelism."""
     for parts in (1, 7):
         corpus = synthetic_corpus_df(spark, N_DOCS, partitions=parts)
-        idx = build_index(corpus, CORPUS_KEY, cache=False)
+        idx = build_index(corpus, CORPUS_KEY, cache=False, docid_mode="global")
         got = search_bits(idx, "fn import term00000", k=10)
         exp = oracle.search_bits("fn import term00000", k=10)
         assert got == exp, parts

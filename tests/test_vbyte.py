@@ -37,6 +37,14 @@ def test_decode_rejects_truncation_and_overlong():
         vbyte_decode(b"\x80\x80\x80\x80\x80\x01")  # 6-byte value
     with pytest.raises(ValueError):
         vbyte_decode(b"\x00\x00", expected_count=1)
+    # canonical-width rule (quiver.rs:1040-1380): non-minimal encodings
+    # (final byte 0 in a multi-byte value) are corrupt, not value 0
+    with pytest.raises(ValueError):
+        vbyte_decode(b"\x80\x00")  # over-long encoding of 0
+    with pytest.raises(ValueError):
+        vbyte_decode(b"\xff\x00")  # over-long encoding of 127
+    # a legitimate multi-byte value still decodes
+    assert vbyte_decode(b"\x80\x01")[0] == 128
 
 
 @given(

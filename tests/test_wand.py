@@ -25,7 +25,7 @@ SHIFT = 7  # 128-docid buckets -> ~4 buckets at this scale
 
 @pytest.fixture(scope="module")
 def built(spark):
-    return build_index(synthetic_corpus_df(spark, N_DOCS, partitions=4), CORPUS_KEY)
+    return build_index(synthetic_corpus_df(spark, N_DOCS, partitions=4), CORPUS_KEY, docid_mode="global")
 
 
 @pytest.fixture(scope="module")
