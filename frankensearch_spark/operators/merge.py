@@ -46,7 +46,7 @@ DEFAULT_TERM_PARTITIONS = 64
 BLOCKS_SCHEMA = (
     "term string, bucket long, first_doc long, n int, "
     "doc_bytes binary, tf_bytes binary, norm_bytes binary, "
-    "max_tf_code int, min_fieldnorm_id int, tpart int"
+    "max_tf_code int, min_fieldnorm_id int, tpart int, pos_bytes binary"
 )
 
 
@@ -74,6 +74,7 @@ def _blockify_partition(pdfs, bucket_shift: int):
         n_rows = len(pdf)
         if n_rows == 0:
             continue
+        has_pos = "positions" in pdf.columns
         terms = pdf["term"].to_numpy(dtype=object)
         docids = pdf["docid"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
@@ -115,6 +116,40 @@ def _blockify_partition(pdfs, bucket_shift: int):
         max_tf = np.minimum(np.maximum.reduceat(tfs, b_starts), 255)
         min_fn = np.minimum.reduceat(fids, b_starts)
 
+        pos_cells = (
+            pdf["positions"].to_numpy(dtype=object) if has_pos else None
+        )
+        if has_pos and all(c is None for c in pos_cells):
+            has_pos = False  # positions column present but never filled
+        if has_pos:
+            # POSITIONS section analogue (quiver.rs:3456-3530, section
+            # kind 3 of segment.rs:44-66): flat absolute u32 positions
+            # aligned by posting freq, vbyte-packed per block.  Decode
+            # splits by the block's tf stream, so no extra offsets ride
+            # along.  One vectorized encode for the whole partition.
+            flat = np.concatenate(
+                [
+                    np.asarray(c, dtype=np.int64)
+                    if c is not None
+                    else np.empty(0, dtype=np.int64)
+                    for c in pos_cells
+                ]
+            )
+            per_row = np.fromiter(
+                (0 if c is None else len(c) for c in pos_cells),
+                dtype=np.int64,
+                count=n_rows,
+            )
+            if not np.array_equal(per_row, tfs):
+                raise ValueError("positions misaligned with tf")
+            pos_offsets = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(per_row[:-1], out=pos_offsets[1:])
+            pos_bytes = vbyte_encode_segmented(
+                flat.astype(np.uint64), pos_offsets[b_starts]
+            )
+        else:
+            pos_bytes = [None] * b_starts.size
+
         yield pd.DataFrame(
             {
                 "term": terms[b_starts],
@@ -127,6 +162,7 @@ def _blockify_partition(pdfs, bucket_shift: int):
                 "max_tf_code": max_tf.astype(np.int32),
                 "min_fieldnorm_id": min_fn.astype(np.int32),
                 "tpart": tparts[b_starts].astype(np.int32),
+                "pos_bytes": pos_bytes,
             }
         )
 
@@ -136,20 +172,32 @@ def build_blocks(
     bucket_shift: int = DEFAULT_BUCKET_SHIFT,
     n_term_partitions: int = DEFAULT_TERM_PARTITIONS,
     shuffle_partitions: int | None = None,
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """postings -> compressed block table.
 
     One wide exchange: repartition by (term, bucket) — the docid-bucket
     component is the explicit skew salt — then a partition-local sort and
     a single vectorized blockify pass.
+
+    ``positions`` (docid, term, positions array<int>): when given, each
+    block also carries a vbyte-packed POSITIONS sidecar (``pos_bytes``),
+    so phrase queries serve from the durable index with no separate
+    positions artifact.  The join keys are the exact posting identity, so
+    it rides the same (term, bucket) exchange.
     """
     spark = postings.sparkSession
     n_shuffle = int(
         shuffle_partitions
         or max(spark.sparkContext.defaultParallelism * 4, 16)
     )
+    cols = ["term", "docid", "tf", "doclen"]
+    src = postings.select(*cols)
+    if positions is not None:
+        src = src.join(positions.select("docid", "term", "positions"),
+                       ["docid", "term"], "left")
     src = (
-        postings.select("term", "docid", "tf", "doclen")
+        src
         .withColumn("bucket", F.shiftright(F.col("docid"), bucket_shift))
         .withColumn(
             "tpart",
@@ -175,29 +223,57 @@ def build_blocks(
     )
 
 
-def decode_blocks_pdf(pdf: pd.DataFrame, bucket_shift: int = DEFAULT_BUCKET_SHIFT):
+def decode_blocks_pdf(
+    pdf: pd.DataFrame,
+    bucket_shift: int = DEFAULT_BUCKET_SHIFT,
+    with_positions: bool = False,
+):
     """Decode a pandas frame of block rows back to posting arrays.
 
     Returns (docids int64, tfs uint32, fieldnorm_ids uint8, row_index int64)
-    where row_index maps each posting back to its source block row.
+    where row_index maps each posting back to its source block row; with
+    ``with_positions`` a fifth object array of per-posting position arrays
+    (None for blocks without a positions sidecar) — the tf stream is the
+    alignment ruler (positions aligned by posting freq, quiver.rs:3456).
     """
     from frankensearch_spark.functions.vbyte import delta_decode, vbyte_decode
 
     all_docs, all_tfs, all_fids, all_rows = [], [], [], []
+    all_pos: list = []
+    has_pos_col = with_positions and "pos_bytes" in pdf.columns
     for i in range(len(pdf)):
         base = int(pdf["bucket"].iat[i]) << bucket_shift
         n = int(pdf["n"].iat[i])
         offs = delta_decode(vbyte_decode(pdf["doc_bytes"].iat[i], n))
+        tfs = vbyte_decode(pdf["tf_bytes"].iat[i], n)
         all_docs.append(base + offs.astype(np.int64))
-        all_tfs.append(vbyte_decode(pdf["tf_bytes"].iat[i], n))
+        all_tfs.append(tfs)
         all_fids.append(np.frombuffer(pdf["norm_bytes"].iat[i], dtype=np.uint8))
         all_rows.append(np.full(n, i, dtype=np.int64))
+        if with_positions:
+            pb = pdf["pos_bytes"].iat[i] if has_pos_col else None
+            if pb is None:
+                all_pos.extend([None] * n)
+            else:
+                flat = vbyte_decode(pb, int(tfs.sum()))
+                bounds = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(tfs.astype(np.int64), out=bounds[1:])
+                all_pos.extend(
+                    flat[bounds[j] : bounds[j + 1]].astype(np.int32)
+                    for j in range(n)
+                )
     if not all_docs:
         z = np.array([], dtype=np.int64)
-        return z, z.astype(np.uint32), z.astype(np.uint8), z
-    return (
+        out = (z, z.astype(np.uint32), z.astype(np.uint8), z)
+        return out + (np.empty(0, dtype=object),) if with_positions else out
+    out = (
         np.concatenate(all_docs),
         np.concatenate(all_tfs),
         np.concatenate(all_fids),
         np.concatenate(all_rows),
     )
+    if with_positions:
+        pos_arr = np.empty(len(all_pos), dtype=object)
+        pos_arr[:] = all_pos
+        return out + (pos_arr,)
+    return out

@@ -4,11 +4,12 @@ The durable index (``plans/manifest.py``) stores delta+vbyte posting
 blocks; this module decodes only the query's candidate blocks (tpart +
 term parquet pruning) back into posting rows inside a mapInPandas pass,
 then reuses the exact same candidate-pivot + numpy-kernel path as the
-primary executor — so boolean / phrase-free AST queries served from disk
-are bit-identical to the in-memory index and the oracle.
+primary executor — so boolean / phrase / metadata AST queries served
+from disk are bit-identical to the in-memory index and the oracle.
 
-Positions are not stored in blocks (the positions table is a separate
-artifact); phrase queries on the serving path raise a capability error
+Phrase queries decode the per-block POSITIONS sidecar (``pos_bytes``,
+the quiver.rs:3456-3530 section-kind-3 analogue) for the phrase terms
+only; indexes persisted without positions raise a capability error
 (query.rs:699-752 validation analogue).  Flat bag-of-words queries can
 also take the block-max WAND pruned path (:mod:`operators.wand`).
 """
@@ -33,10 +34,11 @@ from frankensearch_spark.query_ast import (
 
 
 def blocks_to_postings(
-    index: ServingIndex, terms: list[str]
+    index: ServingIndex, terms: list[str], with_positions: bool = False
 ) -> DataFrame:
     """Decode the candidate blocks of ``terms`` into posting rows
-    (docid, term, tf, fieldnorm_id) — parquet-pruned by tpart + term."""
+    (docid, term, tf, fieldnorm_id[, positions]) — parquet-pruned by
+    tpart + term; the positions sidecar is only decoded when asked."""
     tparts = sorted({term_partition(t, index.n_term_partitions) for t in terms})
     cand = index.blocks.filter(
         F.col("tpart").isin(tparts) & F.col("term").isin(terms)
@@ -47,19 +49,22 @@ def blocks_to_postings(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            docids, tfs, fids, rows = decode_blocks_pdf(pdf, shift)
-            yield pd.DataFrame(
-                {
-                    "docid": docids.astype(np.int64),
-                    "term": pdf["term"].to_numpy(dtype=object)[rows],
-                    "tf": tfs.astype(np.int32),
-                    "fieldnorm_id": fids.astype(np.int32),
-                }
-            )
+            out = decode_blocks_pdf(pdf, shift, with_positions=with_positions)
+            docids, tfs, fids, rows = out[:4]
+            cols = {
+                "docid": docids.astype(np.int64),
+                "term": pdf["term"].to_numpy(dtype=object)[rows],
+                "tf": tfs.astype(np.int32),
+                "fieldnorm_id": fids.astype(np.int32),
+            }
+            if with_positions:
+                cols["positions"] = out[4]
+            yield pd.DataFrame(cols)
 
-    return cand.mapInPandas(
-        decode, "docid long, term string, tf int, fieldnorm_id int"
-    )
+    schema = "docid long, term string, tf int, fieldnorm_id int"
+    if with_positions:
+        schema += ", positions array<int>"
+    return cand.mapInPandas(decode, schema)
 
 
 def serving_score_ast(
@@ -74,10 +79,12 @@ def serving_score_ast(
     ast = expand_globs(index, ast)  # duck-typed: ServingIndex has termstats
 
     leaves = walk_leaf_terms(ast)
-    if any(needs_pos for _t, needs_pos in leaves):
+    phrase_terms = [t for t, needs_pos in leaves if needs_pos]
+    if phrase_terms and not index.has_positions:
         raise ValueError(
-            "phrase queries need positions; serve them from the primary "
-            "index (the block store is positions-free)"
+            "phrase queries need positions; this serving index was "
+            "persisted without the pos_bytes sidecar (rebuild/save with "
+            "with_positions=True)"
         )
     from frankensearch_spark.query_ast import contains_all_node
 
@@ -98,14 +105,26 @@ def serving_score_ast(
 
     base = None
     tcols = [f"t{i}" for i in range(len(terms))]
+    pcols = [f"p{j}" for j in range(len(phrase_terms))]
     if terms:
-        postings = blocks_to_postings(index, terms)
+        postings = blocks_to_postings(
+            index, terms, with_positions=bool(phrase_terms)
+        )
         base = (
             postings.groupBy("docid", "fieldnorm_id")
             .pivot("term", terms)
             .agg(F.first("tf"))
             .toDF("docid", "fnid", *tcols)
         )
+        if phrase_terms:
+            ppivot = (
+                postings.filter(F.col("term").isin(phrase_terms))
+                .groupBy("docid")
+                .pivot("term", phrase_terms)
+                .agg(F.first("positions"))
+                .toDF("docid", *pcols)
+            )
+            base = base.join(ppivot, "docid", "left")
     extra_meta = [c for c in meta_fields if c not in ("docid", "doclen")]
     needs_doclen = "doclen" in meta_fields
     if has_all:
@@ -119,6 +138,7 @@ def serving_score_ast(
         base = base.join(index.tombstones, "docid", "left_anti")
 
     term_col = dict(zip(terms, tcols))
+    pos_col = dict(zip(phrase_terms, pcols))
     meta_list = list(meta_fields)
     cache = tf_cache.copy()
 
@@ -141,8 +161,11 @@ def serving_score_ast(
                 ).astype(np.int64)
             else:
                 fnid = np.zeros(n, dtype=np.int64)
+            positions = {
+                t: pdf[c].to_numpy(dtype=object) for t, c in pos_col.items()
+            }
             view = FieldView(
-                n=n, fieldnorm_id=fnid, tf=tf, positions={},
+                n=n, fieldnorm_id=fnid, tf=tf, positions=positions,
                 df=df_stats, tf_cache=cache,
             )
             ctx = EvalContext(

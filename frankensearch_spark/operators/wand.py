@@ -58,6 +58,7 @@ class ServingIndex:
     bucket_shift: int = DEFAULT_BUCKET_SHIFT
     n_term_partitions: int = 64
     tombstones: DataFrame | None = None
+    has_positions: bool = False  # pos_bytes sidecar present in blocks
     _cached_stats: tuple[int, int] | None = None
 
     def stats(self) -> tuple[int, int]:
@@ -68,15 +69,20 @@ class ServingIndex:
 
 
 def serving_from_built(built, bucket_shift: int = DEFAULT_BUCKET_SHIFT,
-                       n_term_partitions: int = 64, cache: bool = True) -> ServingIndex:
+                       n_term_partitions: int = 64, cache: bool = True,
+                       with_positions: bool = True) -> ServingIndex:
     from frankensearch_spark.operators.merge import build_blocks
 
-    blocks = build_blocks(built.postings, bucket_shift, n_term_partitions)
+    positions = built.positions if with_positions else None
+    blocks = build_blocks(
+        built.postings, bucket_shift, n_term_partitions, positions=positions
+    )
     if cache:
         blocks = blocks.persist()
     return ServingIndex(
         blocks, built.termstats, built.docmeta, built.fieldstats,
         bucket_shift, n_term_partitions, built.tombstones,
+        has_positions=positions is not None,
     )
 
 

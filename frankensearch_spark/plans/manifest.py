@@ -48,6 +48,7 @@ class BuildManifest:
     committed_groups: dict[str, dict] = field(default_factory=dict)
     tables: dict[str, dict] = field(default_factory=dict)
     completed: bool = False
+    with_positions: bool = False  # pos_bytes sidecar in the block store
 
 
 def _manifest_path(path: str) -> str:
@@ -96,6 +97,7 @@ def write_index(
             n_term_partitions=n_term_partitions,
             n_groups=n_groups,
             source=source,
+            with_positions=getattr(built, "positions", None) is not None,
         )
         _publish(path, manifest)
     bucket_shift = manifest.bucket_shift
@@ -103,7 +105,10 @@ def write_index(
     n_groups = manifest.n_groups
 
     spark = built.postings.sparkSession
-    blocks = build_blocks(built.postings, bucket_shift, n_term_partitions)
+    blocks = build_blocks(
+        built.postings, bucket_shift, n_term_partitions,
+        positions=getattr(built, "positions", None),
+    )
     # with one group the block stream writes straight through (no second
     # pass, no cache); staged builds pay one persist for the group filters
     if n_groups > 1:
@@ -215,4 +220,5 @@ def read_index(spark: SparkSession, path: str) -> ServingIndex:
         bucket_shift=manifest.bucket_shift,
         n_term_partitions=manifest.n_term_partitions,
         tombstones=tombstones,
+        has_positions=manifest.with_positions,
     )

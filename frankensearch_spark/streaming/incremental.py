@@ -46,8 +46,13 @@ def index_microbatch(
     with_docid = batch_df.withColumn(
         "docid", (w.cast("long") - 1 + F.lit(lease))
     )
-    postings = build_postings_fused(with_docid, content_col).drop("positions")
-    docmeta = build_docmeta(with_docid, key_cols, postings, content_col)
+    # positions ride along in the mini-segment (quill's delta segment
+    # indexes positions too, delta.rs:782-830) so streamed indexes can
+    # serve phrase queries; read_incremental_index splits them back out
+    postings = build_postings_fused(with_docid, content_col)
+    docmeta = build_docmeta(
+        with_docid, key_cols, postings.drop("positions"), content_col
+    )
     postings.write.mode("append").parquet(os.path.join(out_dir, "postings"))
     docmeta.write.mode("append").parquet(os.path.join(out_dir, "docmeta"))
 
@@ -74,11 +79,17 @@ def start_incremental_build(
 def read_incremental_index(spark: SparkSession, out_dir: str) -> BuiltIndex:
     """Snapshot over every sealed mini-segment: stats recomputed globally,
     so scores equal a batch build over the same docs (Q1-OB3 law)."""
-    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+    raw = spark.read.parquet(os.path.join(out_dir, "postings"))
     docmeta = spark.read.parquet(os.path.join(out_dir, "docmeta"))
+    if "positions" in raw.columns:
+        postings = raw.drop("positions")
+        positions = raw.select("docid", "term", "positions")
+    else:  # mini-segments sealed by older writers
+        postings, positions = raw, None
     return BuiltIndex(
         postings=postings,
         docmeta=docmeta,
         termstats=build_termstats(postings),
         fieldstats=build_fieldstats(docmeta),
+        positions=positions,
     )

@@ -1,5 +1,6 @@
 """Full-grammar queries over the durable compressed index: decode-and-
-score path ≡ in-memory index ≡ oracle, straight from disk."""
+score path ≡ in-memory index ≡ oracle, straight from disk — including
+phrase queries via the POSITIONS sidecar (pos_bytes)."""
 
 import shutil
 import tempfile
@@ -42,6 +43,14 @@ QUERIES = [
     "missingkeywordzzz",
 ]
 
+PHRASE_QUERIES = [
+    '"term00001 term00002"',
+    '"generated record"',
+    '"fn generated" OR term00003',
+    '"record term00001" AND fn',
+    '"qg6 missing phrase alpha"',
+]
+
 
 @pytest.mark.parametrize("text", QUERIES)
 def test_serving_matches_oracle_bits(serving, oracle, text):
@@ -56,6 +65,34 @@ def test_serving_matches_oracle_bits(serving, oracle, text):
     assert got == exp, text
 
 
-def test_phrase_rejected_on_serving_path(serving):
-    with pytest.raises(ValueError):
-        serving_search_bits(serving, '"term00001 term00002"', k=5)
+@pytest.mark.parametrize("text", PHRASE_QUERIES)
+def test_phrase_serves_from_durable_index(serving, oracle, text):
+    """Phrases decode pos_bytes from disk — bit-identical to the oracle
+    (closes the round-1 gap: serving_exec raised on any phrase)."""
+    import numpy as np
+
+    ast = parse_lenient(text, ENGINE_SCHEMA).query
+    exp = [
+        (d, int(np.float32(s).view(np.uint32)))
+        for d, s in oracle.search_ast(ast, 10)
+    ]
+    got = serving_search_bits(serving, text, k=10)
+    assert got == exp, text
+
+
+def test_phrase_rejected_without_positions(spark):
+    """Indexes persisted with with_positions=False still validate
+    capabilities (query.rs:699-752): phrases raise, they don't misscore."""
+    corpus = synthetic_corpus_df(spark, 60, partitions=2)
+    built = build_index(
+        corpus, CORPUS_KEY, docid_mode="global", with_positions=False
+    )
+    path = tempfile.mkdtemp(prefix="fsx_nopos_")
+    try:
+        write_index(built, path, n_groups=1)
+        idx = read_index(spark, path)
+        assert not idx.has_positions
+        with pytest.raises(ValueError, match="positions"):
+            serving_search_bits(idx, '"term00001 term00002"', k=5)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -60,6 +60,18 @@ def test_incremental_equals_batch_scores(spark, stream_dirs):
             np.float32(s).view(np.uint32) for _d, s in inc_hits
         ) == sorted(np.float32(s).view(np.uint32) for _d, s in b_hits)
 
+    # streamed mini-segments keep positions: phrase queries work
+    # (round-1 gap — incremental.py dropped the positions column)
+    from frankensearch_spark.operators.astexec import search_ast_collect
+
+    assert inc.positions is not None
+    for text in ('"generated record"', '"term00001 term00002"'):
+        inc_ph = search_ast_collect(inc, text, k=10)
+        b_ph = search_ast_collect(batch, text, k=10)
+        assert sorted(
+            np.float32(s).view(np.uint32) for _d, s in inc_ph
+        ) == sorted(np.float32(s).view(np.uint32) for _d, s in b_ph), text
+
 
 def test_multimodal_plumbing(spark):
     from frankensearch_spark.operators.multimodal import (
