@@ -11,12 +11,21 @@ cursor dance, pruning happens at **docid-bucket granularity**:
 * per-bucket upper bound = conservative-envelope sum over scored clauses of
   the max block_max_score of that term's blocks in the bucket (decoded
   bounds never under-estimate: contract.rs:306-326, argus.rs:3918-3973);
+  buckets missing a Must term are unmatchable and drop outright (the
+  required-clause ordering of MaxScore, argus.rs:3034-3050, at bucket
+  granularity) — so booleans prune too, not just flat bags of words;
 * two phases: (A) score the best-bounded buckets exactly to certify a
   threshold θ = kth-best exact score, (B) decode only the remaining buckets
   whose bound ≥ θ.  Any doc in a skipped bucket scores ≤ bound < θ ≤ final
   kth score — rank-identity is a theorem, and the test suite asserts
   pruned ≡ exhaustive ≡ oracle on every fixture query (the reference's
   pruning-receipt discipline, index.rs:2434-2560).
+
+Everything is distributed: per-bucket bounds are a grouped aggregate, the
+seed ranking and every top-k merge is a ``TakeOrderedAndProject``, and
+tombstones cogroup into their bucket's task — the driver only ever sees
+O(seed + k) rows, never per-bucket metadata or winner sets (the round-1
+driver-side collects are gone).
 
 Everything score-bearing is numpy float32 in the pinned op order.
 """
@@ -87,19 +96,22 @@ def serving_from_built(built, bucket_shift: int = DEFAULT_BUCKET_SHIFT,
 
 
 def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_cache: np.ndarray,
-                          k: int, bucket_shift: int,
-                          excluded: np.ndarray | None = None):
-    """applyInPandas kernel: one call per docid bucket -> local top-k rows.
+                          k: int, bucket_shift: int):
+    """Per-bucket scoring kernel -> local top-k rows.
 
     Dense bucket-local accumulation (bucket span is bounded by
     2**bucket_shift) mirrors the oracle's clause-ordered f32 arithmetic.
+    Returned as (groupBy fn, cogroup fn): the cogroup variant receives the
+    bucket's tombstoned docids as the right frame — no driver closure.
     """
     must = list(spec.must)
     must_not = list(spec.must_not)
     clause_terms = spec.clause_terms()
     span = 1 << bucket_shift
 
-    def score_one(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_one(pdf, tomb=None):
+        if len(pdf) == 0:
+            return pd.DataFrame({"docid": [], "score": []})
         docids, tfs, fids, rows = decode_blocks_pdf(pdf, bucket_shift)
         if docids.size == 0:
             return pd.DataFrame({"docid": [], "score": []})
@@ -114,7 +126,7 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_cache: np.ndarray,
         seen = np.zeros(span, dtype=bool)
         seen[offs] = True
 
-        for term in (t for t in dict.fromkeys(must) if True):
+        for term in dict.fromkeys(must):
             sel = post_terms == term
             o = offs[sel]
             hit = np.zeros(span, dtype=bool)
@@ -140,8 +152,9 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_cache: np.ndarray,
             sel = post_terms == term
             ok = ok.copy()
             ok[offs[sel]] = False
-        if excluded is not None and excluded.size:
-            local = excluded[(excluded >= base) & (excluded < base + span)] - base
+        if tomb is not None and len(tomb):
+            local = tomb["docid"].to_numpy(dtype=np.int64) - base
+            local = local[(local >= 0) & (local < span)]
             if local.size:
                 ok = ok.copy()
                 ok[local] = False
@@ -159,7 +172,50 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_cache: np.ndarray,
             }
         )
 
-    return score_one
+    def score_grouped(pdf):
+        # single-arg wrapper: a 2-arg fn would be read as (key, pdf)
+        return score_one(pdf)
+
+    def score_cogrouped(blocks_pdf, tomb_pdf):
+        return score_one(blocks_pdf, tomb_pdf)
+
+    return score_grouped, score_cogrouped
+
+
+def _bucket_bound_kernel(scored_terms: list[str], must_set: set[str],
+                         weights: dict, avgdl: np.float32):
+    """Per-bucket conservative upper bound from block metadata only.
+
+    Input: one bucket's (bucket, term, mtc, mfn, n_postings) aggregate
+    rows.  Emits nothing for buckets missing a Must term (unmatchable —
+    the bucket-granular required-clause rule).  The bound is
+    ``conservative_bound_sum`` over each scored term's best block bound:
+    safe for ANY f32 accumulation order (argus.rs:3918-3973)."""
+    uniq_scored = list(dict.fromkeys(scored_terms))
+
+    def bound_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        present = {
+            t: (int(m), int(f))
+            for t, m, f in zip(pdf["term"], pdf["mtc"], pdf["mfn"])
+        }
+        if any(t not in present for t in must_set):
+            return pd.DataFrame({"bucket": [], "bound": [], "n_postings": []})
+        bs = [
+            float(block_max_score(present[t][0], present[t][1], avgdl,
+                                  weights[t]))
+            for t in uniq_scored
+            if t in present
+        ]
+        bound = float(conservative_bound_sum(np.array(bs, np.float32)))
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iat[0])],
+                "bound": [bound],
+                "n_postings": [int(pdf["n_postings"].sum())],
+            }
+        )
+
+    return bound_one
 
 
 def _prepare(index: ServingIndex, spec: QuerySpec):
@@ -199,11 +255,19 @@ def wand_topk(
     offset: int = 0,
     prune: bool = True,
     seed_buckets: int = 4,
+    seed_scan_cap: int = 64,
 ) -> list[tuple[int, np.float32]]:
     """Top-k under the pinned total order via bucket-granular block-max WAND.
 
     ``prune=False`` scores every candidate bucket (exhaustive-over-blocks);
     the pruned path is rank-identical by the conservative-bound theorem.
+    Plan shape (no driver-side materialization beyond O(seed + k) rows):
+
+      bounds   = cand.groupBy(bucket, term).agg(...)
+                     .groupBy(bucket).applyInPandas(bound)     # distributed
+      seeds    = bounds TakeOrderedAndProject(seed_scan_cap)   # tiny collect
+      θ        = kth of kernel(seed buckets) top-k             # k-row collect
+      winners  = kernel(buckets with bound ≥ θ) top-k          # k-row collect
     """
     prep = _prepare(index, spec)
     if prep is None:
@@ -211,62 +275,64 @@ def wand_topk(
     weights, tf_cache, avgdl, cand = prep
     shift = index.bucket_shift
     want = offset + k
-    excluded = None
-    if index.tombstones is not None:
-        excluded = np.array(
-            sorted(int(r["docid"]) for r in index.tombstones.collect()),
-            dtype=np.int64,
-        )
-    kernel = _score_buckets_kernel(spec, weights, tf_cache, want, shift, excluded)
+    score_one, score_cog = _score_buckets_kernel(spec, weights, tf_cache,
+                                                 want, shift)
     out_schema = "docid long, score float"
+    tomb = index.tombstones
 
-    def run(blocks_df) -> list[tuple[int, np.float32]]:
-        rows = blocks_df.groupBy("bucket").applyInPandas(kernel, out_schema).collect()
+    def run_topk(blocks_df) -> list[tuple[int, np.float32]]:
+        if tomb is None:
+            scored = blocks_df.groupBy("bucket").applyInPandas(
+                score_one, out_schema
+            )
+        else:
+            tb = tomb.select(
+                F.col("docid").cast("long").alias("docid")
+            ).withColumn("bucket", F.shiftright(F.col("docid"), shift))
+            scored = (
+                blocks_df.groupBy("bucket")
+                .cogroup(tb.groupBy("bucket"))
+                .applyInPandas(score_cog, out_schema)
+            )
+        rows = (
+            scored.orderBy(F.desc("score"), F.asc("docid"))
+            .limit(want)
+            .collect()
+        )
         return [(int(r["docid"]), np.float32(r["score"])) for r in rows]
 
     scored_terms = [t for t in spec.clause_terms() if t in weights]
-    if not prune or spec.must or spec.must_not or not scored_terms:
-        # boolean filters change match sets; prune only pure Should unions
-        winners = run(cand)
+    if not prune or not scored_terms:
+        winners = run_topk(cand)
     else:
-        # Phase A: per-bucket conservative bounds from block metadata only
-        meta = (
-            cand.groupBy("bucket", "term")
-            .agg(
-                F.max("max_tf_code").alias("mtc"),
-                F.min("min_fieldnorm_id").alias("mfn"),
-                F.sum("n").alias("n_postings"),
-            )
+        # Phase A: distributed per-bucket conservative bounds
+        meta = cand.groupBy("bucket", "term").agg(
+            F.max("max_tf_code").alias("mtc"),
+            F.min("min_fieldnorm_id").alias("mfn"),
+            F.sum("n").alias("n_postings"),
+        )
+        bound_fn = _bucket_bound_kernel(
+            scored_terms, set(spec.must), weights, avgdl
+        )
+        bounds = meta.groupBy("bucket").applyInPandas(
+            bound_fn, "bucket long, bound double, n_postings long"
+        ).persist()
+        # Phase A': certify θ by scoring the best-bounded buckets exactly.
+        # Only the seed CANDIDATES are collected (≤ seed_scan_cap rows);
+        # the greedy postings-volume rule runs over that tiny list.
+        seed_rows = (
+            bounds.orderBy(F.desc("bound"), F.asc("bucket"))
+            .limit(seed_scan_cap)
             .collect()
         )
-        per_bucket: dict[int, dict[str, tuple[int, int]]] = {}
-        bucket_n: dict[int, int] = {}
-        for r in meta:
-            per_bucket.setdefault(int(r["bucket"]), {})[r["term"]] = (
-                int(r["mtc"]),
-                int(r["mfn"]),
-            )
-            bucket_n[int(r["bucket"])] = bucket_n.get(int(r["bucket"]), 0) + int(
-                r["n_postings"]
-            )
-        bounds = {}
-        for bucket, tm in per_bucket.items():
-            bs = [
-                float(block_max_score(tm[t][0], tm[t][1], avgdl, weights[t]))
-                for t in dict.fromkeys(scored_terms)
-                if t in tm
-            ]
-            bounds[bucket] = float(conservative_bound_sum(np.array(bs, np.float32)))
-        ranked = sorted(bounds, key=lambda b: (-bounds[b], b))
-        # Phase A': certify θ by scoring the best-bounded buckets exactly
-        seed, acc_n = [], 0
-        for b in ranked:
-            seed.append(b)
-            acc_n += bucket_n[b]
+        seed: list[int] = []
+        acc_n = 0
+        for r in seed_rows:
+            seed.append(int(r["bucket"]))
+            acc_n += int(r["n_postings"])
             if len(seed) >= seed_buckets and acc_n >= 4 * want:
                 break
-        seed_set = set(seed)
-        winners = run(cand.filter(F.col("bucket").isin(list(seed_set))))
+        winners = run_topk(cand.filter(F.col("bucket").isin(seed)))
         if len(winners) >= want:
             order = score_total_order_key(
                 np.array([s for _, s in winners], np.float32),
@@ -275,11 +341,15 @@ def wand_topk(
             theta = float(np.float32(winners[order[want - 1]][1]))
         else:
             theta = -math.inf
-        survivors = [
-            b for b in ranked if b not in seed_set and bounds[b] >= theta
-        ]
-        if survivors:
-            winners += run(cand.filter(F.col("bucket").isin(survivors)))
+        rest = cand.join(
+            bounds.filter(
+                (F.col("bound") >= theta) & ~F.col("bucket").isin(seed)
+            ).select("bucket"),
+            "bucket",
+            "left_semi",
+        )
+        winners += run_topk(rest)
+        bounds.unpersist()
 
     if not winners:
         return []

@@ -101,6 +101,52 @@ def test_wand_boolean(serving, oracle):
     )
 
 
+def test_wand_boolean_pruned_equals_exhaustive(serving, oracle):
+    """Round-2: pruning now covers Must/MustNot specs (bucket-granular
+    required-clause rule) — pruned ≡ exhaustive ≡ oracle on booleans."""
+    specs = [
+        QuerySpec(must=["term00001", "term00002"]),
+        QuerySpec(should=["term00001"], must_not=["term00002"]),
+        QuerySpec(should=["generated", "record"], must=["fn"]),
+        QuerySpec(should=["term00000"], must=["fn"], must_not=["import"]),
+        QuerySpec(must=["fn", "zzzmissing"]),  # absent required term
+    ]
+    for spec in specs:
+        a = wand_topk(serving, spec, k=20, prune=True)
+        b = wand_topk(serving, spec, k=20, prune=False)
+        assert [(d, np.float32(s).view(np.uint32)) for d, s in a] == [
+            (d, np.float32(s).view(np.uint32)) for d, s in b
+        ], spec
+        exp = oracle.search_bits(
+            list(spec.should), k=20, must=list(spec.must),
+            must_not=list(spec.must_not),
+        )
+        assert [(d, int(np.float32(s).view(np.uint32))) for d, s in a] == exp, spec
+
+
+def test_wand_tombstones_cogrouped(built, oracle):
+    """Tombstone exclusion joins the bucket task via cogroup — results
+    match the oracle without shipping the tombstone set to the driver."""
+    from frankensearch_spark.operators.lifecycle import delete_documents
+
+    base = wand_bits(serving_from_built(built, bucket_shift=SHIFT,
+                                        n_term_partitions=16,
+                                        with_positions=False),
+                     "fn", k=5)
+    victims = [d for d, _ in base[:2]]
+    deleted = delete_documents(built, victims)
+    srv = serving_from_built(deleted, bucket_shift=SHIFT,
+                             n_term_partitions=16, with_positions=False)
+    import copy
+
+    orc = copy.deepcopy(oracle)
+    orc.delete(victims)
+    for prune in (True, False):
+        got = wand_bits(srv, "fn", k=5, prune=prune)
+        assert got == orc.search_bits("fn", k=5), prune
+        assert not any(d in set(victims) for d, _ in got)
+
+
 def test_wand_pagination(serving, oracle):
     got = wand_topk(serving, QuerySpec.from_text("term00000"), k=10, offset=10)
     exp = oracle.search("term00000", k=10, offset=10)
