@@ -130,12 +130,14 @@ def main() -> None:
         lat.append(secs)
 
     # per-class p50 over the frozen query set (AST path: booleans,
-    # phrases, globs all supported)
+    # phrases, globs all supported); classes come from the Q2 classifier
+    # (query_class.rs heuristics), not hand labels
     from frankensearch_spark.operators.astexec import topk_ast
+    from frankensearch_spark.query_class import perf_class
 
     by_class: dict[str, list[float]] = {}
-    for qid, text in sorted(FROZEN_QUERIES.items()):
-        cls = qid.split("/")[0]
+    for _qid, text in sorted(FROZEN_QUERIES.items()):
+        cls = perf_class(text)
         topk_ast(idx, text, k=10).collect()  # warm (plan + caches)
         t0 = time.perf_counter()
         topk_ast(idx, text, k=10).collect()

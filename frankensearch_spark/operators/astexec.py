@@ -31,12 +31,20 @@ from frankensearch_spark.contract import compute_avgdl, compute_tf_cache
 from frankensearch_spark.operators.build import BuiltIndex, MultiFieldIndex
 from frankensearch_spark.query_ast import (
     ENGINE_SCHEMA,
+    KEYWORD,
+    MUST,
+    MUST_NOT,
+    NUMERIC,
     Boolean,
+    Boost,
     Clause,
-    cap_glob_expansion,
     ParserSchema,
     Query,
+    RangeI64,
+    RangeStr,
+    SetStr,
     Term,
+    cap_glob_expansion,
     collect_globs,
     contains_all_node,
     glob_to_like,
@@ -76,6 +84,90 @@ def expand_globs(index, ast: Query) -> Query:
             tuple(Clause("Should", Term(g.fields, t)) for t in uniq), None
         )
     return substitute_globs(ast, expansion)
+
+
+def _meta_leaf_condition(q: Query):
+    """Spark Column for a pure keyword/numeric metadata leaf, else None.
+
+    Only single-field leaves translate (multi-field Terms mix text
+    scoring and can't reduce to a row predicate)."""
+    while isinstance(q, Boost):
+        q = q.query
+    if isinstance(q, Term):
+        if len(q.fields) != 1:
+            return None
+        f = q.fields[0]
+        if f.kind == KEYWORD:
+            return F.col(f.name) == q.text
+        if f.kind == NUMERIC:
+            try:
+                return F.col(f.name) == int(q.text)
+            except ValueError:
+                return None  # dropped leaf; the kernel decides
+        return None
+    if isinstance(q, (RangeStr, RangeI64)):
+        col = F.col(q.field)
+        conds = []
+        if q.lower.bound == "Included":
+            conds.append(col >= q.lower.value)
+        elif q.lower.bound == "Excluded":
+            conds.append(col > q.lower.value)
+        if q.upper.bound == "Included":
+            conds.append(col <= q.upper.value)
+        elif q.upper.bound == "Excluded":
+            conds.append(col < q.upper.value)
+        if not conds:
+            # fully unbounded matches null metadata in the kernel — a
+            # column predicate would wrongly drop null rows
+            return None
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        return cond
+    if isinstance(q, SetStr):
+        return F.col(q.field).isin(list(q.values))
+    return None
+
+
+def metadata_pushdown(ast: Query):
+    """(must_conds, must_not_conds): top-level conjunctive metadata
+    predicates as Spark Columns — a pure candidate-set reduction.
+
+    Rows failing a Must metadata predicate (or matching a MustNot one)
+    can never match the full query, so filtering them BEFORE the pivot /
+    kernel is score-neutral; the kernel still evaluates the complete AST
+    on the survivors.  This keeps keyword/numeric filtering in Catalyst
+    (predicate pushdown to the scan) instead of Python — the E8 leaves
+    read NUMERIC fast columns natively in the reference too
+    (quill/index.rs:11399-11935)."""
+    node = ast
+    while isinstance(node, Boost):
+        node = node.query
+    cond = _meta_leaf_condition(node)
+    if cond is not None:
+        return [cond], []
+    must_conds, not_conds = [], []
+    if isinstance(node, Boolean):
+        for cl in node.clauses:
+            c = _meta_leaf_condition(cl.query)
+            if c is None:
+                continue
+            if cl.occur == MUST:
+                must_conds.append(c)
+            elif cl.occur == MUST_NOT:
+                not_conds.append(c)
+    return must_conds, not_conds
+
+
+def apply_metadata_pushdown(base: DataFrame, ast: Query) -> DataFrame:
+    must_conds, not_conds = metadata_pushdown(ast)
+    for c in must_conds:
+        base = base.filter(c)  # null predicate -> dropped, like the kernel
+    for c in not_conds:
+        # null predicate must KEEP the row (the kernel's MustNot misses
+        # null metadata), so fold null to false before negating
+        base = base.filter(~F.coalesce(c, F.lit(False)))
+    return base
 
 
 def _as_ast(query, schema: ParserSchema = ENGINE_SCHEMA) -> Query:
@@ -181,6 +273,7 @@ def score_ast(index, query, schema: ParserSchema = ENGINE_SCHEMA) -> DataFrame:
 
     if primary.tombstones is not None:
         base = base.join(primary.tombstones, "docid", "left_anti")
+    base = apply_metadata_pushdown(base, ast)
 
     ast_b = ast
     meta_list = list(meta_fields)

@@ -135,7 +135,10 @@ def serving_score_ast(
         sel = ["docid"] + (["doclen"] if needs_doclen else []) + extra_meta
         base = base.join(index.docmeta.select(*sel), "docid", "left")
     if index.tombstones is not None:
-        base = base.join(index.tombstones, "docid", "left_anti")
+        base = base.join(index.tombstones.select("docid"), "docid", "left_anti")
+    from frankensearch_spark.operators.astexec import apply_metadata_pushdown
+
+    base = apply_metadata_pushdown(base, ast)
 
     term_col = dict(zip(terms, tcols))
     pos_col = dict(zip(phrase_terms, pcols))

@@ -178,6 +178,44 @@ def test_numeric_term_equality(built):
     assert search_ast_collect(built, "doclen:notanumber", k=N_DOCS) == []
 
 
+def test_metadata_pushdown_in_plan(built):
+    """Top-level Must/MustNot keyword+numeric predicates appear as Spark
+    Filter nodes (Catalyst-side, pre-kernel) and stay score-neutral."""
+    import contextlib
+    import io
+
+    from frankensearch_spark.operators.astexec import (
+        metadata_pushdown,
+        topk_ast,
+    )
+    from frankensearch_spark.query_ast import parse_lenient
+
+    text = "fn AND lang:rust AND doclen:[50 TO 200] AND NOT lang:go"
+    ast = parse_lenient(text).query
+    must_conds, not_conds = metadata_pushdown(ast)
+    assert len(must_conds) == 2 and len(not_conds) == 1
+
+    df = topk_ast(built, text, k=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the pushed predicates surface as catalyst filters on the meta columns
+    assert "lang" in plan and "doclen" in plan
+    assert "Filter" in plan
+
+    # parity: pushdown is a pure candidate reduction — same results as the
+    # kernel-only evaluation (oracle twin runs the same kernel)
+    rows = search_ast_collect(built, text, k=N_DOCS)
+    lang = {
+        int(r["docid"]): (r["lang"], r["doclen"])
+        for r in built.docmeta.collect()
+    }
+    for d, _s in rows:
+        lg, dl = lang[d]
+        assert lg == "rust" and 50 <= dl <= 200
+
+
 def test_phrase_without_positions_rejected(spark):
     corpus = synthetic_corpus_df(spark, 50, partitions=2)
     idx = build_index(corpus, CORPUS_KEY, with_positions=False, docid_mode="global")
