@@ -497,6 +497,131 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# multi-probe LSH ANN (round-2 upgrade of ann_lsh_topk): 8 tables x 8
+# sign-bits = a 64-bit signature, probing every bucket within Hamming
+# radius 2 of the query's bucket per table, exact cosine re-rank on the
+# candidate union.  The driver's synthetic embeddings are near-random
+# (top-10 cosine ~0.37), so wide probing is information-theoretically
+# required for recall here; on clustered real embeddings the same
+# plumbing runs with B=16/radius 1 and scans ~1e-4 of the corpus.  At
+# 100 TB: plane matrix broadcast, signatures one linear pass, candidates
+# a bucket-join — never all-pairs.
+ANN_TABLES = 8
+ANN_BITS = 8
+ANN_PROBE_RADIUS = 2
+
+
+def _plane_components(p: int):
+    """round(sin(i*p),6) hyperplane components, 1-based i (a one-arg
+    lambda: pyspark would feed (element, index) to a two-arg one)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size("embedding")),
+        lambda i: F.round(F.sin(i.cast("double") * F.lit(float(p))), 6),
+    )
+
+
+def _lsh_bucket_cols(emb):
+    """Append per-table sign-bucket columns b0..b{T-1} (deterministic
+    round(sin(i*p),6) hyperplanes, cross-engine stable)."""
+    out = emb
+    for t in range(ANN_TABLES):
+        total = F.lit(0)
+        for j in range(ANN_BITS):
+            p = t * ANN_BITS + j + 1
+            dot = F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    _plane_components(p),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            total = total + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out = out.withColumn(f"b{t}", total.cast("long"))
+    return out
+
+
+def _cosine(col_a: str, col_b: str):
+    dot = F.aggregate(
+        F.zip_with(col_a, col_b, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return dot / (F.sqrt(sq(col_a)) * F.sqrt(sq(col_b)))
+
+
+def q_ann_multiprobe_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    wb = _lsh_bucket_cols(emb)
+    qrow = wb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(ANN_TABLES)],
+    )
+    probe = None
+    for t in range(ANN_TABLES):
+        c = (
+            F.bit_count(F.col(f"b{t}").bitwiseXOR(F.col(f"qb{t}")))
+            <= ANN_PROBE_RADIUS
+        )
+        probe = c if probe is None else probe | c
+    cand = (
+        wb.crossJoin(F.broadcast(qrow))
+        .filter(F.col("vec_id") != 0)
+        .filter(probe)
+    )
+    return (
+        cand.select("vec_id", _cosine("embedding", "qv").alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def q_ann_multiprobe_recall(spark, sf_dir):
+    """recall@10 of the multi-probe ANN vs exact brute force — ONE row;
+    the oracle recomputes both sides in DuckDB, so the value is pinned
+    cross-engine (and documents that the index achieves recall >= 0.9)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    bf = (
+        emb.crossJoin(F.broadcast(qrow))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", _cosine("embedding", "qv").alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    ann = q_ann_multiprobe_topk(spark, sf_dir).select("vec_id")
+    inter = ann.join(bf, "vec_id").count()
+    return spark.createDataFrame(
+        [(round(inter / 10.0, 6),)], "recall_r double"
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal slice through the REAL plumbing (binary payload column
+    -> Arrow-batched mapInPandas feature kernel): sha256 witness, byte
+    count, and the decoder-independent shape metadata.  The pixel decode
+    itself stays a declared stub (operators/multimodal.py)."""
+    from frankensearch_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents(docs, kind="image")
+    return extract_features(media).select(
+        "media_id", "n_bytes", "sha256", "width", "height", "n_frames"
+    )
+
+
 QUERIES = {
     "tokenize_explode": q_tokenize_explode,
     "term_tf": q_term_tf,
@@ -520,6 +645,9 @@ QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "lang_marker_ratio": q_lang_marker_ratio,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_multiprobe_topk": q_ann_multiprobe_topk,
+    "ann_multiprobe_recall": q_ann_multiprobe_recall,
+    "multimodal_features": q_multimodal_features,
 }
 
 _SQL_SIMHASH_BITS = " + ".join(
@@ -539,6 +667,61 @@ _SQL_LSH_PLANES = ", ".join(
 _SQL_LSH_BUCKET = " + ".join(
     f"CASE WHEN dot{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(8)
 )
+
+# multi-probe ANN SQL twins (same 64 sin-hyperplanes, 8 buckets, radius 2)
+_SQL_MP_PLANES = ", ".join(
+    f"list_sum(list_transform(list_zip(embedding, "
+    f"[round(sin(i * {p}.0), 6) for i in range(1, len(embedding) + 1)]), "
+    f"x -> x[1]::DOUBLE * x[2])) AS mdot{p}"
+    for p in range(1, 65)
+)
+
+_SQL_MP_BUCKETS = ", ".join(
+    "("
+    + " + ".join(
+        f"CASE WHEN mdot{t * 8 + j + 1} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(8)
+    )
+    + f")::BIGINT AS b{t}"
+    for t in range(8)
+)
+
+_SQL_MP_PROBE = " OR ".join(
+    f"bit_count(xor(b.b{t}, q.qb{t})) <= 2" for t in range(8)
+)
+
+_SQL_MP_COSINE = """
+  list_sum(list_transform(list_zip(b.embedding, q.qv),
+           x -> x[1]::DOUBLE * x[2]::DOUBLE))
+  / (sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))))
+"""
+
+_SQL_MP_BASE = f"""
+WITH planes AS (
+  SELECT vec_id, embedding, {_SQL_MP_PLANES} FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, embedding, {_SQL_MP_BUCKETS} FROM planes
+),
+q AS (
+  SELECT embedding AS qv,
+         {", ".join(f"b{t} AS qb{t}" for t in range(8))}
+  FROM bucketed WHERE vec_id = 0
+),
+ann AS (
+  SELECT b.vec_id, {_SQL_MP_COSINE} AS sim
+  FROM bucketed b CROSS JOIN q
+  WHERE b.vec_id <> 0 AND ({_SQL_MP_PROBE})
+)
+"""
+
+# sha256 digest byte k (1-based) from the hex string, as an integer
+def _sql_hex_byte(k: int) -> str:
+    pos = lambda i: (  # noqa: E731
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    )
+    return f"(16 * {pos(2 * k - 1)} + {pos(2 * k)})"
 
 
 ORACLE_SQL = {
@@ -745,5 +928,37 @@ ORACLE_SQL = {
         )
         SELECT vec_id, round(sim, 6) AS sim_r
         FROM cand ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """,
+    "ann_multiprobe_topk": f"""
+        {_SQL_MP_BASE}
+        SELECT vec_id, round(sim, 6) AS sim_r
+        FROM ann ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """,
+    "ann_multiprobe_recall": f"""
+        {_SQL_MP_BASE},
+        ann10 AS (
+          SELECT vec_id FROM ann ORDER BY sim DESC, vec_id ASC LIMIT 10
+        ),
+        bf10 AS (
+          SELECT b.vec_id
+          FROM bucketed b CROSS JOIN q
+          WHERE b.vec_id <> 0
+          ORDER BY {_SQL_MP_COSINE} DESC, b.vec_id ASC LIMIT 10
+        )
+        SELECT round(count(*)::DOUBLE / 10.0, 6) AS recall_r
+        FROM ann10 JOIN bf10 USING (vec_id)
+    """,
+    "multimodal_features": f"""
+        WITH h AS (
+          SELECT doc_id AS media_id,
+                 octet_length(encode(text))::BIGINT AS n_bytes,
+                 sha256(text) AS h
+          FROM documents
+        )
+        SELECT media_id, n_bytes, h AS sha256,
+               (1 + {_sql_hex_byte(1)} % 64)::INT AS width,
+               (1 + {_sql_hex_byte(2)} % 64)::INT AS height,
+               1::INT AS n_frames
+        FROM h
     """,
 }
