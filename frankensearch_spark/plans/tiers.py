@@ -1,0 +1,182 @@
+"""Tiered merge policy for streamed mini-segments (SURVEY.md M1 —
+``plan_tier_merge``, quill/keeper.rs:1336-1511; defaults config.rs:21-31).
+
+Reference semantics carried over:
+
+* segments classify **Small / Medium / Large** by size (the reference
+  uses docid-interval width; for dense lease-per-batch mini-segments
+  that equals the doc count, boundaries ``2**16`` and ``8 * 2**16``);
+* the planner picks the FIRST same-tier **bound-consecutive** run of
+  ``fanout`` segments (sorted by interval lower bound, each member's
+  lease interval adjacent to the previous member's);
+* a run is admitted only when its **hole ratio** — the fraction of the
+  covered lease span not occupied by member segments — is ≤ 0.5;
+* merge is CONCATENATION (Q1: disjoint docid intervals), so scores are
+  invariant under any merge schedule (Q1-OB3) — asserted in tests.
+
+Spark shape: a mini-segment is one directory of parquet tables plus a
+``segmeta.json`` carrying its lease-interval bounds; merging unions the
+members' tables into one new segment directory (one narrow job per
+merge), commits it, then removes the members.  The commit marker plus a
+``replaces`` list makes a crash between "write merged" and "delete old"
+recoverable: readers skip any segment named in a committed segment's
+``replaces``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+TIER_SMALL_MAX = 1 << 16        # keeper.rs tier boundary (docs)
+TIER_LARGE_MIN = 8 * (1 << 16)  # 8x small
+DEFAULT_FANOUT = 8              # config.rs merge fanout
+MAX_HOLE_RATIO = 0.5            # keeper.rs hole-ratio gate
+
+
+@dataclass
+class SegmentInfo:
+    seg_id: str
+    lease_lo: int   # inclusive lease-index lower bound
+    lease_hi: int   # exclusive lease-index upper bound
+    n_docs: int
+    replaces: tuple[str, ...] = ()
+
+    @property
+    def width(self) -> int:
+        return self.lease_hi - self.lease_lo
+
+    def tier(self) -> str:
+        if self.n_docs < TIER_SMALL_MAX:
+            return "small"
+        if self.n_docs >= TIER_LARGE_MIN:
+            return "large"
+        return "medium"
+
+
+def segments_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "segments")
+
+
+def _meta_path(seg_dir: str) -> str:
+    return os.path.join(seg_dir, "segmeta.json")
+
+
+def write_segment_meta(seg_dir: str, info: SegmentInfo) -> None:
+    tmp = _meta_path(seg_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "seg_id": info.seg_id,
+                "lease_lo": info.lease_lo,
+                "lease_hi": info.lease_hi,
+                "n_docs": info.n_docs,
+                "replaces": list(info.replaces),
+            },
+            f,
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _meta_path(seg_dir))  # the segment's commit marker
+
+
+def list_segments(out_dir: str) -> list[SegmentInfo]:
+    """Committed, live segments (those replaced by a committed merge are
+    skipped — and may still be on disk after a crash mid-cleanup)."""
+    root = segments_dir(out_dir)
+    if not os.path.isdir(root):
+        return []
+    infos: list[SegmentInfo] = []
+    for entry in sorted(os.listdir(root)):
+        mp = _meta_path(os.path.join(root, entry))
+        if not os.path.exists(mp):
+            continue  # uncommitted (crashed mid-write) — invisible
+        with open(mp) as f:
+            d = json.load(f)
+        infos.append(
+            SegmentInfo(
+                d["seg_id"], d["lease_lo"], d["lease_hi"], d["n_docs"],
+                tuple(d.get("replaces", ())),
+            )
+        )
+    dead = {sid for i in infos for sid in i.replaces}
+    return sorted(
+        (i for i in infos if i.seg_id not in dead), key=lambda i: i.lease_lo
+    )
+
+
+def plan_tier_merge(
+    segments: list[SegmentInfo],
+    fanout: int = DEFAULT_FANOUT,
+    max_hole_ratio: float = MAX_HOLE_RATIO,
+) -> list[SegmentInfo] | None:
+    """First same-tier bound-consecutive run of ``fanout`` segments whose
+    hole ratio passes the gate; None when nothing merges."""
+    segs = sorted(segments, key=lambda s: s.lease_lo)
+    for start in range(len(segs) - fanout + 1):
+        run = [segs[start]]
+        for nxt in segs[start + 1 :]:
+            if nxt.tier() != run[0].tier():
+                break
+            if nxt.lease_lo != run[-1].lease_hi:
+                break  # not bound-consecutive
+            run.append(nxt)
+            if len(run) == fanout:
+                break
+        if len(run) < fanout:
+            continue
+        span = run[-1].lease_hi - run[0].lease_lo
+        covered = sum(s.width for s in run)
+        if span > 0 and 1.0 - covered / span <= max_hole_ratio:
+            return run
+    return None
+
+
+def merge_segments(spark, out_dir: str, run: list[SegmentInfo]) -> SegmentInfo:
+    """Concat-merge a planned run into one new committed segment.
+
+    Disjoint lease intervals make this a pure union (no re-score, no
+    renumber — keeper.rs:4166-4206 concat theorem); the merged segment's
+    ``replaces`` list retires the members atomically with its commit."""
+    root = segments_dir(out_dir)
+    new_id = f"m{run[0].lease_lo:08d}-{run[-1].lease_hi:08d}"
+    dest = os.path.join(root, new_id)
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)  # crashed earlier attempt, uncommitted
+    src_dirs = [os.path.join(root, s.seg_id) for s in run]
+    for table in ("postings", "docmeta"):
+        df = spark.read.parquet(*[os.path.join(d, table) for d in src_dirs])
+        # fanout inputs -> ONE file per table per merge output: this is
+        # the small-files compaction the tier policy exists for
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(dest, table)
+        )
+    info = SegmentInfo(
+        seg_id=new_id,
+        lease_lo=run[0].lease_lo,
+        lease_hi=run[-1].lease_hi,
+        n_docs=sum(s.n_docs for s in run),
+        replaces=tuple(s.seg_id for s in run),
+    )
+    write_segment_meta(dest, info)  # commit point
+    for d in src_dirs:
+        shutil.rmtree(d, ignore_errors=True)  # crash-safe: replaces covers us
+    return info
+
+
+def compact_stream(
+    spark, out_dir: str, fanout: int = DEFAULT_FANOUT,
+    max_hole_ratio: float = MAX_HOLE_RATIO, max_merges: int = 64,
+) -> int:
+    """Run tier merges until the planner finds nothing (or max_merges).
+    Returns the number of merges performed."""
+    n = 0
+    while n < max_merges:
+        plan = plan_tier_merge(list_segments(out_dir), fanout, max_hole_ratio)
+        if plan is None:
+            return n
+        merge_segments(spark, out_dir, plan)
+        n += 1
+    return n

@@ -40,9 +40,22 @@ def index_microbatch(
     key_cols: list[str],
     content_col: str = "content",
 ) -> None:
-    """foreachBatch body: seal one micro-batch as a mini-segment."""
+    """foreachBatch body: seal one micro-batch as ONE mini-segment
+    directory (``segments/s<lease>/{postings,docmeta,segmeta.json}``).
+
+    The segmeta write is the commit marker — a crash mid-seal leaves an
+    uncommitted directory that readers skip and a re-run overwrites.
+    Per-segment directories are what the tier-merge compactor
+    (:mod:`frankensearch_spark.plans.tiers`) plans over."""
+    from frankensearch_spark.plans.tiers import (
+        SegmentInfo,
+        segments_dir,
+        write_segment_meta,
+    )
+
     w = F.row_number().over(Window.orderBy(*[F.col(c) for c in key_cols]))
-    lease = (STREAM_LEASE_BASE + int(batch_id)) * DOC_ORDS_PER_LEASE
+    lease_idx = STREAM_LEASE_BASE + int(batch_id)
+    lease = lease_idx * DOC_ORDS_PER_LEASE
     with_docid = batch_df.withColumn(
         "docid", (w.cast("long") - 1 + F.lit(lease))
     )
@@ -53,8 +66,16 @@ def index_microbatch(
     docmeta = build_docmeta(
         with_docid, key_cols, postings.drop("positions"), content_col
     )
-    postings.write.mode("append").parquet(os.path.join(out_dir, "postings"))
-    docmeta.write.mode("append").parquet(os.path.join(out_dir, "docmeta"))
+    seg_id = f"s{lease_idx:08d}"
+    seg_dir = os.path.join(segments_dir(out_dir), seg_id)
+    postings.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
+    docmeta.write.mode("overwrite").parquet(os.path.join(seg_dir, "docmeta"))
+    spark = batch_df.sparkSession
+    n_docs = spark.read.parquet(os.path.join(seg_dir, "docmeta")).count()
+    write_segment_meta(
+        seg_dir,
+        SegmentInfo(seg_id, lease_idx, lease_idx + 1, int(n_docs)),
+    )
 
 
 def start_incremental_build(
@@ -77,10 +98,21 @@ def start_incremental_build(
 
 
 def read_incremental_index(spark: SparkSession, out_dir: str) -> BuiltIndex:
-    """Snapshot over every sealed mini-segment: stats recomputed globally,
-    so scores equal a batch build over the same docs (Q1-OB3 law)."""
-    raw = spark.read.parquet(os.path.join(out_dir, "postings"))
-    docmeta = spark.read.parquet(os.path.join(out_dir, "docmeta"))
+    """Snapshot over every live, committed mini-segment: stats recomputed
+    globally, so scores equal a batch build over the same docs (Q1-OB3
+    law) — under ANY merge schedule of the tier compactor."""
+    from frankensearch_spark.plans.tiers import list_segments, segments_dir
+
+    segs = list_segments(out_dir)
+    if not segs:
+        raise FileNotFoundError(f"no committed mini-segments in {out_dir}")
+    root = segments_dir(out_dir)
+    raw = spark.read.parquet(
+        *[os.path.join(root, s.seg_id, "postings") for s in segs]
+    )
+    docmeta = spark.read.parquet(
+        *[os.path.join(root, s.seg_id, "docmeta") for s in segs]
+    )
     if "positions" in raw.columns:
         postings = raw.drop("positions")
         positions = raw.select("docid", "term", "positions")

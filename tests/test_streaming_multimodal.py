@@ -72,6 +72,36 @@ def test_incremental_equals_batch_scores(spark, stream_dirs):
             np.float32(s).view(np.uint32) for _d, s in inc_ph
         ) == sorted(np.float32(s).view(np.uint32) for _d, s in b_ph), text
 
+    # tier compaction: merge the many small mini-segments down, then
+    # re-assert Q1-OB3 — scores (and docids: concat never renumbers) are
+    # invariant under the merge schedule, and phrases still serve
+    from frankensearch_spark.plans.tiers import compact_stream, list_segments
+    from frankensearch_spark.streaming.incremental import (
+        read_incremental_index as read_inc,
+    )
+
+    n_before = len(list_segments(out))
+    assert n_before > 1
+    pre = {
+        text: search_collect(inc, text, k=10)
+        for text in ("fn import", "term00001 term00002")
+    }
+    n_merges = compact_stream(spark, out, fanout=min(3, n_before))
+    assert n_merges >= 1
+    segs_after = list_segments(out)
+    assert len(segs_after) < n_before
+    merged = read_inc(spark, out)
+    for text, exp in pre.items():
+        got = search_collect(merged, text, k=10)
+        assert [(d, np.float32(s).view(np.uint32)) for d, s in got] == [
+            (d, np.float32(s).view(np.uint32)) for d, s in exp
+        ], text
+    ph = search_ast_collect(merged, '"generated record"', k=10)
+    assert sorted(np.float32(s).view(np.uint32) for _d, s in ph) == sorted(
+        np.float32(s).view(np.uint32)
+        for _d, s in search_ast_collect(batch, '"generated record"', k=10)
+    )
+
 
 def test_multimodal_plumbing(spark):
     from frankensearch_spark.operators.multimodal import (
