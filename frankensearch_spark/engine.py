@@ -92,6 +92,22 @@ class FrankensearchSpark:
 
     # --- read path --------------------------------------------------------
 
+    def warm(self) -> "FrankensearchSpark":
+        """Long-lived serving mode: preload snapshot stats + the full
+        (term -> df) dictionary so per-query planning runs ZERO extra
+        Spark jobs (one job per query remains: the scan+pivot+top-k)."""
+        from frankensearch_spark.operators.build import MultiFieldIndex
+
+        subs = (
+            self.index.fields.values()
+            if isinstance(self.index, MultiFieldIndex)
+            else [self.index]
+        )
+        for sub in subs:
+            sub.stats()
+            sub.preload_termstats()
+        return self
+
     def parse(self, query: str):
         return parse_lenient(query, self.schema)
 

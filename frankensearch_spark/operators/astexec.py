@@ -219,10 +219,7 @@ def score_ast(index, query, schema: ParserSchema = ENGINE_SCHEMA) -> DataFrame:
     field_cache: dict[str, np.ndarray] = {}
     for f in qfields:
         sub = fidx[f]
-        field_df[f] = {
-            r["term"]: int(r["df"])
-            for r in sub.termstats.filter(F.col("term").isin(terms)).collect()
-        } if terms else {}
+        field_df[f] = sub.df_of_terms(terms)
         _n, total_tokens = sub.stats()
         field_cache[f] = compute_tf_cache(compute_avgdl(total_tokens, doc_count))
 

@@ -404,12 +404,54 @@ class BuiltIndex:
     tombstones: DataFrame | None = None  # (docid) — excluded from results,
     # NOT from stats (grimoire.rs:68-71 rule; folded by lifecycle.compact)
     _cached_stats: tuple[int, int] | None = None
+    _term_df_cache: dict | None = None
 
     def stats(self) -> tuple[int, int]:
         if self._cached_stats is None:
             row = self.fieldstats.collect()[0]
             self._cached_stats = (int(row["doc_count"]), int(row["total_tokens"]))
         return self._cached_stats
+
+    def preload_termstats(self) -> int:
+        """Long-lived-serving amortization: collect the whole (term -> df)
+        dictionary ONCE so per-query planning never runs a Spark job for
+        stats (the reference holds TERMDICT mmap'd for the same reason).
+        Fine to ~10^7 vocab terms on a driver; at larger vocabularies,
+        preload the hot head and let misses fall back to the filtered
+        collect path (df_of_terms does exactly that when the cache is
+        marked partial)."""
+        self._term_df_cache = {
+            r["term"]: int(r["df"]) for r in self.termstats.collect()
+        }
+        self._term_df_complete = True
+        return len(self._term_df_cache)
+
+    def df_of_terms(self, terms: list[str]) -> dict[str, int]:
+        """(term -> df) for the query's terms — from the preloaded cache
+        when present, else one filtered collect (the cold path)."""
+        if not terms:
+            return {}
+        cache = self._term_df_cache
+        if cache is not None:
+            if getattr(self, "_term_df_complete", False):
+                return {t: cache[t] for t in terms if t in cache}
+            hits = {t: cache[t] for t in terms if t in cache}
+            missing = [t for t in terms if t not in cache]
+            if not missing:
+                return hits
+            fetched = {
+                r["term"]: int(r["df"])
+                for r in self.termstats.filter(
+                    F.col("term").isin(missing)
+                ).collect()
+            }
+            cache.update(fetched)
+            hits.update(fetched)
+            return hits
+        return {
+            r["term"]: int(r["df"])
+            for r in self.termstats.filter(F.col("term").isin(terms)).collect()
+        }
 
 
 @dataclass

@@ -101,10 +101,7 @@ def score_dataframe(index: BuiltIndex, spec: QuerySpec) -> DataFrame:
     if not uniq:
         return empty
 
-    stats = {
-        r["term"]: int(r["df"])
-        for r in index.termstats.filter(F.col("term").isin(uniq)).collect()
-    }
+    stats = index.df_of_terms(uniq)
     if any(t not in stats for t in spec.must):
         return empty  # a required term is absent from the index
     present = [t for t in uniq if t in stats]

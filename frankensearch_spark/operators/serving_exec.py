@@ -98,10 +98,7 @@ def serving_score_ast(
     if doc_count == 0:
         return empty
     tf_cache = compute_tf_cache(compute_avgdl(total_tokens, doc_count))
-    df_stats = {
-        r["term"]: int(r["df"])
-        for r in index.termstats.filter(F.col("term").isin(terms)).collect()
-    } if terms else {}
+    df_stats = index.df_of_terms(terms)
 
     base = None
     tcols = [f"t{i}" for i in range(len(terms))]

@@ -69,12 +69,35 @@ class ServingIndex:
     tombstones: DataFrame | None = None
     has_positions: bool = False  # pos_bytes sidecar present in blocks
     _cached_stats: tuple[int, int] | None = None
+    _term_df_cache: dict | None = None
 
     def stats(self) -> tuple[int, int]:
         if self._cached_stats is None:
             row = self.fieldstats.collect()[0]
             self._cached_stats = (int(row["doc_count"]), int(row["total_tokens"]))
         return self._cached_stats
+
+    def preload_termstats(self) -> int:
+        """Serving amortization: (term -> df) collected once per process
+        (see BuiltIndex.preload_termstats)."""
+        self._term_df_cache = {
+            r["term"]: int(r["df"]) for r in self.termstats.collect()
+        }
+        return len(self._term_df_cache)
+
+    def df_of_terms(self, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        if self._term_df_cache is not None:
+            return {
+                t: self._term_df_cache[t]
+                for t in terms
+                if t in self._term_df_cache
+            }
+        return {
+            r["term"]: int(r["df"])
+            for r in self.termstats.filter(F.col("term").isin(terms)).collect()
+        }
 
 
 def serving_from_built(built, bucket_shift: int = DEFAULT_BUCKET_SHIFT,
@@ -226,10 +249,7 @@ def _prepare(index: ServingIndex, spec: QuerySpec):
             uniq.append(t)
     if not uniq:
         return None
-    stats = {
-        r["term"]: int(r["df"])
-        for r in index.termstats.filter(F.col("term").isin(uniq)).collect()
-    }
+    stats = index.df_of_terms(uniq)
     if any(t not in stats for t in spec.must):
         return None
     doc_count, total_tokens = index.stats()

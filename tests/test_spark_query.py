@@ -107,6 +107,19 @@ def test_content_witness_sha256(built, spark):
     assert joined.count() == N_DOCS
 
 
+def test_warm_serving_parity(built, oracle):
+    """Preloaded (term -> df) dictionary (long-lived serving) changes
+    ZERO bits: warm results == cold results == oracle."""
+    cold = search_bits(built, "fn import term00000", k=10)
+    n = built.preload_termstats()
+    assert n == built.termstats.count()
+    warm = search_bits(built, "fn import term00000", k=10)
+    assert warm == cold == oracle.search_bits("fn import term00000", k=10)
+    # absent terms stay absent through the cache
+    assert search_bits(built, "zzznothere", k=5) == []
+    built._term_df_cache = None  # restore cold mode for other tests
+
+
 def test_partition_count_invariance(spark, oracle):
     """Q1-OB3 analogue: identical results regardless of parallelism."""
     for parts in (1, 7):
