@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
 
+import pandas as pd
+
 from frankensearch_spark.query_ast import (
     KEYWORD,
     MUST,
@@ -54,8 +56,8 @@ CASS_SCHEMA = ParserSchema(
     fields=(
         QueryField("title", 1.0, TEXT),
         QueryField("content", 1.0, TEXT),
-        QueryField("title_prefix", 1.0, TEXT),
-        QueryField("content_prefix", 1.0, TEXT),
+        QueryField("title_prefix", 1.0, TEXT, basic=True),
+        QueryField("content_prefix", 1.0, TEXT, basic=True),
         QueryField("agent", 1.0, KEYWORD),
         QueryField("workspace", 1.0, KEYWORD),
         QueryField("source_id", 1.0, KEYWORD),
@@ -470,3 +472,59 @@ def _apply_filters(root: Query, f: CassQueryFilters) -> Query:
     if len(clauses) == 1:
         return clauses[0].query
     return Boolean(tuple(clauses), None)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-field build support (CASS_SEMANTIC_SCHEMA fields 8/9,
+# schema.rs:442-458; document-side expansion cass_compat.rs:1704-1707)
+
+CASS_CONTENT_PREFIX_MAX_BYTES = 4 * 1024  # cass_compat.rs:2037
+
+
+def with_cass_prefix_columns(
+    df,
+    title_col: str = "title",
+    content_col: str = "content",
+    title_out: str = "title_prefix_text",
+    content_out: str = "content_prefix_text",
+):
+    """Derive the pre-expanded edge-ngram prefix columns for a CASS
+    corpus: ``title_prefix`` over the whole title, ``content_prefix``
+    over the largest char-boundary prefix of content ≤ 4 KiB
+    (cass_prefix_source, cass_compat.rs:2047-2063).  The emitted text is
+    space-separated ngram tokens — the downstream default analyzer
+    re-tokenizes them verbatim, so the indexed terms are exactly the
+    ngrams.  These fields carry the Basic record option (tf=1 scoring,
+    ``CASS_SCHEMA`` basic=True)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from frankensearch_spark.analyze import cass_generate_edge_ngrams
+
+    def derive(series, cap):
+        out = []
+        for v in series:
+            if v is None:
+                out.append(None)
+                continue
+            s = v
+            if cap is not None:
+                b = s.encode("utf-8")
+                if len(b) > cap:
+                    # largest char boundary <= cap: drop the partial char
+                    s = b[:cap].decode("utf-8", errors="ignore")
+            out.append(" ".join(cass_generate_edge_ngrams(s)))
+        return pd.Series(out, dtype=object)
+
+    @pandas_udf("string")
+    def title_ngrams(s: pd.Series) -> pd.Series:
+        return derive(s, None)
+
+    @pandas_udf("string")
+    def content_ngrams(s: pd.Series) -> pd.Series:
+        return derive(s, CASS_CONTENT_PREFIX_MAX_BYTES)
+
+    from pyspark.sql import functions as F
+
+    return df.withColumn(title_out, title_ngrams(F.col(title_col))).withColumn(
+        content_out, content_ngrams(F.col(content_col))
+    )

@@ -86,6 +86,7 @@ class FieldView:
     positions: dict[str, np.ndarray]
     df: dict[str, int]
     tf_cache: np.ndarray
+    basic: bool = False  # Basic record option: score with tf forced to 1
 
     def tf_of(self, term: str) -> np.ndarray:
         arr = self.tf.get(term)
@@ -243,6 +244,10 @@ def _eval_term(q: Term, ctx: EvalContext, boost: np.float32):
         df = view.df_of(q.text)
         if df == 0:
             continue
+        if view.basic:
+            # Basic record option (positions=false prefix fields): the
+            # scorer sees tf=1 regardless of stored frequency
+            tf = np.minimum(tf, np.float32(1.0)).astype(np.float32)
         norms = view.tf_cache[view.fieldnorm_id]
         w = term_weight(df, ctx.doc_count, np.float32(boost) * np.float32(f.boost))
         with np.errstate(invalid="ignore", divide="ignore"):

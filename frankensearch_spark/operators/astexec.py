@@ -274,6 +274,7 @@ def score_ast(index, query, schema: ParserSchema = ENGINE_SCHEMA) -> DataFrame:
 
     ast_b = ast
     meta_list = list(meta_fields)
+    basic_of = {f.name: getattr(f, "basic", False) for f in schema.fields}
 
     def run(batches):
         from frankensearch_spark.contract import fieldnorm_to_id
@@ -310,6 +311,7 @@ def score_ast(index, query, schema: ParserSchema = ENGINE_SCHEMA) -> DataFrame:
                     positions=positions,
                     df=field_df[f],
                     tf_cache=field_cache[f],
+                    basic=basic_of.get(f, False),
                 )
             ctx = EvalContext(
                 n=n,

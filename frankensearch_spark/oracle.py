@@ -259,8 +259,10 @@ class OracleMultiIndex:
     field over a SHARED docid space (missing field text indexes as the
     empty document so N stays snapshot-global across fields)."""
 
-    def __init__(self, docs, field_names):
-        """``docs``: iterable of (docid, {field_name: text})."""
+    def __init__(self, docs, field_names, basic_fields=()):
+        """``docs``: iterable of (docid, {field_name: text});
+        ``basic_fields``: fields scored with the Basic record option
+        (tf forced to 1 — CASS prefix fields)."""
         docs = list(docs)
         self.sub = {
             f: OracleIndex([(d, t.get(f) or "") for d, t in docs])
@@ -270,6 +272,7 @@ class OracleMultiIndex:
         self.docids = first.docids
         self.doc_count = first.doc_count
         self.excluded: set[int] = set()
+        self.basic_fields = set(basic_fields)
 
     def delete(self, docids) -> None:
         self.excluded.update(int(d) for d in docids)
@@ -306,6 +309,7 @@ class OracleMultiIndex:
                 positions=pos,
                 df=df,
                 tf_cache=sub.tf_cache,
+                basic=fname in self.basic_fields,
             )
         return EvalContext(n=self.doc_count, views=views, doc_count=self.doc_count)
 

@@ -59,11 +59,15 @@ NUMERIC = "numeric"
 class QueryField:
     """One queryable field: name, parser-time boost, kind (query.rs:31-37 +
     schema.rs FieldKind).  ``text`` analyzes; ``keyword`` matches raw;
-    ``numeric`` serves I64 ranges."""
+    ``numeric`` serves I64 ranges.  ``basic`` = Tantivy's Basic record
+    option (positions=false fields like the CASS prefix fields,
+    schema.rs:442-458): term frequency is forced to 1 at scoring time
+    (argus.rs TermScorer record_option)."""
 
     name: str
     boost: float = 1.0
     kind: str = TEXT
+    basic: bool = False
 
 
 @dataclass(frozen=True)

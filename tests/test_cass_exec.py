@@ -93,6 +93,104 @@ def test_filter_conjunction_with_query(built):
     assert _ids(built, "search", f) == {3}
 
 
+@pytest.fixture(scope="module")
+def built_prefix(spark):
+    """Full CASS_SEMANTIC_SCHEMA shape: title/content + the pre-expanded
+    edge-ngram prefix fields (schema.rs:442-458), built end-to-end."""
+    from frankensearch_spark.cass import with_cass_prefix_columns
+
+    corpus = with_cass_prefix_columns(
+        spark.createDataFrame(
+            DOCS,
+            "docid long, title string, content string, agent string, "
+            "workspace string, origin_kind string, created_at long",
+        )
+    )
+    return build_multifield_index(
+        corpus,
+        ["docid"],
+        {
+            "title": "title",
+            "content": "content",
+            "title_prefix": "title_prefix_text",
+            "content_prefix": "content_prefix_text",
+        },
+        primary="title",
+    )
+
+
+def _prefix_ids(built_prefix, text, filters=None):
+    ast = parse_cass(text, filters).query
+    return {
+        d
+        for d, _s in search_ast_collect(
+            built_prefix, ast, k=20, schema=CASS_SCHEMA
+        )
+    }
+
+
+def test_prefix_field_serves_partial_words(built_prefix):
+    """Typing a partial word matches via the edge-ngram prefix fields
+    (cass_term_query_fields unions all four searchable fields)."""
+    # 'aut' is an edge ngram of 'auth' — title/content words
+    assert _prefix_ids(built_prefix, "aut") == {0, 1, 2}
+    # 'cach' prefix of 'cache'
+    assert _prefix_ids(built_prefix, "cach") == {0, 1, 4}
+    # 'evic' prefix of 'eviction' (content of 4, title of 4)
+    assert _prefix_ids(built_prefix, "evic") == {4}
+    # full words still match (exact terms exist in title/content AND as
+    # the ngram of their own length)
+    assert _prefix_ids(built_prefix, "auth && cache") == {0, 1}
+    # prefix + filters compose
+    f = CassQueryFilters(agents=["claude"])
+    assert _prefix_ids(built_prefix, "cach", f) == {0, 4}
+
+
+def test_prefix_field_basic_scoring_matches_oracle(built_prefix):
+    """Prefix fields score with the Basic record option (tf forced to 1)
+    — Spark bits == multi-field oracle bits with basic_fields set."""
+    import numpy as np
+
+    from frankensearch_spark.oracle import OracleMultiIndex
+    from frankensearch_spark.cass import with_cass_prefix_columns  # noqa: F401
+    from frankensearch_spark.analyze import cass_generate_edge_ngrams
+
+    def prefix_text(s, cap=None):
+        if cap is not None:
+            b = s.encode("utf-8")
+            if len(b) > cap:
+                s = b[:cap].decode("utf-8", errors="ignore")
+        return " ".join(cass_generate_edge_ngrams(s))
+
+    docs = [
+        (
+            d[0],
+            {
+                "title": d[1],
+                "content": d[2],
+                "title_prefix": prefix_text(d[1]),
+                "content_prefix": prefix_text(d[2], 4096),
+            },
+        )
+        for d in DOCS
+    ]
+    oracle = OracleMultiIndex(
+        docs,
+        ["title", "content", "title_prefix", "content_prefix"],
+        basic_fields=("title_prefix", "content_prefix"),
+    )
+    for text in ("aut", "cach", "auth token", "toke -deprecated"):
+        ast = parse_cass(text).query
+        got = [
+            (d, int(np.float32(s).view(np.uint32)))
+            for d, s in search_ast_collect(
+                built_prefix, ast, k=10, schema=CASS_SCHEMA
+            )
+        ]
+        exp = oracle.search_ast_bits(ast, k=10)
+        assert got == exp, text
+
+
 def test_title_and_content_both_match(built):
     # 'cache' appears in titles and contents across docs; multi-field
     # union should find every doc containing it in either field
