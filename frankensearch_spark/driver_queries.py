@@ -285,11 +285,14 @@ def q_bm25_phrase(spark, sf_dir):
         "docid", F.explode("positions").alias("p")
     )
     pb = pos.filter(F.col("term") == b).select(
-        "docid", F.explode("positions").alias("p2")
+        F.col("docid").alias("docid_b"), F.explode("positions").alias("p2")
     )
     pf = (
-        pa.join(pb, (pa["docid"] == pb["docid"]) & (pb["p2"] == pa["p"] + 1))
-        .groupBy(pa["docid"].alias("docid"))
+        pa.join(
+            pb,
+            (pa["docid"] == pb["docid_b"]) & (pb["p2"] == pa["p"] + 1),
+        )
+        .groupBy("docid")
         .agg(F.count(F.lit(1)).cast("double").alias("pf"))
     )
     stats = {
