@@ -285,16 +285,18 @@ def phrase_freqs(
     out = np.zeros(len(rows), dtype=np.int64)
     if not len(rows):
         return out
-    row_of = {int(r): i for i, r in enumerate(rows)}
 
     def slot_keys(terms: list[str], delta: int) -> np.ndarray:
-        key_rows: list[np.ndarray] = []
-        key_pos: list[np.ndarray] = []
+        """Vectorized: ONE concatenate + one key computation per slot —
+        no per-candidate-row numpy launches (was the phrase hot spot)."""
+        key_parts: list[np.ndarray] = []
         for t in terms:
             parr = view.positions.get(t)
             if parr is None:
                 continue
-            for r in rows:
+            cells = []
+            cell_rows = []
+            for i, r in enumerate(rows):
                 p = parr[r]
                 if p is None:
                     continue
@@ -303,15 +305,26 @@ def phrase_freqs(
                         continue
                 except TypeError:  # scalar NaN from a null Spark array
                     continue
-                a = np.asarray(p, dtype=np.int64)
-                key_rows.append(np.full(a.size, row_of[int(r)], dtype=np.int64))
-                key_pos.append(a - delta)
-        if not key_rows:
+                cells.append(p)
+                cell_rows.append(i)
+            if not cells:
+                continue
+            lens = np.fromiter(
+                (len(c) for c in cells), dtype=np.int64, count=len(cells)
+            )
+            flat = np.concatenate(
+                [np.asarray(c, dtype=np.int64) for c in cells]
+            )
+            rep_rows = np.repeat(
+                np.asarray(cell_rows, dtype=np.int64), lens
+            )
+            # +2^20 keeps shifted positions non-negative in the low bits
+            key_parts.append(
+                (rep_rows << 32) | (flat - delta + (1 << 20))
+            )
+        if not key_parts:
             return np.array([], dtype=np.int64)
-        keys = (np.concatenate(key_rows) << 32) | (
-            np.concatenate(key_pos) + (1 << 20)
-        )  # +2^20 keeps shifted positions non-negative in the low bits
-        return np.unique(keys)
+        return np.unique(np.concatenate(key_parts))
 
     cand = slot_keys(slots[0][1], 0)
     for pos, terms in slots[1:]:

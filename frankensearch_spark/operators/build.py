@@ -403,6 +403,8 @@ class BuiltIndex:
     positions: DataFrame | None = None  # (docid, term, positions) — phrase path
     tombstones: DataFrame | None = None  # (docid) — excluded from results,
     # NOT from stats (grimoire.rs:68-71 rule; folded by lifecycle.compact)
+    postings_full: DataFrame | None = None  # postings WITH positions (same
+    # rows) — lets the block-store writer skip the (docid, term) re-join
     _cached_stats: tuple[int, int] | None = None
     _term_df_cache: dict | None = None
 
@@ -564,22 +566,27 @@ def build_index(
             with_docid, content_col, code_aware, with_positions
         )
     positions = None
+    postings_full = None
     if with_positions:
-        # positions live outside the serving table: query scans must not
-        # pay their deserialization (measured 2.4x scan cost otherwise)
-        positions = postings_src.select("docid", "term", "positions")
-        if cache:
-            # lazy persist: nothing materializes until the first phrase
-            # query, which then pays the tokenize pass once, not per query
-            positions = positions.persist()
-        postings = postings_src.drop("positions")
+        # ONE cached copy of the fused frame; the query-facing postings
+        # view and the phrase-path positions view are projections of it.
+        # InMemoryTableScan prunes columns, so tf-only scans never
+        # decompress the positions buffers, and the durable writer gets
+        # postings+positions in the SAME rows with no (docid, term)
+        # re-join (which measured 2.5x durable-write cost).
+        postings_full = postings_src.persist() if cache else postings_src
+        positions = postings_full.select("docid", "term", "positions")
+        postings = postings_full.drop("positions")
     else:
         postings = postings_src
-    if cache:
-        postings = postings.persist()
+        if cache:
+            postings = postings.persist()
     docmeta = build_docmeta(with_docid, key_cols, postings, content_col, meta_cols)
     if cache:
         docmeta = docmeta.persist()
     termstats = build_termstats(postings)
     fieldstats = build_fieldstats(docmeta)
-    return BuiltIndex(postings, docmeta, termstats, fieldstats, positions)
+    return BuiltIndex(
+        postings, docmeta, termstats, fieldstats, positions,
+        postings_full=postings_full,
+    )

@@ -183,8 +183,10 @@ def build_blocks(
     ``positions`` (docid, term, positions array<int>): when given, each
     block also carries a vbyte-packed POSITIONS sidecar (``pos_bytes``),
     so phrase queries serve from the durable index with no separate
-    positions artifact.  The join keys are the exact posting identity, so
-    it rides the same (term, bucket) exchange.
+    positions artifact.  If ``postings`` itself already carries a
+    ``positions`` column (the build's fused frame) it is used directly —
+    no join; otherwise the sidecar joins on the exact posting identity
+    and rides the same (term, bucket) exchange.
     """
     spark = postings.sparkSession
     n_shuffle = int(
@@ -192,10 +194,13 @@ def build_blocks(
         or max(spark.sparkContext.defaultParallelism * 4, 16)
     )
     cols = ["term", "docid", "tf", "doclen"]
-    src = postings.select(*cols)
-    if positions is not None:
-        src = src.join(positions.select("docid", "term", "positions"),
-                       ["docid", "term"], "left")
+    if positions is not None and "positions" in postings.columns:
+        src = postings.select(*cols, "positions")
+    else:
+        src = postings.select(*cols)
+        if positions is not None:
+            src = src.join(positions.select("docid", "term", "positions"),
+                           ["docid", "term"], "left")
     src = (
         src
         .withColumn("bucket", F.shiftright(F.col("docid"), bucket_shift))

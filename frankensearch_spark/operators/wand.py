@@ -106,8 +106,10 @@ def serving_from_built(built, bucket_shift: int = DEFAULT_BUCKET_SHIFT,
     from frankensearch_spark.operators.merge import build_blocks
 
     positions = built.positions if with_positions else None
+    full = getattr(built, "postings_full", None)
     blocks = build_blocks(
-        built.postings, bucket_shift, n_term_partitions, positions=positions
+        built.postings if (full is None or positions is None) else full,
+        bucket_shift, n_term_partitions, positions=positions,
     )
     if cache:
         blocks = blocks.persist()

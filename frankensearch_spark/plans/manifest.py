@@ -105,8 +105,10 @@ def write_index(
     n_groups = manifest.n_groups
 
     spark = built.postings.sparkSession
+    full = getattr(built, "postings_full", None)
     blocks = build_blocks(
-        built.postings, bucket_shift, n_term_partitions,
+        built.postings if full is None else full,
+        bucket_shift, n_term_partitions,
         positions=getattr(built, "positions", None),
     )
     # with one group the block stream writes straight through (no second
