@@ -233,28 +233,49 @@ def score_ast(index, query, schema: ParserSchema = ENGINE_SCHEMA) -> DataFrame:
             continue
         sub = fidx[f]
         tcols = [f"f{fi}t{j}" for j in range(len(terms))]
-        pivot = (
-            sub.postings.filter(F.col("term").isin(terms))
-            .groupBy("docid", "doclen")
-            .pivot("term", terms)
-            .agg(F.first("tf"))
-            .toDF("docid", f"dl{fi}", *tcols)
-        )
         dl_col[f] = f"dl{fi}"
         for j, t in enumerate(terms):
             tf_col[(f, t)] = tcols[j]
-        if phrase_terms:
-            pcols = [f"f{fi}p{j}" for j in range(len(phrase_terms))]
-            ppivot = (
-                sub.positions.filter(F.col("term").isin(phrase_terms))
-                .groupBy("docid")
-                .pivot("term", phrase_terms)
-                .agg(F.first("positions"))
-                .toDF("docid", *pcols)
+        full = getattr(sub, "postings_full", None)
+        if (
+            phrase_terms
+            and full is not None
+            and set(terms) <= set(phrase_terms)
+        ):
+            # pure-phrase query: ONE pivot over the fused frame carries
+            # tf AND positions together — no second shuffle, no join
+            names = ["docid", f"dl{fi}"]
+            for j in range(len(terms)):
+                names += [f"f{fi}t{j}", f"f{fi}p{j}"]
+            pivot = (
+                full.filter(F.col("term").isin(terms))
+                .groupBy("docid", "doclen")
+                .pivot("term", terms)
+                .agg(F.first("tf").alias("t"), F.first("positions").alias("p"))
+                .toDF(*names)
             )
-            for j, t in enumerate(phrase_terms):
-                pos_col[(f, t)] = pcols[j]
-            pivot = pivot.join(ppivot, "docid", "left")
+            for j, t in enumerate(terms):
+                pos_col[(f, t)] = f"f{fi}p{j}"
+        else:
+            pivot = (
+                sub.postings.filter(F.col("term").isin(terms))
+                .groupBy("docid", "doclen")
+                .pivot("term", terms)
+                .agg(F.first("tf"))
+                .toDF("docid", f"dl{fi}", *tcols)
+            )
+            if phrase_terms:
+                pcols = [f"f{fi}p{j}" for j in range(len(phrase_terms))]
+                ppivot = (
+                    sub.positions.filter(F.col("term").isin(phrase_terms))
+                    .groupBy("docid")
+                    .pivot("term", phrase_terms)
+                    .agg(F.first("positions"))
+                    .toDF("docid", *pcols)
+                )
+                for j, t in enumerate(phrase_terms):
+                    pos_col[(f, t)] = pcols[j]
+                pivot = pivot.join(ppivot, "docid", "left")
         base = pivot if base is None else base.join(pivot, "docid", "full_outer")
 
     extra_meta = [c for c in meta_fields if c not in ("docid", "doclen")]
