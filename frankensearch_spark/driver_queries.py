@@ -295,10 +295,7 @@ def q_bm25_phrase(spark, sf_dir):
         .groupBy("docid")
         .agg(F.count(F.lit(1)).cast("double").alias("pf"))
     )
-    stats = {
-        r["term"]: float(r["df"])
-        for r in idx.termstats.filter(F.col("term").isin([a, b])).collect()
-    }
+    stats = {t: float(df) for t, df in idx.df_of_terms([a, b]).items()}
     import math
 
     idf_sum = sum(

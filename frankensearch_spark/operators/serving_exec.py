@@ -188,10 +188,82 @@ def serving_score_ast(
     return base.mapInPandas(run, "docid long, score float")
 
 
+def ast_to_queryspec(ast):
+    """Lower a prunable AST shape to a flat QuerySpec, else None.
+
+    Convertible: single-field unboosted content Terms under one Boolean
+    level (Must/Should/MustNot) or alone — including glob expansions that
+    substituted a Should union at the root.  Phrases, metadata leaves,
+    boosts, All and nested booleans stay on the decode-and-score path.
+    The conversion is score-exact: QuerySpec clause order (Must then
+    Should) matches the kernel's aggregation order, and both paths score
+    f32 ``weight * tf / (tf + norm)`` per clause occurrence."""
+    from frankensearch_spark.operators.query import QuerySpec
+    from frankensearch_spark.query_ast import (
+        MUST,
+        MUST_NOT,
+        SHOULD,
+        TEXT,
+        Boolean,
+        Term,
+    )
+
+    def term_of(q):
+        if (
+            isinstance(q, Term)
+            and len(q.fields) == 1
+            and q.fields[0].kind == TEXT
+            and q.fields[0].name == "content"
+            and float(q.fields[0].boost) == 1.0
+        ):
+            return q.text
+        return None
+
+    t = term_of(ast)
+    if t is not None:
+        return QuerySpec(should=[t])
+    if not isinstance(ast, Boolean):
+        return None
+    spec = QuerySpec()
+    for cl in ast.clauses:
+        t = term_of(cl.query)
+        if t is None:
+            return None
+        if cl.occur == MUST:
+            spec.must.append(t)
+        elif cl.occur == SHOULD:
+            spec.should.append(t)
+        elif cl.occur == MUST_NOT:
+            spec.must_not.append(t)
+        else:
+            return None
+    if not spec.must and not spec.should:
+        return None  # pure-negative shapes need the All-repair path
+    return spec
+
+
 def serving_search_bits(index: ServingIndex, query, k: int = 10,
-                        schema: ParserSchema = ENGINE_SCHEMA):
+                        schema: ParserSchema = ENGINE_SCHEMA,
+                        prune: bool = True):
+    """Top-k bits over the durable index.  Prunable flat/boolean shapes
+    take the block-max WAND path (rank-identical by the conservative-
+    bound theorem, and cheaper: only buckets that can beat θ decode);
+    everything else decodes-and-scores through the shared kernel."""
+    ast = parse_lenient(query, schema).query if isinstance(query, str) else query
+    from frankensearch_spark.operators.astexec import expand_globs
+
+    expanded = expand_globs(index, ast)
+    if prune:
+        spec = ast_to_queryspec(expanded)
+        if spec is not None:
+            from frankensearch_spark.operators.wand import wand_topk
+
+            return [
+                (int(d), int(np.float32(s).view(np.uint32)))
+                for d, s in wand_topk(index, spec, k)
+            ]
     rows = (
-        serving_score_ast(index, query, schema)
+        serving_score_ast(index, expanded, schema)
         .orderBy(F.desc("score"), F.asc("docid"))
         .limit(k)
         .collect()

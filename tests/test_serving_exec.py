@@ -80,6 +80,38 @@ def test_phrase_serves_from_durable_index(serving, oracle, text):
     assert got == exp, text
 
 
+def test_prunable_shapes_route_through_wand(serving, oracle):
+    """Flat/boolean content queries on the serving path now take the
+    block-max WAND pruned route — results must be bit-identical to the
+    decode-and-score route and the oracle (closes the round-1 gap:
+    full-grammar serving always decoded every posting)."""
+    from frankensearch_spark.operators.serving_exec import ast_to_queryspec
+    from frankensearch_spark.query_ast import parse_lenient
+
+    routed = [
+        "term00001 term00002 term00003",
+        "fn AND NOT import",
+        "+term00001 -term00002 term00003",
+        "term000*",  # glob expands to a flat Should union at the root
+    ]
+    for text in routed:
+        ast = parse_lenient(text, ENGINE_SCHEMA).query
+        import numpy as np
+
+        exp = [
+            (d, int(np.float32(s).view(np.uint32)))
+            for d, s in oracle.search_ast(ast, 10)
+        ]
+        pruned = serving_search_bits(serving, text, k=10, prune=True)
+        decoded = serving_search_bits(serving, text, k=10, prune=False)
+        assert pruned == decoded == exp, text
+
+    # unprunable shapes still lower to None (stay on decode-and-score)
+    for text in ('"term00001 term00002"', "lang:rust fn", "term00042^2 fn"):
+        ast = parse_lenient(text, ENGINE_SCHEMA).query
+        assert ast_to_queryspec(ast) is None, text
+
+
 def test_phrase_rejected_without_positions(spark):
     """Indexes persisted with with_positions=False still validate
     capabilities (query.rs:699-752): phrases raise, they don't misscore."""
