@@ -118,6 +118,17 @@ def main() -> None:
     write_index(idx, idx_out, n_groups=1, source=corpus_path)
     write_secs = time.perf_counter() - t0
 
+    # QG-7 analogue: on-disk index bytes per document (compressed blocks
+    # + positions sidecar + docmeta/termstats/fieldstats + manifest)
+    index_bytes = 0
+    for root, _dirs, files in os.walk(idx_out):
+        for f in files:
+            index_bytes += os.path.getsize(os.path.join(root, f))
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(corpus_path, f))
+        for f in os.listdir(corpus_path)
+    )
+
     # long-lived serving mode: stats + full (term -> df) dictionary are
     # process-resident, so each query is exactly ONE Spark job
     t0 = time.perf_counter()
@@ -164,6 +175,8 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / build_secs, 1),
         "durable_write_secs": round(write_secs, 3),
         "durable_docs_per_sec": round(n_docs / (build_secs + write_secs), 1),
+        "index_bytes_per_doc": round(index_bytes / n_docs, 1),
+        "index_to_corpus_ratio": round(index_bytes / max(corpus_bytes, 1), 3),
         "class_p50": class_p50,
         "serving_mode": "warm",  # preloaded termstats (long-lived process)
         "warm_termstats_secs": round(warm_secs, 3),

@@ -112,6 +112,26 @@ def test_prunable_shapes_route_through_wand(serving, oracle):
         assert ast_to_queryspec(ast) is None, text
 
 
+def test_blocks_scan_pushes_term_filters(serving):
+    """Query-time term/tpart predicates reach the parquet scan
+    (PushedFilters) — the TERMDICT block-first-key pruning analogue."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    cand = serving.blocks.filter(
+        (F.col("tpart") == 3) & (F.col("term") == "fn")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cand.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("tpart" in ln and "term" in ln for ln in pushed), pushed
+
+
 def test_phrase_rejected_without_positions(spark):
     """Indexes persisted with with_positions=False still validate
     capabilities (query.rs:699-752): phrases raise, they don't misscore."""
