@@ -91,16 +91,24 @@ def assign_docids(
             "docid", F.row_number().over(w).cast("long") - 1
         )
     elif mode == "lease":
+        # CRITICAL: the lease id must be materialized as a COLUMN in the
+        # stage that reads the range exchange.  Calling
+        # F.spark_partition_id() again in the docid projection would
+        # re-evaluate it AFTER the window's hash exchange, where AQE can
+        # co-locate several lease groups in one physical partition —
+        # their row_numbers restart per group but share the fresh pid,
+        # so docids COLLIDE (observed at 2M docs: ~630k merged postings).
         ranged = keys.repartitionByRange(*[F.col(c) for c in key_cols])
-        w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        with_lease = ranged.withColumn("__lease", F.spark_partition_id())
+        w = Window.partitionBy("__lease").orderBy(
             *[F.col(c) for c in key_cols]
         )
-        mapdf = ranged.withColumn(
+        mapdf = with_lease.withColumn(
             "docid",
-            F.spark_partition_id().cast("long") * F.lit(DOC_ORDS_PER_LEASE)
+            F.col("__lease").cast("long") * F.lit(DOC_ORDS_PER_LEASE)
             + F.row_number().over(w).cast("long")
             - 1,
-        )
+        ).drop("__lease")
     else:
         raise ValueError(f"unknown docid mode {mode!r}")
     if broadcast_map:

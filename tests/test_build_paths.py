@@ -75,6 +75,31 @@ def test_assign_docids_null_keys_survive(spark):
         assign_docids(dup_null, ["repo", "path"])
 
 
+def test_lease_docid_plan_has_single_partition_id_eval(spark):
+    """Regression for the lease-collision bug: spark_partition_id() must
+    be evaluated exactly ONCE (materialized pre-window-exchange) — a
+    second evaluation in the docid projection runs after the window's
+    hash exchange, where AQE group-merging makes docids collide at scale
+    (only surfaces past AQE's coalesce threshold, so the plan IS the
+    test)."""
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(1000).select(
+        F.format_string("k%06d", F.col("id")).alias("key")
+    )
+    out = assign_docids(df, ["key"], mode="lease", assert_unique=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("SPARK_PARTITION_ID") == 1, plan
+    n = out.count()
+    assert out.select("docid").distinct().count() == n
+
+
 def test_lease_mode_rank_invariance(spark):
     """Default lease docids: disjoint, parallelism-invariant ranking.
 
