@@ -103,3 +103,56 @@ def test_fast_tokenizer_matches_reference_terms(text):
     # hypothesis default alphabet mismatches would surface immediately
     if all(ch.isascii() for ch in text):
         assert fast == ref
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_blockify_positions_roundtrip(data):
+    """POSITIONS sidecar round-trip: blockify -> decode reproduces every
+    posting's position array (tf-stream alignment, quiver.rs:3456)."""
+    import pandas as pd
+
+    from frankensearch_spark.operators.merge import (
+        _blockify_partition,
+        decode_blocks_pdf,
+    )
+
+    shift = 5  # tiny buckets so multi-bucket terms happen
+    terms = data.draw(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma"]),
+            min_size=1, max_size=3, unique=True,
+        )
+    )
+    rows = []
+    for t in sorted(terms):
+        docids = sorted(
+            data.draw(
+                st.sets(st.integers(min_value=0, max_value=400),
+                        min_size=1, max_size=150)
+            )
+        )
+        for d in docids:
+            tf = data.draw(st.integers(min_value=1, max_value=4))
+            pos = sorted(
+                data.draw(
+                    st.sets(st.integers(min_value=0, max_value=2000),
+                            min_size=tf, max_size=tf)
+                )
+            )
+            rows.append((t, d, tf, 40, 0, np.asarray(pos, dtype=np.int32)))
+    rows.sort(key=lambda r: (r[0], r[1] >> shift, r[1]))
+    pdf = pd.DataFrame(
+        rows, columns=["term", "docid", "tf", "doclen", "tpart", "positions"]
+    )
+    blocks = pd.concat(list(_blockify_partition([pdf], shift)))
+    docids, tfs, fids, ridx, posarr = decode_blocks_pdf(
+        blocks, shift, with_positions=True
+    )
+    got = sorted(
+        (blocks["term"].to_numpy()[ridx[i]], int(docids[i]),
+         tuple(int(x) for x in posarr[i]))
+        for i in range(len(docids))
+    )
+    exp = sorted((r[0], r[1], tuple(int(x) for x in r[5])) for r in rows)
+    assert got == exp
