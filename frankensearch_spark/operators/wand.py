@@ -270,6 +270,20 @@ def _prepare(index: ServingIndex, spec: QuerySpec):
     return weights, tf_cache, avgdl, cand
 
 
+@dataclass
+class PruningReceipt:
+    """Proof the pruned path ran and how much it skipped (the reference's
+    pruning-conformance receipts, index.rs:2434-2560, reduced to counts)."""
+
+    buckets_total: int = 0
+    buckets_scored: int = 0
+    theta: float = float("-inf")
+
+    @property
+    def buckets_skipped(self) -> int:
+        return self.buckets_total - self.buckets_scored
+
+
 def wand_topk(
     index: ServingIndex,
     spec: QuerySpec,
@@ -278,6 +292,7 @@ def wand_topk(
     prune: bool = True,
     seed_buckets: int = 4,
     seed_scan_cap: int = 64,
+    receipt: PruningReceipt | None = None,
 ) -> list[tuple[int, np.float32]]:
     """Top-k under the pinned total order via bucket-granular block-max WAND.
 
@@ -363,14 +378,16 @@ def wand_topk(
             theta = float(np.float32(winners[order[want - 1]][1]))
         else:
             theta = -math.inf
-        rest = cand.join(
-            bounds.filter(
-                (F.col("bound") >= theta) & ~F.col("bucket").isin(seed)
-            ).select("bucket"),
-            "bucket",
-            "left_semi",
-        )
+        survivors = bounds.filter(
+            (F.col("bound") >= theta) & ~F.col("bucket").isin(seed)
+        ).select("bucket")
+        rest = cand.join(survivors, "bucket", "left_semi")
         winners += run_topk(rest)
+        if receipt is not None:
+            # extra counting jobs — only on request (conformance receipts)
+            receipt.buckets_total = bounds.count()
+            receipt.buckets_scored = len(seed) + survivors.count()
+            receipt.theta = theta
         bounds.unpersist()
 
     if not winners:

@@ -147,6 +147,41 @@ def test_wand_tombstones_cogrouped(built, oracle):
         assert not any(d in set(victims) for d, _ in got)
 
 
+def test_wand_pruning_receipt(spark):
+    """The pruned path must actually SKIP buckets when bounds separate
+    (pruning receipts: not just rank-equal, provably cheaper).
+
+    Corpus shape: bucket 0 holds SHORT docs (high per-term score), later
+    buckets hold LONG docs — their conservative bounds fall below θ after
+    the seed pass, so they are never decoded."""
+    rows = []
+    for i in range(64):  # bucket 0 at shift 6: short docs
+        rows.append(("r", f"{i:05d}.rs", "c", "rust",
+                     "needle alpha beta gamma"))
+    for i in range(64, 320):  # buckets 1..4: long docs, low scores
+        filler = " ".join(f"pad{j:03d}" for j in range(50))
+        rows.append(("r", f"{i:05d}.rs", "c", "rust", f"needle {filler}"))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    built = build_index(corpus, CORPUS_KEY, docid_mode="global")
+    srv = serving_from_built(built, bucket_shift=6, n_term_partitions=8,
+                             with_positions=False)
+    from frankensearch_spark.operators.wand import PruningReceipt
+
+    spec = QuerySpec.from_text("needle")
+    r = PruningReceipt()
+    got = wand_topk(srv, spec, k=5, prune=True, seed_buckets=1, receipt=r)
+    exh = wand_topk(srv, spec, k=5, prune=False)
+    assert [(d, np.float32(s).view(np.uint32)) for d, s in got] == [
+        (d, np.float32(s).view(np.uint32)) for d, s in exh
+    ]
+    assert all(d < 64 for d, _ in got)  # winners are the short docs
+    assert r.buckets_total == 5
+    assert r.buckets_skipped > 0, (r.buckets_total, r.buckets_scored)
+    assert r.theta > float("-inf")
+
+
 def test_wand_pagination(serving, oracle):
     got = wand_topk(serving, QuerySpec.from_text("term00000"), k=10, offset=10)
     exp = oracle.search("term00000", k=10, offset=10)
