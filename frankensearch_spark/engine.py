@@ -34,6 +34,11 @@ class FrankensearchSpark:
         self.key_cols = key_cols
         self.corpus = corpus
         self.schema = schema
+        # E14 ranked-query cache (index.rs:7406-7460): keyed by
+        # (query, limit, offset) within ONE immutable snapshot — every
+        # mutating operation returns a NEW engine object, so the epoch
+        # key is the object itself and invalidation is structural
+        self._query_cache: dict = {}
 
     # --- write path -------------------------------------------------------
 
@@ -112,10 +117,20 @@ class FrankensearchSpark:
         return parse_lenient(query, self.schema)
 
     def search_docids(self, query: str, limit: int = 10, offset: int = 0):
-        """[(docid, np.float32 score)] under the pinned total order."""
+        """[(docid, np.float32 score)] under the pinned total order.
+
+        Results are cached per (query, limit, offset) for this snapshot
+        (E14); deletes/upserts/compaction build a new engine object and
+        therefore a fresh cache."""
+        key = (query, limit, offset)
+        hit = self._query_cache.get(key)
+        if hit is not None:
+            return list(hit)
         from frankensearch_spark.operators.astexec import search_ast_collect
 
-        return search_ast_collect(self.index, query, limit, offset, self.schema)
+        out = search_ast_collect(self.index, query, limit, offset, self.schema)
+        self._query_cache[key] = list(out)
+        return out
 
     def search(self, query: str, limit: int = 10, offset: int = 0):
         """[(external_id, np.float32)] — docids materialized through the

@@ -53,3 +53,25 @@ def test_lifecycle_roundtrip(eng):
     assert compacted.index.tombstones is None
     still = compacted.search_docids("fn import", limit=3)
     assert victim not in {d for d, _ in still}
+
+
+def test_ranked_query_cache(eng):
+    """E14: per-snapshot result cache — second call hits the cache (no
+    recompute), mutations get a fresh engine and a fresh cache."""
+    import time
+
+    q = "term00001 term00002"
+    first = eng.search_docids(q, limit=5)
+    t0 = time.perf_counter()
+    second = eng.search_docids(q, limit=5)
+    cached_secs = time.perf_counter() - t0
+    assert second == first
+    assert cached_secs < 0.05  # dict hit, no Spark job
+    assert (q, 5, 0) in eng._query_cache
+    # a mutation produces a NEW engine whose cache starts empty and
+    # whose results reflect the mutation
+    victim = int(first[0][0])
+    after = eng.delete_documents([victim])
+    assert after._query_cache == {}
+    got = after.search_docids(q, limit=5)
+    assert victim not in {d for d, _ in got}
