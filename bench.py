@@ -146,6 +146,23 @@ def main() -> None:
         queries[name] = round(secs, 4)
         lat.append(secs)
 
+    # serving arm: the same queries answered from the DURABLE compressed
+    # index (decode-and-score + WAND routing), long-lived process
+    from frankensearch_spark.operators.serving_exec import serving_search_bits
+    from frankensearch_spark.plans.manifest import read_index
+
+    srv = read_index(spark, idx_out)
+    srv.blocks = srv.blocks.persist()
+    srv.stats()
+    srv.preload_termstats()
+    serving_lat: list[float] = []
+    for name, text in BENCH_QUERIES.items():
+        serving_search_bits(srv, text, k=10)  # warm (plan + block cache)
+        t0 = time.perf_counter()
+        serving_search_bits(srv, text, k=10)
+        serving_lat.append(time.perf_counter() - t0)
+    serving_p50 = statistics.median(serving_lat)
+
     # per-class p50 over the frozen query set (AST path: booleans,
     # phrases, globs all supported); classes come from the Q2 classifier
     # (query_class.rs heuristics), not hand labels
@@ -178,6 +195,7 @@ def main() -> None:
         "index_bytes_per_doc": round(index_bytes / n_docs, 1),
         "index_to_corpus_ratio": round(index_bytes / max(corpus_bytes, 1), 3),
         "class_p50": class_p50,
+        "serving_index_p50": round(serving_p50, 4),
         "serving_mode": "warm",  # preloaded termstats (long-lived process)
         "warm_termstats_secs": round(warm_secs, 3),
         "cpus": cpus,

@@ -267,7 +267,7 @@ def _prepare(index: ServingIndex, spec: QuerySpec):
     cand = index.blocks.filter(
         F.col("tpart").isin(tparts) & F.col("term").isin(present)
     )
-    return weights, tf_cache, avgdl, cand
+    return weights, tf_cache, avgdl, cand, stats
 
 
 @dataclass
@@ -284,6 +284,9 @@ class PruningReceipt:
         return self.buckets_total - self.buckets_scored
 
 
+WAND_MIN_COST = 16_384  # argus.rs:31 — prune only past this posting volume
+
+
 def wand_topk(
     index: ServingIndex,
     spec: QuerySpec,
@@ -293,6 +296,7 @@ def wand_topk(
     seed_buckets: int = 4,
     seed_scan_cap: int = 64,
     receipt: PruningReceipt | None = None,
+    min_cost: int = WAND_MIN_COST,
 ) -> list[tuple[int, np.float32]]:
     """Top-k under the pinned total order via bucket-granular block-max WAND.
 
@@ -309,9 +313,15 @@ def wand_topk(
     prep = _prepare(index, spec)
     if prep is None:
         return []
-    weights, tf_cache, avgdl, cand = prep
+    weights, tf_cache, avgdl, cand, stats = prep
     shift = index.bucket_shift
     want = offset + k
+    # the reference's cost gate (argus.rs:30-31): below WAND_MIN_COST
+    # postings, bound/seed/θ orchestration costs more than one
+    # exhaustive decode pass — run that single job instead
+    query_cost = sum(stats.get(t, 0) for t in dict.fromkeys(spec.clause_terms()))
+    if query_cost < min_cost:
+        prune = False
     score_one, score_cog = _score_buckets_kernel(spec, weights, tf_cache,
                                                  want, shift)
     out_schema = "docid long, score float"

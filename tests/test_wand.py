@@ -76,14 +76,14 @@ def test_wand_pruned_equals_oracle(serving, oracle, qid):
     if any(op in text for op in (" AND ", " OR ", " NOT ", "+", "-", '"')):
         pytest.skip("boolean grammar: covered below")
     for k in (10, 100):
-        pruned = wand_bits(serving, text, k=k, prune=True)
+        pruned = wand_bits(serving, text, k=k, prune=True, min_cost=0)
         assert pruned == oracle.search_bits(text, k=k), (qid, k, "pruned")
 
 
 def test_wand_pruned_equals_exhaustive(serving):
     for text in ("fn", "term00000 term00001", "generated record fn import"):
         spec = QuerySpec.from_text(text)
-        a = wand_topk(serving, spec, k=25, prune=True)
+        a = wand_topk(serving, spec, k=25, prune=True, min_cost=0)
         b = wand_topk(serving, spec, k=25, prune=False)
         assert [(d, np.float32(s).view(np.uint32)) for d, s in a] == [
             (d, np.float32(s).view(np.uint32)) for d, s in b
@@ -112,7 +112,7 @@ def test_wand_boolean_pruned_equals_exhaustive(serving, oracle):
         QuerySpec(must=["fn", "zzzmissing"]),  # absent required term
     ]
     for spec in specs:
-        a = wand_topk(serving, spec, k=20, prune=True)
+        a = wand_topk(serving, spec, k=20, prune=True, min_cost=0)
         b = wand_topk(serving, spec, k=20, prune=False)
         assert [(d, np.float32(s).view(np.uint32)) for d, s in a] == [
             (d, np.float32(s).view(np.uint32)) for d, s in b
@@ -142,7 +142,7 @@ def test_wand_tombstones_cogrouped(built, oracle):
     orc = copy.deepcopy(oracle)
     orc.delete(victims)
     for prune in (True, False):
-        got = wand_bits(srv, "fn", k=5, prune=prune)
+        got = wand_bits(srv, "fn", k=5, prune=prune, min_cost=0)
         assert got == orc.search_bits("fn", k=5), prune
         assert not any(d in set(victims) for d, _ in got)
 
@@ -171,7 +171,7 @@ def test_wand_pruning_receipt(spark):
 
     spec = QuerySpec.from_text("needle")
     r = PruningReceipt()
-    got = wand_topk(srv, spec, k=5, prune=True, seed_buckets=1, receipt=r)
+    got = wand_topk(srv, spec, k=5, prune=True, seed_buckets=1, receipt=r, min_cost=0)
     exh = wand_topk(srv, spec, k=5, prune=False)
     assert [(d, np.float32(s).view(np.uint32)) for d, s in got] == [
         (d, np.float32(s).view(np.uint32)) for d, s in exh
