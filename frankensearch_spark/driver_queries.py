@@ -605,6 +605,61 @@ def q_ann_multiprobe_recall(spark, sf_dir):
     )
 
 
+NEAR_DUP_COS = 0.4  # synthetic near-random embeddings: ~60 pairs at sf0.01
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, the SCALE shape: candidates
+    come from an equi-join on (table, sign-bucket) over the 8 LSH tables
+    — never all-pairs — then exact cosine verifies.  8-bit buckets recall
+    only part of the near-dup mass (the honest LSH tradeoff; more tables
+    = more recall, same plan); the DuckDB twin computes the identical
+    candidate set, so parity is value-exact."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    wb = _lsh_bucket_cols(emb)
+    buckets = wb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"b{t}").alias("b")
+                    )
+                    for t in range(ANN_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    x = buckets.select(
+        F.col("vec_id").alias("v1"), F.col("t").alias("t1"),
+        F.col("b").alias("b1"),
+    )
+    y = buckets.select(
+        F.col("vec_id").alias("v2"), F.col("t").alias("t2"),
+        F.col("b").alias("b2"),
+    )
+    pairs = (
+        x.join(
+            y,
+            (F.col("t1") == F.col("t2"))
+            & (F.col("b1") == F.col("b2"))
+            & (F.col("v1") < F.col("v2")),
+        )
+        .select("v1", "v2")
+        .distinct()
+    )
+    e1 = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1"))
+    e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2"))
+    return (
+        pairs.join(e1, "v1")
+        .join(e2, "v2")
+        .select(
+            "v1", "v2", F.round(_cosine("emb1", "emb2"), 6).alias("cos_r")
+        )
+        .filter(F.col("cos_r") >= NEAR_DUP_COS)
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal slice through the REAL plumbing (binary payload column
     -> Arrow-batched mapInPandas feature kernel): sha256 witness, byte
@@ -647,6 +702,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
     "ann_multiprobe_recall": q_ann_multiprobe_recall,
+    "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -947,6 +1003,35 @@ ORACLE_SQL = {
         )
         SELECT round(count(*)::DOUBLE / 10.0, 6) AS recall_r
         FROM ann10 JOIN bf10 USING (vec_id)
+    """,
+    "embedding_near_dup": f"""
+        WITH planes AS (
+          SELECT vec_id, embedding, {_SQL_MP_PLANES} FROM embeddings
+        ),
+        bucketed AS (
+          SELECT vec_id, embedding, {_SQL_MP_BUCKETS} FROM planes
+        ),
+        tb AS (
+          {" UNION ALL ".join(f"SELECT vec_id, {t} AS t, b{t} AS b FROM bucketed" for t in range(8))}
+        ),
+        pairs AS (
+          SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+          FROM tb x JOIN tb y
+            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id
+        ),
+        scored AS (
+          SELECT p.v1, p.v2,
+                 round(
+                   list_sum(list_transform(list_zip(e1.embedding, e2.embedding),
+                            x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(e1.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                      * sqrt(list_sum(list_transform(e2.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+                   6) AS cos_r
+          FROM pairs p
+          JOIN embeddings e1 ON p.v1 = e1.vec_id
+          JOIN embeddings e2 ON p.v2 = e2.vec_id
+        )
+        SELECT v1, v2, cos_r FROM scored WHERE cos_r >= {NEAR_DUP_COS}
     """,
     "multimodal_features": f"""
         WITH h AS (
