@@ -1,0 +1,53 @@
+"""Serving-path edge probes: k=0, offset past end, empty/garbage input —
+all three executors must agree (and never error)."""
+
+import pytest
+
+from frankensearch_spark.corpus import corpus_docs
+from frankensearch_spark.operators.astexec import search_ast_bits
+from frankensearch_spark.operators.build import build_index
+from frankensearch_spark.operators.query import QuerySpec
+from frankensearch_spark.operators.serving_exec import serving_search_bits
+from frankensearch_spark.operators.wand import serving_from_built, wand_topk
+from frankensearch_spark.oracle import OracleIndex
+from frankensearch_spark.query_ast import parse_lenient
+from frankensearch_spark.sources.corpus import CORPUS_KEY, synthetic_corpus_df
+
+N = 80
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    return build_index(
+        synthetic_corpus_df(spark, N, partitions=2), CORPUS_KEY,
+        docid_mode="global",
+    )
+
+
+@pytest.fixture(scope="module")
+def srv(built):
+    return serving_from_built(built, bucket_shift=6, n_term_partitions=8)
+
+
+def test_k_zero_and_offset_past_end(built, srv):
+    assert wand_topk(srv, QuerySpec.from_text("fn"), k=0) == []
+    assert wand_topk(srv, QuerySpec.from_text("fn"), k=5, offset=10_000) == []
+    assert serving_search_bits(srv, "fn", k=0) == []
+    assert search_ast_bits(built, "fn", k=5, offset=10_000) == []
+
+
+def test_empty_and_whitespace_queries(built, srv):
+    for q in ("", "   ", "\t\n"):
+        assert serving_search_bits(srv, q, k=5) == []
+        assert search_ast_bits(built, q, k=5) == []
+
+
+def test_garbage_queries_consistent_across_paths(built, srv):
+    """Lenient-parse semantics: '!!!' drops, '???' is a 3-char glob —
+    whatever the parse, every path must emit the same bits."""
+    oracle = OracleIndex(corpus_docs(N))
+    for q in ("!!! ???", "&&&", "(((", "* OR *", "-", '"'):
+        ast = parse_lenient(q).query
+        exp = oracle.search_ast_bits(ast, k=5)
+        assert search_ast_bits(built, q, k=5) == exp, q
+        assert serving_search_bits(srv, q, k=5) == exp, q
