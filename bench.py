@@ -114,6 +114,17 @@ def main() -> None:
     idx.stats()
     build_secs = time.perf_counter() - t0
 
+    # second build arm: the pure-JVM codegen tokenizer (posting-equality
+    # tested vs the Arrow contract path; the faster choice on ASCII code
+    # corpora — no Python workers competing for cores)
+    t0 = time.perf_counter()
+    idx_sql = build_index(
+        corpus, CORPUS_KEY, docid_mode="lease", tokenizer="sql", cache=False
+    )
+    idx_sql.postings.count()
+    build_sql_secs = time.perf_counter() - t0
+    del idx_sql
+
     t0 = time.perf_counter()
     write_index(idx, idx_out, n_groups=1, source=corpus_path)
     write_secs = time.perf_counter() - t0
@@ -190,6 +201,8 @@ def main() -> None:
         "build_docs": n_docs,
         "build_secs": round(build_secs, 3),
         "build_docs_per_sec": round(n_docs / build_secs, 1),
+        "build_sql_tokenizer_secs": round(build_sql_secs, 3),
+        "build_sql_tokenizer_docs_per_sec": round(n_docs / build_sql_secs, 1),
         "durable_write_secs": round(write_secs, 3),
         "durable_docs_per_sec": round(n_docs / (build_secs + write_secs), 1),
         "index_bytes_per_doc": round(index_bytes / n_docs, 1),
