@@ -57,7 +57,9 @@ from frankensearch_spark.query_ast import (
 
 
 def _field_indexes(index) -> tuple[dict[str, BuiltIndex], BuiltIndex]:
-    if isinstance(index, MultiFieldIndex):
+    # duck-typed so the serving twins (ServingIndex / ServingMultiIndex)
+    # share glob expansion: anything with .fields is multi-field
+    if hasattr(index, "fields"):
         return index.fields, index.primary
     return {"content": index}, index
 

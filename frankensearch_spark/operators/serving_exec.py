@@ -67,53 +67,87 @@ def blocks_to_postings(
     return cand.mapInPandas(decode, schema)
 
 
+def _serving_fields(index):
+    if hasattr(index, "fields"):  # ServingMultiIndex
+        return dict(index.fields), index.primary
+    return {"content": index}, index
+
+
 def serving_score_ast(
-    index: ServingIndex, query, schema: ParserSchema = ENGINE_SCHEMA
+    index, query, schema: ParserSchema = ENGINE_SCHEMA
 ) -> DataFrame:
-    """(docid, score) over the compressed index via the shared kernel."""
-    spark = index.blocks.sparkSession
+    """(docid, score) over the compressed index via the shared kernel.
+
+    Handles single-field ServingIndex and multi-field ServingMultiIndex
+    (the durable content + title^2 shape): one tf/positions pivot per
+    queried field from that field's blocks, full-outer joined on docid,
+    each field scored with its own df/avgdl/fieldnorms — mirroring the
+    primary executor, so served bits equal in-memory bits."""
+    fidx, primary = _serving_fields(index)
+    spark = primary.blocks.sparkSession
     empty = spark.createDataFrame([], "docid long, score float")
     ast = parse_lenient(query, schema).query if isinstance(query, str) else query
     from frankensearch_spark.operators.astexec import expand_globs
 
-    ast = expand_globs(index, ast)  # duck-typed: ServingIndex has termstats
+    ast = expand_globs(index, ast)  # duck-typed over .termstats
 
     leaves = walk_leaf_terms(ast)
     phrase_terms = [t for t, needs_pos in leaves if needs_pos]
-    if phrase_terms and not index.has_positions:
-        raise ValueError(
-            "phrase queries need positions; this serving index was "
-            "persisted without the pos_bytes sidecar (rebuild/save with "
-            "with_positions=True)"
-        )
-    from frankensearch_spark.query_ast import contains_all_node
+    from frankensearch_spark.query_ast import (
+        contains_all_node,
+        walk_text_fields,
+    )
 
+    qfields = [f for f in walk_text_fields(ast) if f in fidx]
+    if phrase_terms:
+        for f in qfields:
+            if not fidx[f].has_positions:
+                raise ValueError(
+                    f"phrase queries need positions; field {f!r} was "
+                    "persisted without the pos_bytes sidecar "
+                    "(rebuild/save with with_positions=True)"
+                )
     has_all = contains_all_node(ast)
     meta_fields = walk_metadata_fields(ast)
     terms = [t for t, _ in leaves]
     if not terms and not has_all:
         return empty
 
-    doc_count, total_tokens = index.stats()
+    doc_count, _tt = primary.stats()
     if doc_count == 0:
         return empty
-    tf_cache = compute_tf_cache(compute_avgdl(total_tokens, doc_count))
-    df_stats = index.df_of_terms(terms)
+    field_df: dict[str, dict[str, int]] = {}
+    field_cache: dict[str, np.ndarray] = {}
+    for f in qfields:
+        sub = fidx[f]
+        field_df[f] = sub.df_of_terms(terms)
+        _n, total_tokens = sub.stats()
+        field_cache[f] = compute_tf_cache(
+            compute_avgdl(total_tokens, doc_count)
+        )
 
     base = None
-    tcols = [f"t{i}" for i in range(len(terms))]
-    pcols = [f"p{j}" for j in range(len(phrase_terms))]
-    if terms:
+    tf_col: dict[tuple[str, str], str] = {}
+    pos_col: dict[tuple[str, str], str] = {}
+    fn_col: dict[str, str] = {}
+    for fi, f in enumerate(qfields):
+        if not terms:
+            continue
         postings = blocks_to_postings(
-            index, terms, with_positions=bool(phrase_terms)
+            fidx[f], terms, with_positions=bool(phrase_terms)
         )
-        base = (
+        tcols = [f"f{fi}t{j}" for j in range(len(terms))]
+        pivot = (
             postings.groupBy("docid", "fieldnorm_id")
             .pivot("term", terms)
             .agg(F.first("tf"))
-            .toDF("docid", "fnid", *tcols)
+            .toDF("docid", f"fn{fi}", *tcols)
         )
+        fn_col[f] = f"fn{fi}"
+        for j, t in enumerate(terms):
+            tf_col[(f, t)] = tcols[j]
         if phrase_terms:
+            pcols = [f"f{fi}p{j}" for j in range(len(phrase_terms))]
             ppivot = (
                 postings.filter(F.col("term").isin(phrase_terms))
                 .groupBy("docid")
@@ -121,26 +155,31 @@ def serving_score_ast(
                 .agg(F.first("positions"))
                 .toDF("docid", *pcols)
             )
-            base = base.join(ppivot, "docid", "left")
+            for j, t in enumerate(phrase_terms):
+                pos_col[(f, t)] = pcols[j]
+            pivot = pivot.join(ppivot, "docid", "left")
+        base = pivot if base is None else base.join(pivot, "docid", "full_outer")
+
     extra_meta = [c for c in meta_fields if c not in ("docid", "doclen")]
     needs_doclen = "doclen" in meta_fields
+    docmeta = primary.docmeta
     if has_all:
         sel = ["docid"] + (["doclen"] if needs_doclen else []) + extra_meta
-        meta = index.docmeta.select(*sel)
+        meta = docmeta.select(*sel)
         base = meta if base is None else meta.join(base, "docid", "left")
     elif extra_meta or needs_doclen:
         sel = ["docid"] + (["doclen"] if needs_doclen else []) + extra_meta
-        base = base.join(index.docmeta.select(*sel), "docid", "left")
-    if index.tombstones is not None:
-        base = base.join(index.tombstones.select("docid"), "docid", "left_anti")
+        base = base.join(docmeta.select(*sel), "docid", "left")
+    tombstones = primary.tombstones
+    if tombstones is not None:
+        base = base.join(tombstones.select("docid"), "docid", "left_anti")
     from frankensearch_spark.operators.astexec import apply_metadata_pushdown
 
     base = apply_metadata_pushdown(base, ast)
 
-    term_col = dict(zip(terms, tcols))
-    pos_col = dict(zip(phrase_terms, pcols))
     meta_list = list(meta_fields)
-    cache = tf_cache.copy()
+    basic_of = {f.name: getattr(f, "basic", False) for f in schema.fields}
+    qfields_b = list(qfields)
 
     def run(batches):
         from frankensearch_spark.kernel import EvalContext, FieldView, eval_query
@@ -149,28 +188,34 @@ def serving_score_ast(
             n = len(pdf)
             if n == 0:
                 continue
-            tf = {
-                t: np.nan_to_num(
-                    pdf[c].to_numpy(dtype=np.float64), nan=0.0
-                ).astype(np.float32)
-                for t, c in term_col.items()
-            }
-            if "fnid" in pdf.columns:
-                fnid = np.nan_to_num(
-                    pdf["fnid"].to_numpy(dtype=np.float64), nan=0.0
-                ).astype(np.int64)
-            else:
-                fnid = np.zeros(n, dtype=np.int64)
-            positions = {
-                t: pdf[c].to_numpy(dtype=object) for t, c in pos_col.items()
-            }
-            view = FieldView(
-                n=n, fieldnorm_id=fnid, tf=tf, positions=positions,
-                df=df_stats, tf_cache=cache,
-            )
+            views = {}
+            for f in qfields_b:
+                tf = {
+                    t: np.nan_to_num(
+                        pdf[c].to_numpy(dtype=np.float64), nan=0.0
+                    ).astype(np.float32)
+                    for (ff, t), c in tf_col.items()
+                    if ff == f
+                }
+                positions = {
+                    t: pdf[c].to_numpy(dtype=object)
+                    for (ff, t), c in pos_col.items()
+                    if ff == f
+                }
+                if f in fn_col and fn_col[f] in pdf.columns:
+                    fnid = np.nan_to_num(
+                        pdf[fn_col[f]].to_numpy(dtype=np.float64), nan=0.0
+                    ).astype(np.int64)
+                else:
+                    fnid = np.zeros(n, dtype=np.int64)
+                views[f] = FieldView(
+                    n=n, fieldnorm_id=fnid, tf=tf, positions=positions,
+                    df=field_df[f], tf_cache=field_cache[f],
+                    basic=basic_of.get(f, False),
+                )
             ctx = EvalContext(
                 n=n,
-                views={"content": view},
+                views=views,
                 doc_count=doc_count,
                 meta={m: pdf[m].to_numpy(dtype=object) for m in meta_list},
             )
@@ -253,7 +298,8 @@ def serving_search_bits(index: ServingIndex, query, k: int = 10,
     from frankensearch_spark.operators.astexec import expand_globs
 
     expanded = expand_globs(index, ast)
-    if prune:
+    if prune and not hasattr(index, "fields"):
+        # WAND routing is single-field; multi-field shapes decode-and-score
         spec = ast_to_queryspec(expanded)
         if spec is not None:
             from frankensearch_spark.operators.wand import wand_topk

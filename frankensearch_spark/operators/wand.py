@@ -100,6 +100,36 @@ class ServingIndex:
         }
 
 
+@dataclass
+class ServingMultiIndex:
+    """Several single-field serving indexes over ONE docid space (the
+    durable form of MultiFieldIndex — content + title^2 etc.).
+
+    Per-field blocks/termstats/fieldstats; docmeta, tombstones and the
+    global doc_count come from the primary field."""
+
+    fields: dict[str, ServingIndex]
+    primary_name: str
+
+    @property
+    def primary(self) -> ServingIndex:
+        return self.fields[self.primary_name]
+
+    @property
+    def docmeta(self):
+        return self.primary.docmeta
+
+    @property
+    def tombstones(self):
+        return self.primary.tombstones
+
+    def stats(self) -> tuple[int, int]:
+        return self.primary.stats()
+
+    def preload_termstats(self) -> int:
+        return sum(f.preload_termstats() for f in self.fields.values())
+
+
 def serving_from_built(built, bucket_shift: int = DEFAULT_BUCKET_SHIFT,
                        n_term_partitions: int = 64, cache: bool = True,
                        with_positions: bool = True) -> ServingIndex:

@@ -86,7 +86,14 @@ def write_index(
     """Persist a BuiltIndex as a compressed serving index, resumably.
 
     Idempotent: committed groups/tables are skipped on re-run (the
-    bulk-load crash-resume rule, index.rs:6085-6090)."""
+    bulk-load crash-resume rule, index.rs:6085-6090).  A
+    MultiFieldIndex dispatches to :func:`write_multifield_index`."""
+    from frankensearch_spark.operators.build import MultiFieldIndex
+
+    if isinstance(built, MultiFieldIndex):
+        return write_multifield_index(
+            built, path, bucket_shift, n_term_partitions, n_groups, source
+        )
     os.makedirs(path, exist_ok=True)
     manifest = load_manifest(path)
     if manifest is None or manifest.completed:
@@ -166,6 +173,61 @@ def write_index(
     return manifest
 
 
+def _mf_manifest_path(path: str) -> str:
+    return os.path.join(path, "multifield.json")
+
+
+def write_multifield_index(
+    mfi,
+    path: str,
+    bucket_shift: int = DEFAULT_BUCKET_SHIFT,
+    n_term_partitions: int = DEFAULT_TERM_PARTITIONS,
+    n_groups: int = 4,
+    source: str = "",
+) -> dict:
+    """Persist a MultiFieldIndex: one serving index per field under
+    ``fields/<name>/`` plus a tiny root manifest.  Per-field writes reuse
+    :func:`write_index`'s checkpointed resume; the root commit marker
+    lands only after every field completed (same two-step discipline)."""
+    os.makedirs(path, exist_ok=True)
+    root = {
+        "version": MANIFEST_VERSION,
+        "multifield": True,
+        "fields": list(mfi.fields.keys()),
+        "primary": mfi.primary_name,
+        "source": source,
+    }
+    for name, built in mfi.fields.items():
+        write_index(
+            built, os.path.join(path, "fields", name),
+            bucket_shift, n_term_partitions, n_groups, source,
+        )
+    tmp = _mf_manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(root, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _mf_manifest_path(path))
+    with open(os.path.join(path, "_COMMITTED"), "w") as f:
+        f.write("ok\n")
+    return root
+
+
+def read_multifield_index(spark: SparkSession, path: str):
+    from frankensearch_spark.operators.wand import ServingMultiIndex
+
+    mp = _mf_manifest_path(path)
+    if not os.path.exists(mp):
+        raise FileNotFoundError(f"no multifield index at {path}")
+    with open(mp) as f:
+        root = json.load(f)
+    fields = {
+        name: read_index(spark, os.path.join(path, "fields", name))
+        for name in root["fields"]
+    }
+    return ServingMultiIndex(fields, root["primary"])
+
+
 def gc_orphans(path: str, grace_seconds: float = 300.0) -> list[str]:
     """Garbage-collect artifacts not referenced by the manifest (M4 —
     keeper.rs:85, 4260-4280: grace-window sweep of unreferenced files).
@@ -206,7 +268,9 @@ def gc_orphans(path: str, grace_seconds: float = 300.0) -> list[str]:
     return removed
 
 
-def read_index(spark: SparkSession, path: str) -> ServingIndex:
+def read_index(spark: SparkSession, path: str):
+    if os.path.exists(_mf_manifest_path(path)):
+        return read_multifield_index(spark, path)
     manifest = load_manifest(path)
     if manifest is None or not manifest.completed:
         raise FileNotFoundError(f"no completed index at {path}")

@@ -95,3 +95,22 @@ def test_doc_matching_both_fields_sums_scores(oracle):
             np.float32(c.get(d, np.float32(0.0))) + np.float32(t.get(d, np.float32(0.0)))
         )
         assert np.float32(s).view(np.uint32) == expect.view(np.uint32), d
+
+
+def test_multifield_durable_serving_matches_oracle(built, oracle, spark, tmp_path_factory):
+    """Round-2: multi-field indexes persist to the compressed block store
+    (fields/<name>/ per-field serving indexes + root manifest) and serve
+    the FULL grammar from disk — bit-identical to the oracle."""
+    from frankensearch_spark.operators.serving_exec import serving_search_bits
+    from frankensearch_spark.plans.manifest import read_index, write_index
+
+    path = str(tmp_path_factory.mktemp("mf_idx"))
+    write_index(built, path, bucket_shift=6, n_term_partitions=8, n_groups=1)
+    srv = read_index(spark, path)
+    assert set(srv.fields) == {"content", "title"}
+    assert srv.primary_name == "content"
+    for text in QUERIES:
+        ast = parse_lenient(text, REFERENCE_SCHEMA).query
+        exp = oracle.search_ast_bits(ast, k=10)
+        got = serving_search_bits(srv, text, k=10, schema=REFERENCE_SCHEMA)
+        assert got == exp, text
