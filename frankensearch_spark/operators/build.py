@@ -477,6 +477,7 @@ class MultiFieldIndex:
 
     fields: dict[str, BuiltIndex]
     primary_name: str
+    field_cols: dict[str, str] | None = None  # field -> source column
 
     @property
     def primary(self) -> BuiltIndex:
@@ -522,7 +523,7 @@ def build_multifield_index(
             meta_cols=primary_meta if fname == primary else [],
             **kw,
         )
-    return MultiFieldIndex(out, primary)
+    return MultiFieldIndex(out, primary, field_cols=dict(field_cols))
 
 
 def build_index(

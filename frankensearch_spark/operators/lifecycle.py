@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from frankensearch_spark.operators.build import (
     BuiltIndex,
+    MultiFieldIndex,
     build_fieldstats,
     build_index,
     build_termstats,
@@ -47,11 +48,17 @@ def _tombstone_df(index: BuiltIndex, docids) -> DataFrame:
     )
 
 
-def delete_documents(index: BuiltIndex, docids) -> BuiltIndex:
+def delete_documents(index, docids):
     """Tombstone documents by docid; returns a new searchable handle.
 
     Stats tables are passed through untouched — the reference's
-    "df/N include tombstoned docs until compaction" rule."""
+    "df/N include tombstoned docs until compaction" rule.  Multi-field
+    indexes tombstone on the PRIMARY field (the one query-time anti-join
+    source shared by every field)."""
+    if isinstance(index, MultiFieldIndex):
+        fields = dict(index.fields)
+        fields[index.primary_name] = delete_documents(index.primary, docids)
+        return MultiFieldIndex(fields, index.primary_name)
     ts = _tombstone_df(index, docids)
     if index.tombstones is not None:
         ts = index.tombstones.unionByName(ts).distinct()
@@ -73,28 +80,10 @@ def delete_by_key(index: BuiltIndex, key_predicate) -> BuiltIndex:
     return delete_documents(index, ids)
 
 
-def upsert_documents(
-    index: BuiltIndex,
-    new_corpus: DataFrame,
-    key_cols: list[str],
-    content_col: str = "content",
-    **build_kw,
-) -> BuiltIndex:
-    """Replace-by-external-key: index new revisions under fresh docids,
-    tombstone every existing docid sharing the key.
-
-    The fresh docids lease a block above the current high-watermark —
-    never reused, monotone (Q1 docid discipline)."""
-    hwm_row = index.docmeta.agg(F.max("docid").alias("m")).collect()[0]
-    hwm = int(hwm_row["m"]) if hwm_row["m"] is not None else -1
-
-    old_ids = index.docmeta.join(
-        new_corpus.select(*key_cols).distinct(), key_cols, "inner"
-    ).select("docid")
-
-    delta = build_index(new_corpus, key_cols, content_col, **build_kw)
-    # shift the delta's docids above the high-watermark
-    shift = hwm + 1
+def _shift_union(old: BuiltIndex, delta: BuiltIndex, shift: int,
+                 tombstones) -> BuiltIndex:
+    """Union ``delta`` into ``old`` with the delta's docids shifted above
+    the high-watermark; per-field stats recomputed over the union."""
     shifted_postings = delta.postings.withColumn(
         "docid", F.col("docid") + F.lit(shift)
     )
@@ -103,27 +92,76 @@ def upsert_documents(
     )
     shifted_positions = (
         delta.positions.withColumn("docid", F.col("docid") + F.lit(shift))
-        if delta.positions is not None and index.positions is not None
+        if delta.positions is not None and old.positions is not None
         else None
     )
-
-    postings = index.postings.unionByName(shifted_postings)
-    docmeta = index.docmeta.unionByName(
-        shifted_docmeta.select(*index.docmeta.columns)
+    postings = old.postings.unionByName(shifted_postings)
+    docmeta = old.docmeta.unionByName(
+        shifted_docmeta.select(*old.docmeta.columns)
     )
     positions = (
-        index.positions.unionByName(shifted_positions)
+        old.positions.unionByName(shifted_positions)
         if shifted_positions is not None
-        else index.positions
+        else old.positions
     )
-    merged = BuiltIndex(
+    return BuiltIndex(
         postings=postings,
         docmeta=docmeta,
         termstats=build_termstats(postings),
         fieldstats=build_fieldstats(docmeta),
         positions=positions,
-        tombstones=index.tombstones,
+        tombstones=tombstones,
     )
+
+
+def upsert_documents(
+    index,
+    new_corpus: DataFrame,
+    key_cols: list[str],
+    content_col: str = "content",
+    **build_kw,
+):
+    """Replace-by-external-key: index new revisions under fresh docids,
+    tombstone every existing docid sharing the key.
+
+    The fresh docids lease a block above the current high-watermark —
+    never reused, monotone (Q1 docid discipline).  Multi-field indexes
+    upsert every field from the same delta corpus (requires the
+    ``field_cols`` mapping the index was built with)."""
+    hwm_row = index.docmeta.agg(F.max("docid").alias("m")).collect()[0]
+    hwm = int(hwm_row["m"]) if hwm_row["m"] is not None else -1
+    shift = hwm + 1
+
+    old_ids = index.docmeta.join(
+        new_corpus.select(*key_cols).distinct(), key_cols, "inner"
+    ).select("docid")
+
+    if isinstance(index, MultiFieldIndex):
+        if not getattr(index, "field_cols", None):
+            raise ValueError(
+                "multi-field upsert needs the index's field_cols mapping "
+                "(build via build_multifield_index)"
+            )
+        from frankensearch_spark.operators.build import build_multifield_index
+
+        delta = build_multifield_index(
+            new_corpus, key_cols, index.field_cols,
+            primary=index.primary_name, **build_kw,
+        )
+        fields = {
+            name: _shift_union(
+                index.fields[name], delta.fields[name], shift,
+                index.fields[name].tombstones,
+            )
+            for name in index.fields
+        }
+        merged = MultiFieldIndex(
+            fields, index.primary_name, field_cols=index.field_cols
+        )
+        return delete_documents(merged, old_ids)
+
+    delta = build_index(new_corpus, key_cols, content_col, **build_kw)
+    merged = _shift_union(index, delta, shift, index.tombstones)
     return delete_documents(merged, old_ids)
 
 
@@ -136,15 +174,33 @@ def tombstone_density(index: BuiltIndex) -> float:
     return index.tombstones.count() / n_docs
 
 
-def compact(index: BuiltIndex, force: bool = False, cache: bool = True) -> BuiltIndex:
+def compact(index, force: bool = False, cache: bool = True):
     """Fold tombstones: rewrite without dead docs, preserving surviving
     docids; stats recomputed from survivors (keeper.rs:4219-4253).
 
-    No-op below the 20% density threshold unless ``force``."""
+    No-op below the 20% density threshold unless ``force``.  Multi-field
+    indexes fold the (primary-held) tombstone set into EVERY field."""
     if index.tombstones is None:
         return index
     if not force and tombstone_density(index) <= TOMBSTONE_COMPACT_THRESHOLD:
         return index
+    if isinstance(index, MultiFieldIndex):
+        ts = index.tombstones
+        fields = {}
+        for name, sub in index.fields.items():
+            with_ts = BuiltIndex(
+                postings=sub.postings,
+                docmeta=sub.docmeta,
+                termstats=sub.termstats,
+                fieldstats=sub.fieldstats,
+                positions=sub.positions,
+                tombstones=ts,
+            )
+            fields[name] = compact(with_ts, force=True, cache=cache)
+        return MultiFieldIndex(
+            fields, index.primary_name,
+            field_cols=getattr(index, "field_cols", None),
+        )
     ts = index.tombstones
     postings = index.postings.join(ts, "docid", "left_anti")
     docmeta = index.docmeta.join(ts, "docid", "left_anti")

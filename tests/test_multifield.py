@@ -114,3 +114,59 @@ def test_multifield_durable_serving_matches_oracle(built, oracle, spark, tmp_pat
         exp = oracle.search_ast_bits(ast, k=10)
         got = serving_search_bits(srv, text, k=10, schema=REFERENCE_SCHEMA)
         assert got == exp, text
+
+
+def test_multifield_lifecycle(built, oracle, spark):
+    """Round-2: delete / compact / upsert on multi-field indexes —
+    same reference laws as single-field (scores stable under delete,
+    survivors re-scored after compaction, upsert replaces by key)."""
+    import copy
+
+    from frankensearch_spark.operators.lifecycle import (
+        compact,
+        delete_documents,
+        upsert_documents,
+    )
+
+    text = "rust ownership borrowing"
+    ast = parse_lenient(text, REFERENCE_SCHEMA).query
+    baseline = search_ast_bits(built, ast, k=5, schema=REFERENCE_SCHEMA)
+    victims = [d for d, _ in baseline[:2]]
+
+    deleted = delete_documents(built, victims)
+    orc = copy.deepcopy(oracle)
+    orc.delete(victims)
+    got = search_ast_bits(deleted, ast, k=5, schema=REFERENCE_SCHEMA)
+    assert got == orc.search_ast_bits(ast, k=5)
+    # surviving docs keep their exact pre-delete bits (stats rule)
+    base_bits = dict(baseline)
+    for d, bits in got:
+        if d in base_bits:
+            assert bits == base_bits[d]
+
+    # compaction folds tombstones into EVERY field; oracle rebuilt
+    compacted = compact(deleted, force=True)
+    assert compacted.tombstones is None
+    survivors = [
+        (d, t) for d, t in _docs() if d not in set(victims)
+    ]
+    orc2 = OracleMultiIndex(survivors, ["content", "title"])
+    got2 = search_ast_bits(compacted, ast, k=5, schema=REFERENCE_SCHEMA)
+    assert got2 == orc2.search_ast_bits(ast, k=5)
+
+    # upsert: replace one doc's content+title by key, add one new doc
+    row = built.docmeta.limit(1).collect()[0]
+    new_rows = [
+        (int(row["docid"]), "zzfresh title ownership", "zzfresh rust body"),
+        (10_000, "zzfresh another", "zzfresh content"),
+    ]
+    nc = spark.createDataFrame(
+        new_rows, "docid long, title string, content string"
+    )
+    up = upsert_documents(built, nc, ["docid"])
+    hits = search_ast_bits(up, parse_lenient("zzfresh", REFERENCE_SCHEMA).query,
+                           k=5, schema=REFERENCE_SCHEMA)
+    assert len(hits) == 2
+    old_id = int(row["docid"])
+    all_hits = search_ast_bits(up, ast, k=200, schema=REFERENCE_SCHEMA)
+    assert old_id not in {d for d, _ in all_hits}
