@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from frankensearch_spark.contract import compute_avgdl, compute_tf_cache
-from frankensearch_spark.operators.build import BuiltIndex, MultiFieldIndex
+from frankensearch_spark.operators.build import BuiltIndex
 from frankensearch_spark.query_ast import (
     ENGINE_SCHEMA,
     KEYWORD,
