@@ -348,9 +348,16 @@ def wand_topk(
     want = offset + k
     # the reference's cost gate (argus.rs:30-31): below WAND_MIN_COST
     # postings, bound/seed/θ orchestration costs more than one
-    # exhaustive decode pass — run that single job instead
+    # exhaustive decode pass — run that single job instead.  Pruning also
+    # needs enough BUCKETS that skipping some is worth the extra jobs:
+    # below ~4x the seed set, the seed pass already touches most of the
+    # corpus (bucket count ≈ doc_count / 2^shift, no job needed).
+    # (min_cost=0 forces the pruned path — the tests' conformance mode)
     query_cost = sum(stats.get(t, 0) for t in dict.fromkeys(spec.clause_terms()))
-    if query_cost < min_cost:
+    est_buckets = max(1, index.stats()[0] >> shift)
+    if min_cost > 0 and (
+        query_cost < min_cost or est_buckets < 4 * seed_buckets
+    ):
         prune = False
     score_one, score_cog = _score_buckets_kernel(spec, weights, tf_cache,
                                                  want, shift)
