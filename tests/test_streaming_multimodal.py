@@ -102,6 +102,22 @@ def test_incremental_equals_batch_scores(spark, stream_dirs):
         for _d, s in search_ast_collect(batch, '"generated record"', k=10)
     )
 
+    # streamed -> durable -> served: the mini-segment snapshot persists
+    # to the compressed block store (huge lease docids and all) and
+    # serves phrases from disk with the same score bits
+    import os
+
+    from frankensearch_spark.operators.serving_exec import serving_search_bits
+    from frankensearch_spark.plans.manifest import read_index, write_index
+
+    idx_path = os.path.join(out, "durable_idx")
+    write_index(merged, idx_path, n_groups=1)
+    srv = read_index(spark, idx_path)
+    got = serving_search_bits(srv, '"generated record"', k=10)
+    assert sorted(bits for _d, bits in got) == sorted(
+        int(np.float32(s).view(np.uint32)) for _d, s in ph
+    )
+
 
 def test_multimodal_plumbing(spark):
     from frankensearch_spark.operators.multimodal import (
