@@ -241,6 +241,15 @@ def gc_orphans(path: str, grace_seconds: float = 300.0) -> list[str]:
 
     manifest = load_manifest(path)
     if manifest is None:
+        if os.path.exists(_mf_manifest_path(path)):
+            with open(_mf_manifest_path(path)) as f:
+                root = json.load(f)
+            out: list[str] = []
+            for name in root.get("fields", ()):
+                out += gc_orphans(
+                    os.path.join(path, "fields", name), grace_seconds
+                )
+            return out
         return []
     removed: list[str] = []
     now = _time.time()
