@@ -200,3 +200,31 @@ def test_title_and_content_both_match(built):
                            schema=CASS_SCHEMA)
     )
     assert all(np.float32(s) > 0 for s in scores.values())
+
+
+def test_cass_prefix_durable_serving(built_prefix, spark, tmp_path_factory):
+    """The 4-field CASS index (incl. Basic prefix fields) persists to the
+    block store and serves partial-word queries from disk with the same
+    bits as the in-memory executor."""
+    import numpy as np
+
+    from frankensearch_spark.operators.serving_exec import serving_search_bits
+    from frankensearch_spark.plans.manifest import read_index, write_index
+
+    path = str(tmp_path_factory.mktemp("cass_idx"))
+    write_index(built_prefix, path, bucket_shift=6, n_term_partitions=8,
+                n_groups=1)
+    srv = read_index(spark, path)
+    assert set(srv.fields) == {
+        "title", "content", "title_prefix", "content_prefix"
+    }
+    for text in ("aut", "cach", "auth token", "toke -deprecated"):
+        ast = parse_cass(text).query
+        exp = [
+            (d, int(np.float32(s).view(np.uint32)))
+            for d, s in search_ast_collect(
+                built_prefix, ast, k=10, schema=CASS_SCHEMA
+            )
+        ]
+        got = serving_search_bits(srv, ast, k=10, schema=CASS_SCHEMA)
+        assert got == exp, text
