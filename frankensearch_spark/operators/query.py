@@ -39,11 +39,17 @@ from frankensearch_spark.operators.build import BuiltIndex
 
 @dataclass
 class QuerySpec:
-    """Boolean query: Should union, Must intersection, MustNot exclusion."""
+    """Boolean query: Should union, Must intersection, MustNot exclusion.
+
+    ``boosts``: optional per-term boost (default 1.0) — multiplies the
+    term's weight exactly like the reference's inherited boost
+    (argus.rs:1521-1523), so boosted flat/boolean shapes stay prunable.
+    A term must carry ONE boost across all its clauses."""
 
     should: list[str] = field(default_factory=list)
     must: list[str] = field(default_factory=list)
     must_not: list[str] = field(default_factory=list)
+    boosts: dict = field(default_factory=dict)
 
     @staticmethod
     def from_text(text: str) -> "QuerySpec":
@@ -52,6 +58,9 @@ class QuerySpec:
     def clause_terms(self) -> list[str]:
         """Scored clauses in accumulation order: Must first, then Should."""
         return list(self.must) + list(self.should)
+
+    def boost_of(self, term: str) -> float:
+        return float(self.boosts.get(term, 1.0))
 
 
 def _make_score_udf(clause_terms, col_of_term, weights, tf_cache):
@@ -111,7 +120,9 @@ def score_dataframe(index: BuiltIndex, spec: QuerySpec) -> DataFrame:
     doc_count, total_tokens = index.stats()
     avgdl = compute_avgdl(total_tokens, doc_count)
     tf_cache = compute_tf_cache(avgdl)
-    weights = {t: term_weight(stats[t], doc_count) for t in present}
+    weights = {
+        t: term_weight(stats[t], doc_count, spec.boost_of(t)) for t in present
+    }
 
     p = index.postings.filter(F.col("term").isin(present)).select(
         "term", "docid", "tf", "doclen"

@@ -236,13 +236,18 @@ def serving_score_ast(
 def ast_to_queryspec(ast):
     """Lower a prunable AST shape to a flat QuerySpec, else None.
 
-    Convertible: single-field unboosted content Terms under one Boolean
-    level (Must/Should/MustNot) or alone — including glob expansions that
+    Convertible: single-field content Terms (boosted or not — Boost
+    chains fold into the spec's per-term boost in the kernel's exact
+    f32 multiplication order) under one Boolean level
+    (Must/Should/MustNot) or alone — including glob expansions that
     substituted a Should union at the root.  Phrases, metadata leaves,
-    boosts, All and nested booleans stay on the decode-and-score path.
-    The conversion is score-exact: QuerySpec clause order (Must then
-    Should) matches the kernel's aggregation order, and both paths score
-    f32 ``weight * tf / (tf + norm)`` per clause occurrence."""
+    All, nested booleans and terms with CONFLICTING boosts stay on the
+    decode-and-score path.  The conversion is score-exact: QuerySpec
+    clause order (Must then Should) matches the kernel's aggregation
+    order, and both paths score f32 ``weight * tf / (tf + norm)`` per
+    clause occurrence."""
+    import numpy as np
+
     from frankensearch_spark.operators.query import QuerySpec
     from frankensearch_spark.query_ast import (
         MUST,
@@ -250,37 +255,56 @@ def ast_to_queryspec(ast):
         SHOULD,
         TEXT,
         Boolean,
+        Boost,
         Term,
     )
 
     def term_of(q):
+        """(term, f32 boost) for a content-field Term (Boost chains
+        folded step-by-step in f32, mirroring kernel eval), else None."""
+        b = np.float32(1.0)
+        while isinstance(q, Boost):
+            b = np.float32(b * np.float32(q.factor))
+            q = q.query
         if (
             isinstance(q, Term)
             and len(q.fields) == 1
             and q.fields[0].kind == TEXT
             and q.fields[0].name == "content"
-            and float(q.fields[0].boost) == 1.0
         ):
-            return q.text
+            return q.text, np.float32(b * np.float32(q.fields[0].boost))
         return None
 
-    t = term_of(ast)
-    if t is not None:
-        return QuerySpec(should=[t])
+    def add(spec, t, b, lst):
+        prev = spec.boosts.get(t)
+        if prev is not None and np.float32(prev) != b:
+            return False  # conflicting boosts: not expressible per-term
+        spec.boosts[t] = float(b)
+        lst.append(t)
+        return True
+
+    spec = QuerySpec()
+    tb = term_of(ast)
+    if tb is not None:
+        add(spec, tb[0], tb[1], spec.should)
+        return spec
     if not isinstance(ast, Boolean):
         return None
-    spec = QuerySpec()
     for cl in ast.clauses:
-        t = term_of(cl.query)
-        if t is None:
+        tb = term_of(cl.query)
+        if tb is None:
             return None
+        t, b = tb
         if cl.occur == MUST:
-            spec.must.append(t)
+            ok = add(spec, t, b, spec.must)
         elif cl.occur == SHOULD:
-            spec.should.append(t)
+            ok = add(spec, t, b, spec.should)
         elif cl.occur == MUST_NOT:
+            ok = True
             spec.must_not.append(t)
         else:
+            return None
+        if not ok:
             return None
     if not spec.must and not spec.should:
         return None  # pure-negative shapes need the All-repair path

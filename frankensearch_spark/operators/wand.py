@@ -288,7 +288,7 @@ def _prepare(index: ServingIndex, spec: QuerySpec):
     avgdl = compute_avgdl(total_tokens, doc_count)
     tf_cache = compute_tf_cache(avgdl)
     weights = {
-        t: np.float32(term_weight(stats[t], doc_count))
+        t: np.float32(term_weight(stats[t], doc_count, spec.boost_of(t)))
         for t in uniq
         if t in stats and t not in spec.must_not
     }

@@ -93,6 +93,8 @@ def test_prunable_shapes_route_through_wand(serving, oracle):
         "fn AND NOT import",
         "+term00001 -term00002 term00003",
         "term000*",  # glob expands to a flat Should union at the root
+        "term00042^2 term00100",        # boosted terms fold into the spec
+        "term00001^0.5 AND term00002",  # boosted Must
     ]
     for text in routed:
         ast = parse_lenient(text, ENGINE_SCHEMA).query
@@ -107,7 +109,8 @@ def test_prunable_shapes_route_through_wand(serving, oracle):
         assert pruned == decoded == exp, text
 
     # unprunable shapes still lower to None (stay on decode-and-score)
-    for text in ('"term00001 term00002"', "lang:rust fn", "term00042^2 fn"):
+    for text in ('"term00001 term00002"', "lang:rust fn",
+                 "term00042^2 term00042"):  # conflicting per-term boosts
         ast = parse_lenient(text, ENGINE_SCHEMA).query
         assert ast_to_queryspec(ast) is None, text
 
