@@ -413,6 +413,9 @@ class BuiltIndex:
     # NOT from stats (grimoire.rs:68-71 rule; folded by lifecycle.compact)
     postings_full: DataFrame | None = None  # postings WITH positions (same
     # rows) — lets the block-store writer skip the (docid, term) re-join
+    bucket_aligned_shift: int | None = None  # postings physically
+    # co-partitioned by docid >> shift (build repartition) — enables the
+    # local-sort blockify fast path in merge.build_blocks
     _cached_stats: tuple[int, int] | None = None
     _term_df_cache: dict | None = None
 
@@ -537,6 +540,7 @@ def build_index(
     tokenizer: str = "arrow",
     n_build_partitions: int | None = None,
     meta_cols: list[str] | None = None,
+    bucket_aligned: bool = False,
 ) -> BuiltIndex:
     """Full batch build: corpus -> postings/docmeta/termstats/fieldstats.
 
@@ -558,10 +562,24 @@ def build_index(
     # which would leave most cores idle through the CPU-heavy tokenize
     # stage.  An explicit numbered repartition is exempt from coalescing,
     # so the build fans out to every core (measured 4x at local[32]).
-    # Hashing by docid (evenly distributed) additionally leaves the cached
-    # postings hash-partitioned on docid, so query-time groupBy(docid)
-    # pivots run EXCHANGE-FREE against the cache.
-    with_docid = with_docid.repartition(n_build_partitions, "docid")
+    # Hashing by docid keeps the tokenize stage perfectly BALANCED.
+    # (A bucket-aligned variant — repartition by docid >> bucket_shift,
+    # enabling merge.build_blocks' local-sort fast path — was measured
+    # NET-SLOWER on this VM: the coarse bucket keys skew the CPU-heavy
+    # tokenize stage more than the smaller write exchange saves.  On a
+    # real cluster with network shuffle the trade can reverse; the fast
+    # path stays available via bucket_aligned=True.)
+    if bucket_aligned:
+        from frankensearch_spark.operators.merge import DEFAULT_BUCKET_SHIFT
+
+        with_docid = with_docid.repartition(
+            n_build_partitions * 4,
+            F.shiftright(F.col("docid"), DEFAULT_BUCKET_SHIFT),
+        )
+        aligned_shift = DEFAULT_BUCKET_SHIFT
+    else:
+        with_docid = with_docid.repartition(n_build_partitions, "docid")
+        aligned_shift = None
     if cache:
         # docmeta re-reads this frame; without a persist the docid
         # assignment and repartition would run twice
@@ -598,4 +616,5 @@ def build_index(
     return BuiltIndex(
         postings, docmeta, termstats, fieldstats, positions,
         postings_full=postings_full,
+        bucket_aligned_shift=aligned_shift,
     )

@@ -69,6 +69,8 @@ def delete_documents(index, docids):
         fieldstats=index.fieldstats,
         positions=index.positions,
         tombstones=ts,
+        postings_full=getattr(index, "postings_full", None),
+        bucket_aligned_shift=getattr(index, "bucket_aligned_shift", None),
         _cached_stats=index._cached_stats,
     )
 

@@ -167,18 +167,130 @@ def _blockify_partition(pdfs, bucket_shift: int):
         )
 
 
+def _blockify_arrow(batches, bucket_shift: int):
+    """mapInArrow twin of :func:`_blockify_partition` — byte-identical
+    output, no per-cell Python: the positions list column is consumed as
+    its FLAT values + offsets (zero-copy), and term run boundaries come
+    from one vectorized Arrow compare.  Equality with the pandas kernel
+    is pinned by tests."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from frankensearch_spark.functions.vbyte import vbyte_encode_segmented
+
+    for rb in batches:
+        n_rows = rb.num_rows
+        if n_rows == 0:
+            continue
+        names = rb.schema.names
+        col = {n: rb.column(i) for i, n in enumerate(names)}
+        docids = col["docid"].to_numpy()
+        tfs = col["tf"].to_numpy().astype(np.int64)
+        tparts = col["tpart"].to_numpy().astype(np.int64)
+        fids = fieldnorm_to_id(
+            col["doclen"].to_numpy().astype(np.int64)
+        ).astype(np.uint8)
+        buckets = (docids >> bucket_shift).astype(np.int64)
+        terms_pa = col["term"]
+
+        change = np.empty(n_rows, dtype=bool)
+        change[0] = True
+        if n_rows > 1:
+            term_neq = pc.not_equal(
+                terms_pa.slice(1), terms_pa.slice(0, n_rows - 1)
+            ).to_numpy(zero_copy_only=False)
+            change[1:] = term_neq | (buckets[1:] != buckets[:-1])
+        g_starts = np.nonzero(change)[0]
+        g_sizes = np.diff(np.append(g_starts, n_rows))
+        idx_in_group = np.arange(n_rows, dtype=np.int64) - np.repeat(
+            g_starts, g_sizes
+        )
+        b_start_mask = (idx_in_group % POSTINGS_PER_BLOCK) == 0
+        b_starts = np.nonzero(b_start_mask)[0]
+        b_sizes = np.diff(np.append(b_starts, n_rows))
+
+        offs = (docids - (buckets << bucket_shift)).astype(np.uint64)
+        deltas = np.empty(n_rows, dtype=np.uint64)
+        deltas[0] = offs[0]
+        deltas[1:] = offs[1:] - offs[:-1]
+        deltas[b_starts] = offs[b_starts]
+
+        doc_bytes = vbyte_encode_segmented(deltas, b_starts)
+        tf_bytes = vbyte_encode_segmented(tfs.astype(np.uint64), b_starts)
+        norm_raw = fids.tobytes()
+        norm_bounds = np.append(b_starts, n_rows)
+        norm_bytes = [
+            norm_raw[norm_bounds[i] : norm_bounds[i + 1]]
+            for i in range(b_starts.size)
+        ]
+        max_tf = np.minimum(np.maximum.reduceat(tfs, b_starts), 255)
+        min_fn = np.minimum.reduceat(fids, b_starts)
+
+        has_pos = "positions" in col and col["positions"].null_count < n_rows
+        if has_pos:
+            plist = col["positions"]
+            flat = plist.flatten().to_numpy().astype(np.int64)
+            per_row = pc.list_value_length(plist).to_numpy(
+                zero_copy_only=False
+            )
+            per_row = np.nan_to_num(per_row.astype(np.float64), nan=0.0).astype(
+                np.int64
+            )
+            if not np.array_equal(per_row, tfs):
+                raise ValueError("positions misaligned with tf")
+            pos_offsets = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(per_row[:-1], out=pos_offsets[1:])
+            pos_bytes = vbyte_encode_segmented(
+                flat.astype(np.uint64), pos_offsets[b_starts]
+            )
+            pos_arr = pa.array(pos_bytes, type=pa.binary())
+        else:
+            pos_arr = pa.nulls(b_starts.size, type=pa.binary())
+
+        take_idx = pa.array(b_starts, type=pa.int64())
+        yield pa.RecordBatch.from_arrays(
+            [
+                pc.take(terms_pa, take_idx),
+                pa.array(buckets[b_starts], type=pa.int64()),
+                pa.array(docids[b_starts], type=pa.int64()),
+                pa.array(b_sizes.astype(np.int32), type=pa.int32()),
+                pa.array(doc_bytes, type=pa.binary()),
+                pa.array(tf_bytes, type=pa.binary()),
+                pa.array(norm_bytes, type=pa.binary()),
+                pa.array(max_tf.astype(np.int32), type=pa.int32()),
+                pa.array(min_fn.astype(np.int32), type=pa.int32()),
+                pa.array(tparts[b_starts].astype(np.int32), type=pa.int32()),
+                pos_arr,
+            ],
+            names=[
+                "term", "bucket", "first_doc", "n", "doc_bytes", "tf_bytes",
+                "norm_bytes", "max_tf_code", "min_fieldnorm_id", "tpart",
+                "pos_bytes",
+            ],
+        )
+
+
 def build_blocks(
     postings: DataFrame,
     bucket_shift: int = DEFAULT_BUCKET_SHIFT,
     n_term_partitions: int = DEFAULT_TERM_PARTITIONS,
     shuffle_partitions: int | None = None,
     positions: DataFrame | None = None,
+    aligned_shift: int | None = None,
 ) -> DataFrame:
     """postings -> compressed block table.
 
-    One wide exchange: repartition by (term, bucket) — the docid-bucket
-    component is the explicit skew salt — then a partition-local sort and
-    a single vectorized blockify pass.
+    Default path — one wide exchange: repartition by (term, bucket) —
+    the docid-bucket component is the explicit skew salt — then a
+    partition-local sort and a single vectorized blockify pass.
+
+    Bucket-aligned fast path (``aligned_shift == bucket_shift``): when
+    the postings are already PHYSICALLY co-partitioned by docid bucket
+    (the build repartitions by ``docid >> DEFAULT_BUCKET_SHIFT``), every
+    (term, bucket) group is partition-local, so blockify needs only a
+    LOCAL sort — the wide exchange then moves the ~64x smaller ENCODED
+    block rows instead of raw postings (positions payload included).
+    The output rows are identical; only the exchange placement differs.
 
     ``positions`` (docid, term, positions array<int>): when given, each
     block also carries a vbyte-packed POSITIONS sidecar (``pos_bytes``),
@@ -186,7 +298,8 @@ def build_blocks(
     positions artifact.  If ``postings`` itself already carries a
     ``positions`` column (the build's fused frame) it is used directly —
     no join; otherwise the sidecar joins on the exact posting identity
-    and rides the same (term, bucket) exchange.
+    (which destroys physical alignment, so the join path always takes
+    the full exchange).
     """
     spark = postings.sparkSession
     n_shuffle = int(
@@ -194,6 +307,7 @@ def build_blocks(
         or max(spark.sparkContext.defaultParallelism * 4, 16)
     )
     cols = ["term", "docid", "tf", "doclen"]
+    joined = False
     if positions is not None and "positions" in postings.columns:
         src = postings.select(*cols, "positions")
     else:
@@ -201,6 +315,7 @@ def build_blocks(
         if positions is not None:
             src = src.join(positions.select("docid", "term", "positions"),
                            ["docid", "term"], "left")
+            joined = True
     src = (
         src
         .withColumn("bucket", F.shiftright(F.col("docid"), bucket_shift))
@@ -214,6 +329,21 @@ def build_blocks(
         # which (thash, term) preserves.
         .withColumn("thash", F.xxhash64(F.col("term")))
     )
+    if aligned_shift == bucket_shift and not joined:
+        arranged = src.sortWithinPartitions(
+            "tpart", "thash", "term", "bucket", "docid"
+        ).drop("thash")
+        blocks = arranged.mapInArrow(
+            lambda it: _blockify_arrow(it, bucket_shift), BLOCKS_SCHEMA
+        )
+        # disk-layout exchange over BLOCK rows: HASH on tpart (a range
+        # partitioner would sample — recomputing the whole blockify a
+        # second time); with n_shuffle >= n_term_partitions most files
+        # carry a single tpart, and the within-partition sort keeps
+        # row-group min/max spans narrow for scan pruning
+        return blocks.repartition(
+            max(n_shuffle, n_term_partitions), "tpart"
+        ).sortWithinPartitions("tpart", "term", "bucket", "first_doc")
     # RANGE partition on (tpart, thash, ..., docid): contiguous global
     # term partitions on disk (plain parquet files carry narrow tpart
     # min/max -> row-group pruning at query time), while the sampling
@@ -223,8 +353,8 @@ def build_blocks(
     arranged = src.repartitionByRange(
         n_shuffle, "tpart", "thash", "term", "bucket", "docid"
     ).sortWithinPartitions("tpart", "thash", "term", "bucket", "docid").drop("thash")
-    return arranged.mapInPandas(
-        lambda it: _blockify_partition(it, bucket_shift), BLOCKS_SCHEMA
+    return arranged.mapInArrow(
+        lambda it: _blockify_arrow(it, bucket_shift), BLOCKS_SCHEMA
     )
 
 

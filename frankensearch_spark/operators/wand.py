@@ -140,6 +140,7 @@ def serving_from_built(built, bucket_shift: int = DEFAULT_BUCKET_SHIFT,
     blocks = build_blocks(
         built.postings if (full is None or positions is None) else full,
         bucket_shift, n_term_partitions, positions=positions,
+        aligned_shift=getattr(built, "bucket_aligned_shift", None),
     )
     if cache:
         blocks = blocks.persist()

@@ -117,6 +117,7 @@ def write_index(
         built.postings if full is None else full,
         bucket_shift, n_term_partitions,
         positions=getattr(built, "positions", None),
+        aligned_shift=getattr(built, "bucket_aligned_shift", None),
     )
     # with one group the block stream writes straight through (no second
     # pass, no cache); staged builds pay one persist for the group filters

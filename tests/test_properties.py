@@ -146,6 +146,21 @@ def test_blockify_positions_roundtrip(data):
         rows, columns=["term", "docid", "tf", "doclen", "tpart", "positions"]
     )
     blocks = pd.concat(list(_blockify_partition([pdf], shift)))
+    # the production mapInArrow kernel must emit byte-identical blocks
+    import pyarrow as pa
+
+    from frankensearch_spark.operators.merge import _blockify_arrow
+
+    rb = pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+    arrow_blocks = pa.Table.from_batches(
+        list(_blockify_arrow([rb], shift))
+    ).to_pandas()
+    assert list(arrow_blocks.columns) == list(blocks.columns)
+    a = arrow_blocks.reset_index(drop=True)
+    b = blocks.reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in blocks.columns:
+        assert a[c].tolist() == b[c].tolist(), c
     docids, tfs, fids, ridx, posarr = decode_blocks_pdf(
         blocks, shift, with_positions=True
     )
