@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from frankensearch_spark.operators.build import BuiltIndex, build_index
+from frankensearch_spark.operators.build import (
+    BuiltIndex,
+    build_index,
+    positions_as_array,
+)
 from frankensearch_spark.sources.corpus import load_documents_as_corpus
 
 # ---------------------------------------------------------------------------
@@ -130,7 +134,7 @@ def _bm25_spark(spark, sf_dir, terms: list[str], k: int) -> DataFrame:
 
 def q_tokenize_explode(spark, sf_dir):
     idx = documents_index(spark, sf_dir)
-    p = idx.positions.filter(F.col("docid") < 100)
+    p = positions_as_array(idx.positions.filter(F.col("docid") < 100))
     return p.select("docid", "term", F.explode("positions").alias("pos"))
 
 
@@ -280,7 +284,7 @@ def q_bm25_phrase(spark, sf_dir):
     n_docs, total_tokens = idx.stats()
     avgdl = total_tokens / n_docs
     a, b = "key", "order"
-    pos = idx.positions.filter(F.col("term").isin([a, b]))
+    pos = positions_as_array(idx.positions.filter(F.col("term").isin([a, b])))
     pa = pos.filter(F.col("term") == a).select(
         "docid", F.explode("positions").alias("p")
     )
@@ -357,7 +361,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     """Token 3-shingle Jaccard similarity over the docid<30 pair grid
     (n-gram near-dup measure; bounded pair set keeps it oracle-sized)."""
     idx = documents_index(spark, sf_dir)
-    pos = idx.positions.filter(F.col("docid") < 30).select(
+    pos = positions_as_array(idx.positions.filter(F.col("docid") < 30)).select(
         "docid", F.col("term"), F.explode("positions").alias("pos")
     )
     a, b, c = pos.alias("a"), pos.alias("b"), pos.alias("c")

@@ -39,18 +39,22 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def vbyte_encode_segmented(values: np.ndarray, seg_starts: np.ndarray) -> list[bytes]:
-    """Encode one big uint32 array, sliced back into per-segment buffers.
-
-    ``seg_starts``: value indices where each segment begins (ascending,
-    first element 0).  One vectorized encode for ALL segments — the
-    per-segment cost is a bytes slice, not a numpy kernel launch.  Output
-    is byte-identical to ``vbyte_encode`` applied per segment.
-    """
+def vbyte_encode_chunks(
+    values: np.ndarray, seg_starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized segmented encode in BUFFER form: ``(data uint8[],
+    byte_bounds int64[n_seg+1])`` — segment *i*'s bytes are
+    ``data[bounds[i]:bounds[i+1]]``.  This is the zero-materialization
+    twin of :func:`vbyte_encode_segmented`: feed ``bounds``/``data``
+    straight into ``pa.Array.from_buffers(pa.binary(), ...)`` so a
+    200M-posting batch never allocates 200M Python bytes objects."""
     arr = np.asarray(values, dtype=np.uint64)
     seg_starts = np.asarray(seg_starts, dtype=np.int64)
     if arr.size == 0:
-        return [b""] * seg_starts.size
+        return (
+            np.empty(0, dtype=np.uint8),
+            np.zeros(seg_starts.size + 1, dtype=np.int64),
+        )
     nbytes = np.ones(arr.size, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += arr >= t
@@ -64,9 +68,24 @@ def vbyte_encode_segmented(values: np.ndarray, seg_starts: np.ndarray) -> list[b
     out[:] = groups.astype(np.uint8)
     is_last = byte_idx == np.repeat(nbytes - 1, nbytes)
     out[~is_last] |= 0x80
-    raw = out.tobytes()
     bounds = np.append(starts[seg_starts], total)
-    return [raw[bounds[i] : bounds[i + 1]] for i in range(seg_starts.size)]
+    return out, bounds
+
+
+def vbyte_encode_segmented(values: np.ndarray, seg_starts: np.ndarray) -> list[bytes]:
+    """Encode one big uint32 array, sliced back into per-segment buffers.
+
+    ``seg_starts``: value indices where each segment begins (ascending,
+    first element 0).  One vectorized encode for ALL segments — the
+    per-segment cost is a bytes slice, not a numpy kernel launch.  Output
+    is byte-identical to ``vbyte_encode`` applied per segment.
+    """
+    out, bounds = vbyte_encode_chunks(values, seg_starts)
+    if out.size == 0 and np.asarray(values).size == 0:
+        return [b""] * np.asarray(seg_starts).size
+    raw = out.tobytes()
+    n = len(bounds) - 1
+    return [raw[bounds[i] : bounds[i + 1]] for i in range(n)]
 
 
 def vbyte_decode(buf: bytes, expected_count: int | None = None) -> np.ndarray:
@@ -98,6 +117,40 @@ def vbyte_decode(buf: bytes, expected_count: int | None = None) -> np.ndarray:
     if expected_count is not None and out.size != expected_count:
         raise ValueError(f"expected {expected_count} values, got {out.size}")
     return out
+
+
+def vbyte_decode_concat(
+    cells: list[bytes],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY per-cell LEB128 buffers in ONE vectorized pass.
+
+    Returns ``(flat_values uint32, per_cell_counts int64)`` —
+    equivalent to ``vbyte_decode`` applied cell-by-cell and
+    concatenated, but with a single numpy kernel launch for the whole
+    batch (the phrase kernel's per-candidate position cells).  Empty
+    cells contribute zero values."""
+    n = len(cells)
+    counts = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return np.array([], dtype=np.uint32), counts
+    lens = np.fromiter((len(c) for c in cells), dtype=np.int64, count=n)
+    nonempty = np.nonzero(lens)[0]
+    if nonempty.size == 0:
+        return np.array([], dtype=np.uint32), counts
+    buf = b"".join(cells)
+    values = vbyte_decode(buf)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (b & 0x80) == 0
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    # per-cell value count = terminator bytes within the cell's range
+    counts[nonempty] = np.add.reduceat(is_last, starts[nonempty])
+    # a cell boundary inside a multi-byte value would decode plausibly
+    # but corrupt neighbours: every cell must END on a terminator
+    cell_ends = starts[nonempty] + lens[nonempty] - 1
+    if not np.all(is_last[cell_ends]):
+        raise ValueError("vbyte cell boundary splits a value")
+    return values, counts
 
 
 def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:

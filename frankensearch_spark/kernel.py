@@ -309,12 +309,23 @@ def phrase_freqs(
                 cell_rows.append(i)
             if not cells:
                 continue
-            lens = np.fromiter(
-                (len(c) for c in cells), dtype=np.int64, count=len(cells)
-            )
-            flat = np.concatenate(
-                [np.asarray(c, dtype=np.int64) for c in cells]
-            )
+            if isinstance(cells[0], (bytes, bytearray)):
+                # pre-encoded LEB128 position buffers (the fused build's
+                # vbyte pos_format): ONE vectorized decode for all
+                # candidate cells
+                from frankensearch_spark.functions.vbyte import (
+                    vbyte_decode_concat,
+                )
+
+                flat_u32, lens = vbyte_decode_concat(cells)
+                flat = flat_u32.astype(np.int64)
+            else:
+                lens = np.fromiter(
+                    (len(c) for c in cells), dtype=np.int64, count=len(cells)
+                )
+                flat = np.concatenate(
+                    [np.asarray(c, dtype=np.int64) for c in cells]
+                )
             rep_rows = np.repeat(
                 np.asarray(cell_rows, dtype=np.int64), lens
             )

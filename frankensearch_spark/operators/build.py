@@ -237,6 +237,14 @@ def build_postings(
 # kernel needs it.  Storing it per posting forced a 13M-row Python eval
 # stage into the JVM build path; deriving it per batch is free.
 POSTINGS_SCHEMA = "docid long, term string, tf int, positions array<int>, doclen int"
+# vbyte positions variant: each posting's positions pre-encoded as ONE
+# canonical-LEB128 buffer at tokenize time (quiver.rs POSITIONS wire
+# format, section kind 3).  The merge exchange then ships ~1 byte per
+# position instead of a 4-byte array slot, and blockify CONCATENATES
+# buffers instead of re-encoding — byte-identical block ``pos_bytes``
+# because LEB128 is per-value (concat of per-posting encodes == one
+# segmented encode of the flat stream).
+POSTINGS_VB_SCHEMA = "docid long, term string, tf int, positions binary, doclen int"
 
 
 def build_postings_fused(
@@ -244,6 +252,7 @@ def build_postings_fused(
     content_col: str = "content",
     code_aware: bool = False,
     with_positions: bool = True,
+    pos_format: str = "vbyte",
 ) -> DataFrame:
     """Fused tokenize→aggregate: one mapInArrow pass, ZERO shuffles.
 
@@ -256,18 +265,26 @@ def build_postings_fused(
 
     Inner aggregation is vectorized numpy (factorize + argsort +
     run-length boundaries), and the output batch is assembled directly in
-    Arrow — the ``positions`` list column comes from
-    ``ListArray.from_arrays(offsets, values)``, O(1) instead of the
-    per-posting ``np.split`` an object-column round-trip would need
-    (measured ~2.3x build throughput on the 50k-doc corpus).
+    Arrow.  ``pos_format="vbyte"`` (default) emits each posting's
+    positions as a pre-encoded LEB128 ``binary`` buffer — the canonical
+    on-wire form every downstream wants: the merge exchange ships ~4x
+    fewer position bytes and blockify degenerates to buffer
+    concatenation.  ``pos_format="array"`` keeps the ``array<int>`` form
+    (``ListArray.from_arrays(offsets, values)``, O(1)) for differential
+    tests against the groupBy reference path.
     """
     from frankensearch_spark.analyze import tokenize_code_aware, tokenize_fast
 
+    if pos_format not in ("vbyte", "array"):
+        raise ValueError(f"unknown pos_format {pos_format!r}")
     tok_fn = tokenize_code_aware if code_aware else tokenize_fast
+    vbyte = pos_format == "vbyte"
 
     def gen(batches):
         import numpy as np
         import pyarrow as pa
+
+        from frankensearch_spark.functions.vbyte import vbyte_encode_chunks
 
         for rb in batches:
             docid_in = rb.column(0).to_numpy(zero_copy_only=False)
@@ -308,12 +325,31 @@ def build_postings_fused(
             term_arr = pa.array(uniq_terms, type=pa.string()).take(
                 pa.array(c_s[starts], type=pa.int64())
             )
-            if with_positions:
+            if with_positions and vbyte:
+                # zero-materialization binary assembly: ONE encoded
+                # buffer + int32 offsets via from_buffers — building a
+                # Python bytes object per posting instead measured +50%
+                # on the whole build phase at 2M docs
+                data, bounds = vbyte_encode_chunks(
+                    p_s.astype(np.uint64), starts
+                )
+                pos_arr = pa.Array.from_buffers(
+                    pa.binary(),
+                    len(starts),
+                    [
+                        None,
+                        pa.py_buffer(bounds.astype(np.int32).tobytes()),
+                        pa.py_buffer(data.tobytes()),
+                    ],
+                )
+            elif with_positions:
                 offsets = np.append(starts, len(p_s)).astype(np.int32)
                 pos_arr = pa.ListArray.from_arrays(
                     pa.array(offsets, type=pa.int32()),
                     pa.array(p_s, type=pa.int32()),
                 )
+            elif vbyte:
+                pos_arr = pa.nulls(len(starts), type=pa.binary())
             else:
                 pos_arr = pa.nulls(len(starts), type=pa.list_(pa.int32()))
             yield pa.RecordBatch.from_arrays(
@@ -328,8 +364,54 @@ def build_postings_fused(
             )
 
     return corpus_with_docid.select("docid", content_col).mapInArrow(
-        gen, POSTINGS_SCHEMA
+        gen, POSTINGS_VB_SCHEMA if vbyte else POSTINGS_SCHEMA
     )
+
+
+def positions_as_array(pos_df: DataFrame) -> DataFrame:
+    """``positions binary`` (per-posting vbyte) → ``positions array<int>``.
+
+    One vectorized mapInArrow decode for consumers that want JVM-side
+    array semantics (``explode``, SQL lateral views) over the fused
+    build's pre-encoded positions.  Passthrough when the column is
+    already an array.  Null/empty buffers decode to empty arrays."""
+    dtypes = dict(pos_df.dtypes)
+    if dtypes.get("positions") != "binary":
+        return pos_df
+    out_schema = ", ".join(
+        f"{c} array<int>" if c == "positions" else f"{c} {dtypes[c]}"
+        for c in pos_df.columns
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from frankensearch_spark.functions.vbyte import vbyte_decode_concat
+
+        for rb in batches:
+            n = rb.num_rows
+            names = rb.schema.names
+            pidx = names.index("positions")
+            if n == 0:
+                continue
+            cells = [
+                c if c is not None else b""
+                for c in rb.column(pidx).to_pylist()
+            ]
+            flat, counts = vbyte_decode_concat(cells)
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            arr = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(flat.astype(np.int32), type=pa.int32()),
+            )
+            cols = [
+                arr if i == pidx else rb.column(i) for i in range(len(names))
+            ]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return pos_df.mapInArrow(gen, out_schema)
 
 
 def build_postings_sql(

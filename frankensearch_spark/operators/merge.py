@@ -227,7 +227,45 @@ def _blockify_arrow(batches, bucket_shift: int):
         min_fn = np.minimum.reduceat(fids, b_starts)
 
         has_pos = "positions" in col and col["positions"].null_count < n_rows
-        if has_pos:
+        if has_pos and pa.types.is_binary(col["positions"].type):
+            # pre-encoded per-posting LEB128 buffers (the fused build's
+            # vbyte pos_format): block pos_bytes is pure CONCATENATION —
+            # LEB128 is per-value, so concat of per-posting encodes is
+            # byte-identical to one segmented encode of the flat stream.
+            barr = col["positions"]
+            offs_b = np.frombuffer(barr.buffers()[1], dtype=np.int32)[
+                barr.offset : barr.offset + n_rows + 1
+            ].astype(np.int64)
+            data_buf = barr.buffers()[2]
+            data = (
+                np.frombuffer(data_buf, dtype=np.uint8)
+                if data_buf is not None
+                else np.empty(0, dtype=np.uint8)
+            )
+            blk_b = offs_b[b_starts]
+            # guard: per-block decoded value count must equal Σtf (cell
+            # alignment was enforced at encode time; null/empty cells
+            # surface here as a count shortfall)
+            if not (
+                data.size > 0
+                and np.all(np.diff(blk_b) > 0)
+                and blk_b[-1] < offs_b[-1] <= data.size
+            ):
+                raise ValueError("positions misaligned with tf")
+            is_last = (data & 0x80) == 0
+            n_vals = np.add.reduceat(is_last[: offs_b[-1]], blk_b)
+            if not np.array_equal(n_vals, np.add.reduceat(tfs, b_starts)):
+                raise ValueError("positions misaligned with tf")
+            raw = data.tobytes()
+            bounds = np.append(blk_b, offs_b[-1])
+            pos_arr = pa.array(
+                [
+                    raw[bounds[i] : bounds[i + 1]]
+                    for i in range(b_starts.size)
+                ],
+                type=pa.binary(),
+            )
+        elif has_pos:
             plist = col["positions"]
             flat = plist.flatten().to_numpy().astype(np.int64)
             per_row = pc.list_value_length(plist).to_numpy(

@@ -10,13 +10,23 @@ from frankensearch_spark.sources.corpus import CORPUS_KEY, synthetic_corpus_df
 
 
 def canon(df):
+    """Normalize postings to comparable tuples — positions may be an
+    array<int> (reference/sql paths) or a pre-encoded vbyte binary (the
+    fused path's default pos_format)."""
+    from frankensearch_spark.functions.vbyte import vbyte_decode
+
+    def pos(p):
+        if isinstance(p, (bytes, bytearray)):
+            return tuple(int(x) for x in vbyte_decode(bytes(p)))
+        return tuple(p)
+
     rows = df.collect()
     return sorted(
         (
             r["docid"],
             r["term"],
             r["tf"],
-            tuple(r["positions"]),
+            pos(r["positions"]),
             r["doclen"],
         )
         for r in rows

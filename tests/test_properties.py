@@ -161,6 +161,23 @@ def test_blockify_positions_roundtrip(data):
     assert len(a) == len(b)
     for c in blocks.columns:
         assert a[c].tolist() == b[c].tolist(), c
+    # pre-encoded vbyte positions input (the fused build's default
+    # pos_format) must emit byte-identical blocks: concatenation of
+    # per-posting LEB128 buffers == one segmented encode of the flat
+    # stream (per-value codec law)
+    from frankensearch_spark.functions.vbyte import vbyte_encode
+
+    pdf_vb = pdf.copy()
+    pdf_vb["positions"] = [
+        vbyte_encode(np.asarray(p, dtype=np.uint64))
+        for p in pdf["positions"]
+    ]
+    rb_vb = pa.RecordBatch.from_pandas(pdf_vb, preserve_index=False)
+    vb = pa.Table.from_batches(
+        list(_blockify_arrow([rb_vb], shift))
+    ).to_pandas().reset_index(drop=True)
+    for c in blocks.columns:
+        assert vb[c].tolist() == b[c].tolist(), c
     docids, tfs, fids, ridx, posarr = decode_blocks_pdf(
         blocks, shift, with_positions=True
     )

@@ -61,3 +61,32 @@ def test_delta_roundtrip_sorted(vals):
 def test_empty():
     assert vbyte_encode(np.array([], np.uint32)) == b""
     assert vbyte_decode(b"").size == 0
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**32 - 1),
+                 min_size=0, max_size=20),
+        min_size=0, max_size=50,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_decode_concat_equals_per_cell(cells_vals):
+    """vbyte_decode_concat == per-cell vbyte_decode, incl. empty cells."""
+    from frankensearch_spark.functions.vbyte import vbyte_decode_concat
+
+    cells = [vbyte_encode(np.asarray(v, dtype=np.uint64)) for v in cells_vals]
+    flat, counts = vbyte_decode_concat(cells)
+    assert counts.tolist() == [len(v) for v in cells_vals]
+    exp = [x for v in cells_vals for x in v]
+    assert flat.tolist() == exp
+
+
+def test_decode_concat_rejects_split_value():
+    from frankensearch_spark.functions.vbyte import vbyte_decode_concat
+
+    import pytest
+
+    buf = vbyte_encode(np.array([300], np.uint64))  # 2-byte value
+    with pytest.raises(ValueError):
+        vbyte_decode_concat([buf[:1], buf[1:]])
