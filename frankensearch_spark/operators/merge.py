@@ -399,18 +399,23 @@ def build_blocks(
 def decode_blocks_pdf(
     pdf: pd.DataFrame,
     bucket_shift: int = DEFAULT_BUCKET_SHIFT,
-    with_positions: bool = False,
+    with_positions: bool | str = False,
 ):
     """Decode a pandas frame of block rows back to posting arrays.
 
     Returns (docids int64, tfs uint32, fieldnorm_ids uint8, row_index int64)
     where row_index maps each posting back to its source block row; with
-    ``with_positions`` a fifth object array of per-posting position arrays
-    (None for blocks without a positions sidecar) — the tf stream is the
-    alignment ruler (positions aligned by posting freq, quiver.rs:3456).
+    ``with_positions`` a fifth object array of per-posting position
+    arrays (None for blocks without a positions sidecar) — the tf stream
+    is the alignment ruler (positions aligned by posting freq,
+    quiver.rs:3456).  ``with_positions="vbyte"`` slices the sidecar into
+    per-posting LEB128 *buffers* WITHOUT decoding — positions then stay
+    compressed through the serving pivot's exchange and the phrase
+    kernel decodes only the candidate cells it scores.
     """
     from frankensearch_spark.functions.vbyte import delta_decode, vbyte_decode
 
+    vb_slices = with_positions == "vbyte"
     all_docs, all_tfs, all_fids, all_rows = [], [], [], []
     all_pos: list = []
     has_pos_col = with_positions and "pos_bytes" in pdf.columns
@@ -427,6 +432,23 @@ def decode_blocks_pdf(
             pb = pdf["pos_bytes"].iat[i] if has_pos_col else None
             if pb is None:
                 all_pos.extend([None] * n)
+            elif vb_slices:
+                # per-posting byte boundaries: value k ends at the k-th
+                # terminator byte; posting j spans values
+                # [Σtf[:j], Σtf[:j+1])
+                barr = np.frombuffer(pb, dtype=np.uint8)
+                ends = np.nonzero((barr & 0x80) == 0)[0]
+                if ends.size != int(tfs.sum()):
+                    raise ValueError("pos_bytes misaligned with tf stream")
+                vb = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(tfs.astype(np.int64), out=vb[1:])
+                byte_bounds = np.concatenate(
+                    ([0], ends[vb[1:] - 1] + 1)
+                )
+                all_pos.extend(
+                    pb[byte_bounds[j] : byte_bounds[j + 1]]
+                    for j in range(n)
+                )
             else:
                 flat = vbyte_decode(pb, int(tfs.sum()))
                 bounds = np.zeros(n + 1, dtype=np.int64)

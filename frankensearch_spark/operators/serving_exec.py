@@ -38,7 +38,10 @@ def blocks_to_postings(
 ) -> DataFrame:
     """Decode the candidate blocks of ``terms`` into posting rows
     (docid, term, tf, fieldnorm_id[, positions]) — parquet-pruned by
-    tpart + term; the positions sidecar is only decoded when asked."""
+    tpart + term.  Positions are NOT decoded here: the sidecar is
+    sliced into per-posting LEB128 buffers (``binary``), so they stay
+    compressed through the pivot exchange and the phrase kernel decodes
+    only the candidate cells it actually scores."""
     tparts = sorted({term_partition(t, index.n_term_partitions) for t in terms})
     cand = index.blocks.filter(
         F.col("tpart").isin(tparts) & F.col("term").isin(terms)
@@ -49,7 +52,10 @@ def blocks_to_postings(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            out = decode_blocks_pdf(pdf, shift, with_positions=with_positions)
+            out = decode_blocks_pdf(
+                pdf, shift,
+                with_positions="vbyte" if with_positions else False,
+            )
             docids, tfs, fids, rows = out[:4]
             cols = {
                 "docid": docids.astype(np.int64),
@@ -63,7 +69,7 @@ def blocks_to_postings(
 
     schema = "docid long, term string, tf int, fieldnorm_id int"
     if with_positions:
-        schema += ", positions array<int>"
+        schema += ", positions binary"
     return cand.mapInPandas(decode, schema)
 
 
