@@ -239,19 +239,24 @@ def serving_score_ast(
     return base.mapInPandas(run, "docid long, score float")
 
 
-def ast_to_queryspec(ast):
-    """Lower a prunable AST shape to a flat QuerySpec, else None.
+def ast_to_queryspec_fields(ast):
+    """Lower a prunable AST shape to ``(QuerySpec, term_fields)``, else
+    None.  ``term_fields``: term -> ordered tuple of (field name, f32
+    field boost) — the WAND kernels score each clause per field in this
+    order, mirroring the kernel's ``_eval_term`` nesting exactly.
 
-    Convertible: single-field content Terms (boosted or not — Boost
-    chains fold into the spec's per-term boost in the kernel's exact
-    f32 multiplication order) under one Boolean level
-    (Must/Should/MustNot) or alone — including glob expansions that
-    substituted a Should union at the root.  Phrases, metadata leaves,
-    All, nested booleans and terms with CONFLICTING boosts stay on the
-    decode-and-score path.  The conversion is score-exact: QuerySpec
-    clause order (Must then Should) matches the kernel's aggregation
-    order, and both paths score f32 ``weight * tf / (tf + norm)`` per
-    clause occurrence."""
+    Convertible: Terms over TEXT non-basic fields — single-field
+    (``content`` queries) AND multi-field (the reference's default
+    content + title^2 expansion, or explicit ``title:x`` scopes) —
+    boosted or not (Boost chains fold into the spec's per-term boost in
+    the kernel's exact f32 multiplication order), under one Boolean
+    level (Must/Should/MustNot) or alone, including glob expansions
+    that substituted a Should union at the root.  Phrases, metadata
+    leaves, All, nested booleans, basic (tf=1) fields, and terms with
+    CONFLICTING boosts or field scopes stay on the decode-and-score
+    path.  The conversion is score-exact: QuerySpec clause order (Must
+    then Should) matches the kernel's aggregation order, and both paths
+    score f32 ``weight * tf / (tf + norm)`` per (clause, field)."""
     import numpy as np
 
     from frankensearch_spark.operators.query import QuerySpec
@@ -266,54 +271,88 @@ def ast_to_queryspec(ast):
     )
 
     def term_of(q):
-        """(term, f32 boost) for a content-field Term (Boost chains
-        folded step-by-step in f32, mirroring kernel eval), else None."""
+        """(term, f32 clause boost, fields tuple) for a TEXT-field Term
+        (Boost chains folded step-by-step in f32, mirroring kernel
+        eval), else None."""
         b = np.float32(1.0)
         while isinstance(q, Boost):
             b = np.float32(b * np.float32(q.factor))
             q = q.query
         if (
             isinstance(q, Term)
-            and len(q.fields) == 1
-            and q.fields[0].kind == TEXT
-            and q.fields[0].name == "content"
+            and q.fields
+            and all(f.kind == TEXT and not f.basic for f in q.fields)
         ):
-            return q.text, np.float32(b * np.float32(q.fields[0].boost))
+            flds = tuple(
+                (f.name, float(np.float32(f.boost))) for f in q.fields
+            )
+            return q.text, b, flds
         return None
 
-    def add(spec, t, b, lst):
+    spec = QuerySpec()
+    term_fields: dict = {}
+
+    def add(t, b, flds, lst):
         prev = spec.boosts.get(t)
-        if prev is not None and np.float32(prev) != b:
-            return False  # conflicting boosts: not expressible per-term
+        if prev is not None and (
+            np.float32(prev) != b or term_fields.get(t) != flds
+        ):
+            return False  # conflicting boosts/scopes: not per-term
         spec.boosts[t] = float(b)
+        term_fields[t] = flds
         lst.append(t)
         return True
 
-    spec = QuerySpec()
     tb = term_of(ast)
     if tb is not None:
-        add(spec, tb[0], tb[1], spec.should)
-        return spec
+        add(tb[0], tb[1], tb[2], spec.should)
+        return spec, term_fields
     if not isinstance(ast, Boolean):
         return None
     for cl in ast.clauses:
         tb = term_of(cl.query)
         if tb is None:
             return None
-        t, b = tb
+        t, b, flds = tb
         if cl.occur == MUST:
-            ok = add(spec, t, b, spec.must)
+            ok = add(t, b, flds, spec.must)
         elif cl.occur == SHOULD:
-            ok = add(spec, t, b, spec.should)
+            ok = add(t, b, flds, spec.should)
         elif cl.occur == MUST_NOT:
             ok = True
             spec.must_not.append(t)
+            if t not in term_fields:
+                term_fields[t] = flds
+            elif term_fields[t] != flds:
+                return None
         else:
             return None
         if not ok:
             return None
     if not spec.must and not spec.should:
         return None  # pure-negative shapes need the All-repair path
+    return spec, term_fields
+
+
+def ast_to_queryspec(ast):
+    """Single-field (content) form of :func:`ast_to_queryspec_fields`:
+    the flat QuerySpec alone, or None when the shape is unprunable or
+    spans fields other than bare ``content``."""
+    import numpy as np
+
+    out = ast_to_queryspec_fields(ast)
+    if out is None:
+        return None
+    spec, term_fields = out
+    for t, flds in term_fields.items():
+        if len(flds) != 1 or flds[0][0] != "content":
+            return None
+        # fold the field boost into the per-term boost (the historical
+        # single-field contract: weight = w(df, N, clause_b * field_b))
+        spec.boosts[t] = float(
+            np.float32(np.float32(spec.boosts.get(t, 1.0))
+                       * np.float32(flds[0][1]))
+        )
     return spec
 
 
@@ -328,15 +367,16 @@ def serving_search_bits(index: ServingIndex, query, k: int = 10,
     from frankensearch_spark.operators.astexec import expand_globs
 
     expanded = expand_globs(index, ast)
-    if prune and not hasattr(index, "fields"):
-        # WAND routing is single-field; multi-field shapes decode-and-score
-        spec = ast_to_queryspec(expanded)
-        if spec is not None:
+    if prune:
+        out = ast_to_queryspec_fields(expanded)
+        if out is not None:
+            spec, term_fields = out
             from frankensearch_spark.operators.wand import wand_topk
 
             return [
                 (int(d), int(np.float32(s).view(np.uint32)))
-                for d, s in wand_topk(index, spec, k)
+                for d, s in wand_topk(index, spec, k,
+                                      term_fields=term_fields)
             ]
     rows = (
         serving_score_ast(index, expanded, schema)

@@ -19,7 +19,12 @@ cursor dance, pruning happens at **docid-bucket granularity**:
   whose bound ≥ θ.  Any doc in a skipped bucket scores ≤ bound < θ ≤ final
   kth score — rank-identity is a theorem, and the test suite asserts
   pruned ≡ exhaustive ≡ oracle on every fixture query (the reference's
-  pruning-receipt discipline, index.rs:2434-2560).
+  pruning-receipt discipline, index.rs:2434-2560);
+* multi-field shapes (the reference's content + title^2 default surface)
+  prune too: every field shares the one global docid space, so each
+  field's blocks land in the same buckets — clauses become (field, term)
+  pairs with per-field weights/avgdl, bucket bounds sum over them, and a
+  Must term drops a bucket only when absent from ALL its fields.
 
 Everything is distributed: per-bucket bounds are a grouped aggregate, the
 seed ranking and every top-k merge is a ``TakeOrderedAndProject``, and
@@ -151,14 +156,20 @@ def serving_from_built(built, bucket_shift: int = DEFAULT_BUCKET_SHIFT,
     )
 
 
-def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_cache: np.ndarray,
-                          k: int, bucket_shift: int):
+def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_caches: dict,
+                          k: int, bucket_shift: int, term_fields: dict):
     """Per-bucket scoring kernel -> local top-k rows.
 
     Dense bucket-local accumulation (bucket span is bounded by
-    2**bucket_shift) mirrors the oracle's clause-ordered f32 arithmetic.
-    Returned as (groupBy fn, cogroup fn): the cogroup variant receives the
-    bucket's tombstoned docids as the right frame — no driver closure.
+    2**bucket_shift) mirrors the oracle's clause-ordered f32 arithmetic:
+    clause outer loop (Must then Should), field inner loop in the
+    query's field order — exactly the kernel's ``_eval_term`` nesting,
+    so multi-field (content + title^2) scores are bit-identical.
+    ``weights`` is keyed ``(field, term)``; ``tf_caches`` maps field ->
+    its snapshot tf cache; ``term_fields`` maps term -> ordered field
+    names.  Returned as (groupBy fn, cogroup fn): the cogroup variant
+    receives the bucket's tombstoned docids as the right frame — no
+    driver closure.
     """
     must = list(spec.must)
     must_not = list(spec.must_not)
@@ -175,6 +186,8 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_cache: np.ndarray,
         offs = (docids - base).astype(np.int64)
         terms_per_row = pdf["term"].to_numpy(dtype=object)
         post_terms = terms_per_row[rows]
+        fields_per_row = pdf["field"].to_numpy(dtype=object)
+        post_fields = fields_per_row[rows]
 
         acc = np.zeros(span, dtype=np.float32)
         matched = np.zeros(span, dtype=bool)
@@ -182,32 +195,39 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_cache: np.ndarray,
         seen = np.zeros(span, dtype=bool)
         seen[offs] = True
 
+        def term_sel(term):
+            """Postings of ``term`` in any of ITS queried fields."""
+            sel = np.zeros(len(post_terms), dtype=bool)
+            for f in term_fields.get(term, ()):
+                sel |= (post_terms == term) & (post_fields == f)
+            return sel
+
         for term in dict.fromkeys(must):
-            sel = post_terms == term
-            o = offs[sel]
+            o = offs[term_sel(term)]
             hit = np.zeros(span, dtype=bool)
             hit[o] = True
             must_ok &= hit
         for term in clause_terms:
-            if term not in weights:
-                continue
-            sel = post_terms == term
-            if not sel.any():
-                continue
-            o = offs[sel]
-            f = tfs[sel].astype(np.float32)
-            norm = tf_cache[fids[sel].astype(np.int64)]
-            s = (np.float32(weights[term]) * f / (f + norm)).astype(np.float32)
-            acc[o] = (acc[o] + s).astype(np.float32)
-            if term in spec.should:
-                matched[o] = True
+            for fname in term_fields.get(term, ()):
+                w = weights.get((fname, term))
+                if w is None:
+                    continue
+                sel = (post_terms == term) & (post_fields == fname)
+                if not sel.any():
+                    continue
+                o = offs[sel]
+                f = tfs[sel].astype(np.float32)
+                norm = tf_caches[fname][fids[sel].astype(np.int64)]
+                s = (np.float32(w) * f / (f + norm)).astype(np.float32)
+                acc[o] = (acc[o] + s).astype(np.float32)
+                if term in spec.should:
+                    matched[o] = True
 
         ok = must_ok if must else matched
         ok = ok & seen
         for term in must_not:
-            sel = post_terms == term
             ok = ok.copy()
-            ok[offs[sel]] = False
+            ok[offs[term_sel(term)]] = False
         if tomb is not None and len(tomb):
             local = tomb["docid"].to_numpy(dtype=np.int64) - base
             local = local[(local >= 0) & (local < span)]
@@ -239,28 +259,36 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_cache: np.ndarray,
 
 
 def _bucket_bound_kernel(scored_terms: list[str], must_set: set[str],
-                         weights: dict, avgdl: np.float32):
+                         weights: dict, avgdls: dict, term_fields: dict):
     """Per-bucket conservative upper bound from block metadata only.
 
-    Input: one bucket's (bucket, term, mtc, mfn, n_postings) aggregate
-    rows.  Emits nothing for buckets missing a Must term (unmatchable —
-    the bucket-granular required-clause rule).  The bound is
-    ``conservative_bound_sum`` over each scored term's best block bound:
-    safe for ANY f32 accumulation order (argus.rs:3918-3973)."""
+    Input: one bucket's (bucket, field, term, mtc, mfn, n_postings)
+    aggregate rows.  Emits nothing for buckets where a Must term is
+    absent from EVERY one of its queried fields (unmatchable — the
+    bucket-granular required-clause rule).  The bound is
+    ``conservative_bound_sum`` over each scored (field, term)'s best
+    block bound with that field's avgdl: safe for ANY f32 accumulation
+    order (argus.rs:3918-3973)."""
     uniq_scored = list(dict.fromkeys(scored_terms))
 
     def bound_one(pdf: pd.DataFrame) -> pd.DataFrame:
         present = {
-            t: (int(m), int(f))
-            for t, m, f in zip(pdf["term"], pdf["mtc"], pdf["mfn"])
+            (f, t): (int(m), int(n))
+            for f, t, m, n in zip(
+                pdf["field"], pdf["term"], pdf["mtc"], pdf["mfn"]
+            )
         }
-        if any(t not in present for t in must_set):
-            return pd.DataFrame({"bucket": [], "bound": [], "n_postings": []})
+        for t in must_set:
+            if not any((f, t) in present for f in term_fields.get(t, ())):
+                return pd.DataFrame(
+                    {"bucket": [], "bound": [], "n_postings": []}
+                )
         bs = [
-            float(block_max_score(present[t][0], present[t][1], avgdl,
-                                  weights[t]))
+            float(block_max_score(present[(f, t)][0], present[(f, t)][1],
+                                  avgdls[f], weights[(f, t)]))
             for t in uniq_scored
-            if t in present
+            for f in term_fields.get(t, ())
+            if (f, t) in present and (f, t) in weights
         ]
         bound = float(conservative_bound_sum(np.array(bs, np.float32)))
         return pd.DataFrame(
@@ -274,31 +302,90 @@ def _bucket_bound_kernel(scored_terms: list[str], must_set: set[str],
     return bound_one
 
 
-def _prepare(index: ServingIndex, spec: QuerySpec):
-    """Driver-side: broadcast-able term stats -> weights, tf_cache, blocks."""
+def _wand_fields(index) -> tuple[dict, "ServingIndex"]:
+    """field name -> ServingIndex; single-field indexes expose their one
+    field as ``content`` (the engine schema's default)."""
+    if hasattr(index, "fields"):
+        return dict(index.fields), index.primary
+    return {"content": index}, index
+
+
+def _prepare(index, spec: QuerySpec, term_fields: dict | None = None):
+    """Driver-side: broadcast-able term stats -> per-(field, term)
+    weights, per-field tf caches/avgdls, the union candidate block scan
+    (each field's blocks tagged with its name), and the per-field stats.
+
+    ``term_fields``: term -> ordered tuple of (field name, f32 field
+    boost); defaults to ``content`` with boost 1 (the flat QuerySpec
+    surface).  Returns None when a Must term is absent from every one of
+    its fields (no document can match)."""
+    fidx, primary = _wand_fields(index)
     uniq: list[str] = []
     for t in spec.clause_terms() + list(spec.must_not):
         if t not in uniq:
             uniq.append(t)
     if not uniq:
         return None
-    stats = index.df_of_terms(uniq)
-    if any(t not in stats for t in spec.must):
+    if term_fields is None:
+        term_fields = {t: (("content", 1.0),) for t in uniq}
+    doc_count, _tt = primary.stats()
+    field_names: list[str] = []
+    for t in uniq:
+        for fname, _fb in term_fields.get(t, ()):
+            if fname in fidx and fname not in field_names:
+                field_names.append(fname)
+    if not field_names:
         return None
-    doc_count, total_tokens = index.stats()
-    avgdl = compute_avgdl(total_tokens, doc_count)
-    tf_cache = compute_tf_cache(avgdl)
-    weights = {
-        t: np.float32(term_weight(stats[t], doc_count, spec.boost_of(t)))
-        for t in uniq
-        if t in stats and t not in spec.must_not
-    }
-    present = [t for t in uniq if t in stats]
-    tparts = sorted({term_partition(t, index.n_term_partitions) for t in present})
-    cand = index.blocks.filter(
-        F.col("tpart").isin(tparts) & F.col("term").isin(present)
-    )
-    return weights, tf_cache, avgdl, cand, stats
+    stats = {f: fidx[f].df_of_terms(uniq) for f in field_names}
+    tf_order = {}  # term -> ordered field names actually queryable
+    for t in uniq:
+        tf_order[t] = tuple(
+            fname for fname, _fb in term_fields.get(t, ()) if fname in fidx
+        )
+    for t in spec.must:
+        if not any(stats[f].get(t) for f in tf_order.get(t, ())):
+            return None
+    avgdls: dict = {}
+    tf_caches: dict = {}
+    for f in field_names:
+        _n, total_tokens = fidx[f].stats()
+        avgdls[f] = compute_avgdl(total_tokens, doc_count)
+        tf_caches[f] = compute_tf_cache(avgdls[f])
+    weights = {}
+    for t in uniq:
+        if t in spec.must_not:
+            continue
+        for fname, fboost in term_fields.get(t, ()):
+            if fname not in fidx:
+                continue
+            df = stats[fname].get(t)
+            if not df:
+                continue
+            # exact kernel weight op order: term_weight(df, N,
+            # f32(clause boost) * f32(field boost))
+            weights[(fname, t)] = np.float32(
+                term_weight(
+                    df, doc_count,
+                    np.float32(np.float32(spec.boost_of(t))
+                               * np.float32(fboost)),
+                )
+            )
+    cand = None
+    for f in field_names:
+        present = [t for t in uniq if stats[f].get(t) and f in tf_order[t]]
+        if not present:
+            continue
+        sub = fidx[f]
+        tparts = sorted(
+            {term_partition(t, sub.n_term_partitions) for t in present}
+        )
+        part = sub.blocks.filter(
+            F.col("tpart").isin(tparts) & F.col("term").isin(present)
+        ).withColumn("field", F.lit(f))
+        cand = part if cand is None else cand.unionByName(part)
+    if cand is None:
+        return None
+    return weights, tf_caches, avgdls, cand, stats, tf_order
 
 
 @dataclass
@@ -319,7 +406,7 @@ WAND_MIN_COST = 16_384  # argus.rs:31 — prune only past this posting volume
 
 
 def wand_topk(
-    index: ServingIndex,
+    index,
     spec: QuerySpec,
     k: int = 10,
     offset: int = 0,
@@ -328,24 +415,29 @@ def wand_topk(
     seed_scan_cap: int = 64,
     receipt: PruningReceipt | None = None,
     min_cost: int = WAND_MIN_COST,
+    term_fields: dict | None = None,
 ) -> list[tuple[int, np.float32]]:
     """Top-k under the pinned total order via bucket-granular block-max WAND.
 
+    ``index`` may be a single-field ServingIndex or a ServingMultiIndex
+    (``term_fields`` then maps each term to its ordered (field, boost)
+    scopes — see :func:`serving_exec.ast_to_queryspec_fields`).
     ``prune=False`` scores every candidate bucket (exhaustive-over-blocks);
     the pruned path is rank-identical by the conservative-bound theorem.
     Plan shape (no driver-side materialization beyond O(seed + k) rows):
 
-      bounds   = cand.groupBy(bucket, term).agg(...)
+      bounds   = cand.groupBy(bucket, field, term).agg(...)
                      .groupBy(bucket).applyInPandas(bound)     # distributed
       seeds    = bounds TakeOrderedAndProject(seed_scan_cap)   # tiny collect
       θ        = kth of kernel(seed buckets) top-k             # k-row collect
       winners  = kernel(buckets with bound ≥ θ) top-k          # k-row collect
     """
-    prep = _prepare(index, spec)
+    prep = _prepare(index, spec, term_fields)
     if prep is None:
         return []
-    weights, tf_cache, avgdl, cand, stats = prep
-    shift = index.bucket_shift
+    weights, tf_caches, avgdls, cand, stats, tf_order = prep
+    fidx, primary = _wand_fields(index)
+    shift = primary.bucket_shift
     want = offset + k
     # the reference's cost gate (argus.rs:30-31): below WAND_MIN_COST
     # postings, bound/seed/θ orchestration costs more than one
@@ -354,14 +446,18 @@ def wand_topk(
     # below ~4x the seed set, the seed pass already touches most of the
     # corpus (bucket count ≈ doc_count / 2^shift, no job needed).
     # (min_cost=0 forces the pruned path — the tests' conformance mode)
-    query_cost = sum(stats.get(t, 0) for t in dict.fromkeys(spec.clause_terms()))
-    est_buckets = max(1, index.stats()[0] >> shift)
+    query_cost = sum(
+        stats[f].get(t, 0)
+        for t in dict.fromkeys(spec.clause_terms())
+        for f in tf_order.get(t, ())
+    )
+    est_buckets = max(1, primary.stats()[0] >> shift)
     if min_cost > 0 and (
         query_cost < min_cost or est_buckets < 4 * seed_buckets
     ):
         prune = False
-    score_one, score_cog = _score_buckets_kernel(spec, weights, tf_cache,
-                                                 want, shift)
+    score_one, score_cog = _score_buckets_kernel(spec, weights, tf_caches,
+                                                 want, shift, tf_order)
     out_schema = "docid long, score float"
     tomb = index.tombstones
 
@@ -386,18 +482,21 @@ def wand_topk(
         )
         return [(int(r["docid"]), np.float32(r["score"])) for r in rows]
 
-    scored_terms = [t for t in spec.clause_terms() if t in weights]
+    scored_terms = [
+        t for t in spec.clause_terms()
+        if any((f, t) in weights for f in tf_order.get(t, ()))
+    ]
     if not prune or not scored_terms:
         winners = run_topk(cand)
     else:
         # Phase A: distributed per-bucket conservative bounds
-        meta = cand.groupBy("bucket", "term").agg(
+        meta = cand.groupBy("bucket", "field", "term").agg(
             F.max("max_tf_code").alias("mtc"),
             F.min("min_fieldnorm_id").alias("mfn"),
             F.sum("n").alias("n_postings"),
         )
         bound_fn = _bucket_bound_kernel(
-            scored_terms, set(spec.must), weights, avgdl
+            scored_terms, set(spec.must), weights, avgdls, tf_order
         )
         bounds = meta.groupBy("bucket").applyInPandas(
             bound_fn, "bucket long, bound double, n_postings long"

@@ -170,3 +170,60 @@ def test_multifield_lifecycle(built, oracle, spark):
     old_id = int(row["docid"])
     all_hits = search_ast_bits(up, ast, k=200, schema=REFERENCE_SCHEMA)
     assert old_id not in {d for d, _ in all_hits}
+
+
+def test_multifield_wand_pruned_equals_oracle(built, oracle, spark, tmp_path_factory):
+    """Round-2 closure of the "multi-field ASTs decode-and-score" gap:
+    prunable multi-field shapes (bare terms expanding to content +
+    title^2, explicit title: scopes, booleans, boosts) route through
+    block-max WAND with per-(field, term) bounds — pruned ≡ exhaustive
+    ≡ oracle, bit-exact, served from the durable block store."""
+    from frankensearch_spark.operators.serving_exec import (
+        ast_to_queryspec_fields,
+        serving_search_bits,
+    )
+    from frankensearch_spark.operators.wand import wand_topk
+    from frankensearch_spark.plans.manifest import read_index, write_index
+
+    path = str(tmp_path_factory.mktemp("mf_wand_idx"))
+    write_index(built, path, bucket_shift=4, n_term_partitions=8, n_groups=1)
+    srv = read_index(spark, path)
+
+    prunable = [
+        "rust ownership borrowing",
+        "ownership",
+        "search index",
+        "rust AND ownership",
+        "title:ownership",
+        "title:ownership^3 rust",
+        "owner*",
+        "rust -ownership transformer",
+        "transformer embeddings semantic",
+    ]
+    for text in prunable:
+        from frankensearch_spark.operators.astexec import expand_globs
+
+        ast = parse_lenient(text, REFERENCE_SCHEMA).query
+        out = ast_to_queryspec_fields(expand_globs(srv, ast))
+        assert out is not None, text
+        spec, term_fields = out
+        exp = oracle.search_ast_bits(ast, k=10)
+        # forced pruning (conformance mode) and exhaustive-over-blocks
+        # must both equal the oracle bit-for-bit
+        for prune in (True, False):
+            got = [
+                (d, int(np.float32(s).view(np.uint32)))
+                for d, s in wand_topk(
+                    srv, spec, k=10, prune=prune, min_cost=0,
+                    term_fields=term_fields,
+                )
+            ]
+            assert got == exp, (text, prune)
+        # and the public serving surface routes there
+        assert serving_search_bits(srv, text, k=10,
+                                   schema=REFERENCE_SCHEMA) == exp, text
+
+    # unprunable multi-field shapes still lower to None
+    for text in ('"error handling"', "-rust"):
+        ast = parse_lenient(text, REFERENCE_SCHEMA).query
+        assert ast_to_queryspec_fields(ast) is None, text
