@@ -68,7 +68,9 @@ def vbyte_encode_chunks(
     out[:] = groups.astype(np.uint8)
     is_last = byte_idx == np.repeat(nbytes - 1, nbytes)
     out[~is_last] |= 0x80
-    bounds = np.append(starts[seg_starts], total)
+    # seg_starts may reference one-past-the-end (trailing empty segments)
+    starts_ext = np.append(starts, total)
+    bounds = np.append(starts_ext[seg_starts], total)
     return out, bounds
 
 

@@ -414,6 +414,61 @@ def positions_as_array(pos_df: DataFrame) -> DataFrame:
     return pos_df.mapInArrow(gen, out_schema)
 
 
+def positions_as_vbyte(pos_df: DataFrame) -> DataFrame:
+    """``positions array<int>`` → per-posting LEB128 ``binary`` (the
+    fused build's canonical form) — one vectorized mapInArrow encode.
+    Passthrough when already binary.  Used to normalize mixed-format
+    unions (e.g. upserting an SQL-tokenizer delta into a fused-built
+    index)."""
+    dtypes = dict(pos_df.dtypes)
+    if dtypes.get("positions") == "binary":
+        return pos_df
+    out_schema = ", ".join(
+        f"{c} binary" if c == "positions" else f"{c} {dtypes[c]}"
+        for c in pos_df.columns
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from frankensearch_spark.functions.vbyte import vbyte_encode_chunks
+
+        for rb in batches:
+            n = rb.num_rows
+            names = rb.schema.names
+            pidx = names.index("positions")
+            if n == 0:
+                continue
+            plist = rb.column(pidx)
+            flat = plist.flatten().to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+            import pyarrow.compute as pc
+
+            lens = pc.list_value_length(plist).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(
+                lens.astype(np.float64), nan=0.0
+            ).astype(np.int64)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            data, bounds = vbyte_encode_chunks(flat, starts)
+            arr = pa.Array.from_buffers(
+                pa.binary(), n,
+                [
+                    None,
+                    pa.py_buffer(bounds.astype(np.int32).tobytes()),
+                    pa.py_buffer(data.tobytes()),
+                ],
+            )
+            cols = [
+                arr if i == pidx else rb.column(i) for i in range(len(names))
+            ]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return pos_df.mapInArrow(gen, out_schema)
+
+
 def build_postings_sql(
     corpus_with_docid: DataFrame,
     content_col: str = "content",

@@ -97,14 +97,26 @@ def _shift_union(old: BuiltIndex, delta: BuiltIndex, shift: int,
         if delta.positions is not None and old.positions is not None
         else None
     )
+    old_positions = old.positions
+    if shifted_positions is not None:
+        # normalize mixed position formats (array<int> from the SQL
+        # tokenizer vs the fused build's vbyte binary) to the canonical
+        # binary form before the union
+        from frankensearch_spark.operators.build import positions_as_vbyte
+
+        old_fmt = dict(old_positions.dtypes).get("positions")
+        new_fmt = dict(shifted_positions.dtypes).get("positions")
+        if old_fmt != new_fmt:
+            old_positions = positions_as_vbyte(old_positions)
+            shifted_positions = positions_as_vbyte(shifted_positions)
     postings = old.postings.unionByName(shifted_postings)
     docmeta = old.docmeta.unionByName(
         shifted_docmeta.select(*old.docmeta.columns)
     )
     positions = (
-        old.positions.unionByName(shifted_positions)
+        old_positions.unionByName(shifted_positions)
         if shifted_positions is not None
-        else old.positions
+        else old_positions
     )
     return BuiltIndex(
         postings=postings,

@@ -111,3 +111,26 @@ def test_upsert_replaces_by_key(spark, built):
     old_id = int(row["docid"])
     all_hits = search_bits(up, "term00001 term00002 fn", k=N_DOCS + 2)
     assert old_id not in {d for d, _ in all_hits}
+
+
+def test_upsert_mixed_position_formats_serves_phrases(spark, built):
+    """An SQL-tokenizer delta (array<int> positions) upserted into a
+    fused-built index (vbyte binary positions) normalizes to the
+    canonical binary form — the union is well-typed and the upserted
+    doc serves an exact phrase query."""
+    new_rows = [
+        ("mixorg/mixrepo", "src/mix.rs", "d" * 40, "rust",
+         "alphamix betamix gammamix"),
+    ]
+    new_corpus = spark.createDataFrame(
+        new_rows,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    up = upsert_documents(built, new_corpus, CORPUS_KEY, tokenizer="sql")
+    assert dict(up.positions.dtypes)["positions"] == "binary"
+    from frankensearch_spark.operators.astexec import search_ast_bits
+
+    hits = search_ast_bits(up, '"alphamix betamix gammamix"', k=5)
+    assert len(hits) == 1
+    miss = search_ast_bits(up, '"betamix alphamix"', k=5)
+    assert miss == []
