@@ -60,119 +60,14 @@ def term_partition(term: str, n_parts: int = DEFAULT_TERM_PARTITIONS) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_parts
 
 
-def _blockify_partition(pdfs, bucket_shift: int):
-    """mapInPandas kernel over partitions pre-sorted by (term, bucket, docid).
-
-    Fully vectorized: group/block boundaries via run-length detection,
-    delta + LEB128 encoding in ONE numpy pass for the whole partition
-    (``vbyte_encode_segmented``), block aggregates via ``np.*.reduceat``.
-    Per-block Python cost is a bytes slice — nothing else.
-    """
-    from frankensearch_spark.functions.vbyte import vbyte_encode_segmented
-
-    for pdf in pdfs:
-        n_rows = len(pdf)
-        if n_rows == 0:
-            continue
-        has_pos = "positions" in pdf.columns
-        terms = pdf["term"].to_numpy(dtype=object)
-        docids = pdf["docid"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        tparts = pdf["tpart"].to_numpy(dtype=np.int64)
-        fids = fieldnorm_to_id(pdf["doclen"].to_numpy(dtype=np.int64)).astype(
-            np.uint8
-        )
-        buckets = docids >> bucket_shift
-
-        change = np.empty(n_rows, dtype=bool)
-        change[0] = True
-        change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
-        g_starts = np.nonzero(change)[0]
-        g_sizes = np.diff(np.append(g_starts, n_rows))
-        # index of each row within its (term, bucket) group
-        idx_in_group = np.arange(n_rows, dtype=np.int64) - np.repeat(
-            g_starts, g_sizes
-        )
-        # block boundary: group start or every POSTINGS_PER_BLOCK rows
-        b_start_mask = (idx_in_group % POSTINGS_PER_BLOCK) == 0
-        b_starts = np.nonzero(b_start_mask)[0]
-        b_sizes = np.diff(np.append(b_starts, n_rows))
-
-        # docid offsets within bucket, delta-coded with block-absolute first
-        offs = (docids - (buckets << bucket_shift)).astype(np.uint64)
-        deltas = np.empty(n_rows, dtype=np.uint64)
-        deltas[0] = offs[0]
-        deltas[1:] = offs[1:] - offs[:-1]
-        deltas[b_starts] = offs[b_starts]
-
-        doc_bytes = vbyte_encode_segmented(deltas, b_starts)
-        tf_bytes = vbyte_encode_segmented(tfs.astype(np.uint64), b_starts)
-        norm_raw = fids.tobytes()
-        norm_bounds = np.append(b_starts, n_rows)
-        norm_bytes = [
-            norm_raw[norm_bounds[i] : norm_bounds[i + 1]]
-            for i in range(b_starts.size)
-        ]
-        max_tf = np.minimum(np.maximum.reduceat(tfs, b_starts), 255)
-        min_fn = np.minimum.reduceat(fids, b_starts)
-
-        pos_cells = (
-            pdf["positions"].to_numpy(dtype=object) if has_pos else None
-        )
-        if has_pos and all(c is None for c in pos_cells):
-            has_pos = False  # positions column present but never filled
-        if has_pos:
-            # POSITIONS section analogue (quiver.rs:3456-3530, section
-            # kind 3 of segment.rs:44-66): flat absolute u32 positions
-            # aligned by posting freq, vbyte-packed per block.  Decode
-            # splits by the block's tf stream, so no extra offsets ride
-            # along.  One vectorized encode for the whole partition.
-            flat = np.concatenate(
-                [
-                    np.asarray(c, dtype=np.int64)
-                    if c is not None
-                    else np.empty(0, dtype=np.int64)
-                    for c in pos_cells
-                ]
-            )
-            per_row = np.fromiter(
-                (0 if c is None else len(c) for c in pos_cells),
-                dtype=np.int64,
-                count=n_rows,
-            )
-            if not np.array_equal(per_row, tfs):
-                raise ValueError("positions misaligned with tf")
-            pos_offsets = np.zeros(n_rows, dtype=np.int64)
-            np.cumsum(per_row[:-1], out=pos_offsets[1:])
-            pos_bytes = vbyte_encode_segmented(
-                flat.astype(np.uint64), pos_offsets[b_starts]
-            )
-        else:
-            pos_bytes = [None] * b_starts.size
-
-        yield pd.DataFrame(
-            {
-                "term": terms[b_starts],
-                "bucket": buckets[b_starts],
-                "first_doc": docids[b_starts],
-                "n": b_sizes.astype(np.int32),
-                "doc_bytes": doc_bytes,
-                "tf_bytes": tf_bytes,
-                "norm_bytes": norm_bytes,
-                "max_tf_code": max_tf.astype(np.int32),
-                "min_fieldnorm_id": min_fn.astype(np.int32),
-                "tpart": tparts[b_starts].astype(np.int32),
-                "pos_bytes": pos_bytes,
-            }
-        )
-
-
 def _blockify_arrow(batches, bucket_shift: int):
-    """mapInArrow twin of :func:`_blockify_partition` — byte-identical
-    output, no per-cell Python: the positions list column is consumed as
-    its FLAT values + offsets (zero-copy), and term run boundaries come
-    from one vectorized Arrow compare.  Equality with the pandas kernel
-    is pinned by tests."""
+    """mapInArrow blockify kernel over partitions pre-sorted by
+    (term, bucket, docid) — no per-cell Python: list positions are
+    consumed as FLAT values + offsets (zero-copy), binary positions as
+    one data buffer + byte offsets, and term run boundaries come from
+    one vectorized Arrow compare.  Byte-identity with the independently
+    written pandas reference kernel (tests/test_properties.py) is
+    pinned property-style."""
     import pyarrow as pa
     import pyarrow.compute as pc
 

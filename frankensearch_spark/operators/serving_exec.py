@@ -293,11 +293,13 @@ def ast_to_queryspec_fields(ast):
     term_fields: dict = {}
 
     def add(t, b, flds, lst):
+        # scope conflicts check against ANY earlier clause of the term —
+        # including a MustNot, which records fields but no boost
+        if t in term_fields and term_fields[t] != flds:
+            return False  # conflicting field scopes: not per-term
         prev = spec.boosts.get(t)
-        if prev is not None and (
-            np.float32(prev) != b or term_fields.get(t) != flds
-        ):
-            return False  # conflicting boosts/scopes: not per-term
+        if prev is not None and np.float32(prev) != b:
+            return False  # conflicting boosts: not expressible per-term
         spec.boosts[t] = float(b)
         term_fields[t] = flds
         lst.append(t)

@@ -147,7 +147,20 @@ def merge_segments(spark, out_dir: str, run: list[SegmentInfo]) -> SegmentInfo:
         shutil.rmtree(dest)  # crashed earlier attempt, uncommitted
     src_dirs = [os.path.join(root, s.seg_id) for s in run]
     for table in ("postings", "docmeta"):
-        df = spark.read.parquet(*[os.path.join(d, table) for d in src_dirs])
+        if table == "postings":
+            # per-segment read + position-format normalization: members
+            # may span the array<int> -> vbyte-binary format change
+            from frankensearch_spark.streaming.incremental import (
+                read_segment_postings,
+            )
+
+            df = read_segment_postings(
+                spark, [os.path.join(d, table) for d in src_dirs]
+            )
+        else:
+            df = spark.read.parquet(
+                *[os.path.join(d, table) for d in src_dirs]
+            )
         # fanout inputs -> ONE file per table per merge output: this is
         # the small-files compaction the tier policy exists for
         df.coalesce(1).write.mode("overwrite").parquet(

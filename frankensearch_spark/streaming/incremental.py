@@ -97,6 +97,31 @@ def start_incremental_build(
     return writer.start()
 
 
+def read_segment_postings(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Union mini-segment posting tables across POSITION FORMATS.
+
+    Segments sealed by older writers carry ``positions array<int>``;
+    current writers carry per-posting vbyte ``binary`` — one multi-path
+    parquet read over both would fail (or silently mis-read) on the
+    conflicting column type, so each segment is read on its own and
+    normalized to the canonical binary form before the union.  Segments
+    without a positions column union in with nulls (they predate
+    positions and can never serve phrases anyway)."""
+    from frankensearch_spark.operators.build import positions_as_vbyte
+
+    out = None
+    for p in paths:
+        df = spark.read.parquet(p)
+        if "positions" in df.columns:
+            df = positions_as_vbyte(df)
+        out = (
+            df
+            if out is None
+            else out.unionByName(df, allowMissingColumns=True)
+        )
+    return out
+
+
 def read_incremental_index(spark: SparkSession, out_dir: str) -> BuiltIndex:
     """Snapshot over every live, committed mini-segment: stats recomputed
     globally, so scores equal a batch build over the same docs (Q1-OB3
@@ -107,8 +132,8 @@ def read_incremental_index(spark: SparkSession, out_dir: str) -> BuiltIndex:
     if not segs:
         raise FileNotFoundError(f"no committed mini-segments in {out_dir}")
     root = segments_dir(out_dir)
-    raw = spark.read.parquet(
-        *[os.path.join(root, s.seg_id, "postings") for s in segs]
+    raw = read_segment_postings(
+        spark, [os.path.join(root, s.seg_id, "postings") for s in segs]
     )
     docmeta = spark.read.parquet(
         *[os.path.join(root, s.seg_id, "docmeta") for s in segs]

@@ -227,3 +227,20 @@ def test_multifield_wand_pruned_equals_oracle(built, oracle, spark, tmp_path_fac
     for text in ('"error handling"', "-rust"):
         ast = parse_lenient(text, REFERENCE_SCHEMA).query
         assert ast_to_queryspec_fields(ast) is None, text
+
+
+def test_mustnot_field_scope_conflict_stays_unprunable(built, oracle):
+    """Clause-order regression: a MustNot with a narrower field scope
+    than a later positive clause of the SAME term must NOT lower to a
+    QuerySpec (the spec has one scope per term) — both clause orders
+    fall back to decode-and-score and match the oracle."""
+    from frankensearch_spark.operators.serving_exec import (
+        ast_to_queryspec_fields,
+    )
+
+    for text in ("-title:rust rust", "rust -title:rust"):
+        ast = parse_lenient(text, REFERENCE_SCHEMA).query
+        assert ast_to_queryspec_fields(ast) is None, text
+        exp = oracle.search_ast_bits(ast, k=10)
+        got = search_ast_bits(built, ast, k=10, schema=REFERENCE_SCHEMA)
+        assert got == exp, text

@@ -167,3 +167,58 @@ def test_unknown_media_kind_raises(spark):
     with pytest.raises(Exception) as exc:
         extract_features(bad).collect()
     assert "hologram" in str(exc.value) or isinstance(exc.value, Py4JJavaError)
+
+
+def test_mixed_position_format_segments_read_and_compact(spark):
+    """A streamed index whose mini-segments span the array<int> ->
+    vbyte-binary positions format change still reads, serves phrases,
+    and tier-compacts: read_segment_postings normalizes every segment to
+    the canonical binary form before the union."""
+    import os
+
+    from frankensearch_spark.corpus import make_corpus
+    from frankensearch_spark.operators.astexec import search_ast_bits
+    from frankensearch_spark.operators.build import positions_as_array
+    from frankensearch_spark.plans.tiers import compact_stream, list_segments
+    from frankensearch_spark.streaming.incremental import (
+        index_microbatch,
+        read_incremental_index,
+    )
+
+    out = tempfile.mkdtemp(prefix="fsx_mixed_seg_")
+    try:
+        rows = make_corpus(40)
+        for bid in range(2):
+            batch = spark.createDataFrame(
+                rows[bid * 20 : (bid + 1) * 20], schema=CORPUS_SCHEMA
+            )
+            index_microbatch(batch, bid, out, CORPUS_KEY)
+        # rewrite segment 0's postings in the LEGACY array<int> format
+        seg0 = sorted(list_segments(out), key=lambda s: s.seg_id)[0]
+        p0 = os.path.join(out, "segments", seg0.seg_id, "postings")
+        legacy = positions_as_array(spark.read.parquet(p0))
+        assert dict(legacy.dtypes)["positions"] == "array<int>"
+        tmp = p0 + ".legacy"
+        legacy.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(p0)
+        os.rename(tmp, p0)
+
+        inc = read_incremental_index(spark, out)
+        assert dict(inc.positions.dtypes)["positions"] == "binary"
+        # a phrase from the legacy-format segment still serves
+        doc0_terms = rows[0][4].split()[:2]
+        hits = search_ast_bits(
+            inc, f'"{doc0_terms[0]} {doc0_terms[1]}"', k=5
+        )
+        assert hits, "phrase from legacy-format segment must match"
+
+        # tier compaction across the format boundary
+        n = compact_stream(spark, out, fanout=2)
+        assert n == 1
+        inc2 = read_incremental_index(spark, out)
+        hits2 = search_ast_bits(
+            inc2, f'"{doc0_terms[0]} {doc0_terms[1]}"', k=5
+        )
+        assert hits2 == hits
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
