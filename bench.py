@@ -12,8 +12,10 @@ tokenize -> posting aggregation -> compressed global term partitions ->
 manifest write) over the deterministic synthetic corpus, Python workers
 pre-warmed (steady-state, like the reference's 30-run medians).  The
 query arm serves the frozen query classes through the rank-exact f32
-path.  If tools/scaling_bench.py has produced BENCH_SCALING.json, its
-N-vs-4N results ride along.
+path; a concurrent arm pushes a 24-query stream through 8 threads (one
+FAIR pool each) for the serving-throughput numbers (serving_qps_*).
+If tools/scaling_bench.py has produced BENCH_SCALING.json, its N-vs-4N
+results ride along.
 """
 
 from __future__ import annotations

@@ -391,10 +391,15 @@ def _prepare(index, spec: QuerySpec, term_fields: dict | None = None):
 @dataclass
 class PruningReceipt:
     """Proof the pruned path ran and how much it skipped (the reference's
-    pruning-conformance receipts, index.rs:2434-2560, reduced to counts)."""
+    pruning-conformance receipts, index.rs:2434-2560, reduced to counts).
+
+    ``buckets_unmatchable`` counts candidate buckets dropped by the
+    bucket-granular required-clause rule (a Must term absent from every
+    queried field) — they never reach the bound ranking at all."""
 
     buckets_total: int = 0
     buckets_scored: int = 0
+    buckets_unmatchable: int = 0
     theta: float = float("-inf")
 
     @property
@@ -534,6 +539,10 @@ def wand_topk(
             # extra counting jobs — only on request (conformance receipts)
             receipt.buckets_total = bounds.count()
             receipt.buckets_scored = len(seed) + survivors.count()
+            receipt.buckets_unmatchable = (
+                cand.select("bucket").distinct().count()
+                - receipt.buckets_total
+            )
             receipt.theta = theta
         bounds.unpersist()
 

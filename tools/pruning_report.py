@@ -1,0 +1,130 @@
+"""Pruning-conformance report over a 2M-doc durable index.
+
+For each frozen bench query that routes through block-max WAND, runs the
+pruned path WITH receipts (PruningReceipt — the reference's
+pruning-conformance receipts, index.rs:2434-2560, reduced to counts) and
+the exhaustive-over-blocks path, asserts bit-identical top-k, and prints
+buckets scored vs skipped plus both latencies.
+
+Usage: python tools/pruning_report.py [index_dir]
+       python tools/pruning_report.py --clustered [n_docs]
+(default index /tmp/fsx_vb_idx — build one with tools/submit_build.py)
+
+The default i.i.d. synthetic corpus is ADVERSARIAL for bucket-granular
+pruning: Zipf terms drawn independently per doc put every vocab term in
+every 8,192-doc bucket with near-identical statistics, so bucket bounds
+are uniform and θ never clears them (skip% ≈ 0; the receipts prove the
+machinery is rank-safe, not that this corpus is prunable).  --clustered
+builds the realistic code-corpus shape instead — repo-local identifier
+tokens, with docids following the (repo, path, commit) natural key, so
+a repo's vocabulary clusters into a docid range — where the
+required-clause rule and θ-bounds skip the large majority of buckets.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _run(srv, queries: dict) -> None:
+    from frankensearch_spark.operators.wand import PruningReceipt, wand_topk
+
+    print(f"{'query':<18} {'total':>7} {'unmatch':>8} {'scored':>7} "
+          f"{'skipped':>8} {'skip%':>6} {'pruned(s)':>10} {'exhaust(s)':>11}")
+    for name, spec in queries.items():
+        wand_topk(srv, spec, k=10)  # warm (plan + caches)
+        r = PruningReceipt()
+        t0 = time.perf_counter()
+        pruned = wand_topk(srv, spec, k=10, receipt=r, min_cost=0)
+        t_pruned = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        exhaustive = wand_topk(srv, spec, k=10, prune=False)
+        t_exh = time.perf_counter() - t0
+        assert [(d, float(s)) for d, s in pruned] == [
+            (d, float(s)) for d, s in exhaustive
+        ], f"rank divergence on {name}"
+        all_b = r.buckets_total + r.buckets_unmatchable
+        skip_pct = (
+            100.0 * (r.buckets_skipped + r.buckets_unmatchable) / all_b
+            if all_b
+            else 0.0
+        )
+        print(f"{name:<18} {all_b:>7} {r.buckets_unmatchable:>8} "
+              f"{r.buckets_scored:>7} {r.buckets_skipped:>8} "
+              f"{skip_pct:>5.1f}% {t_pruned:>10.3f} {t_exh:>11.3f}")
+
+
+def clustered(n_docs: int) -> None:
+    """Repo-local-vocabulary corpus where bucket pruning bites."""
+    from frankensearch_spark.corpus import make_corpus
+    from frankensearch_spark.operators.build import build_index
+    from frankensearch_spark.operators.query import QuerySpec
+    from frankensearch_spark.operators.wand import serving_from_built
+    from frankensearch_spark.session import get_spark
+    from frankensearch_spark.sources.corpus import CORPUS_KEY, CORPUS_SCHEMA
+
+    spark = get_spark("fsx-pruning-clustered")
+    spark.sparkContext.setLogLevel("ERROR")
+    import zlib
+
+    rows = make_corpus(n_docs)
+    out = []
+    for repo, path, commit, lang, content in rows:
+        marker = f"repolocal{zlib.crc32(repo.encode()) % 500:04d}"
+        out.append(
+            (repo, path, commit, lang, f"{content} {marker} {marker}")
+        )
+    df = spark.createDataFrame(out, schema=CORPUS_SCHEMA)
+    idx = build_index(df, CORPUS_KEY)
+    srv = serving_from_built(idx)
+    srv.blocks = srv.blocks.persist()
+    srv.stats()
+    srv.preload_termstats()
+    marker = f"repolocal{zlib.crc32(out[0][0].encode()) % 500:04d}"
+    _run(srv, {
+        "must_repolocal": QuerySpec(
+            must=[marker], should=["term00042", "term00100"]
+        ),
+        "should_repolocal": QuerySpec(should=[marker, "term00042"]),
+    })
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--clustered":
+        clustered(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+        return
+    idx_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fsx_vb_idx"
+    from frankensearch_spark.operators.query import QuerySpec
+    from frankensearch_spark.operators.wand import PruningReceipt, wand_topk
+    from frankensearch_spark.plans.manifest import read_index
+    from frankensearch_spark.session import get_spark
+
+    spark = get_spark("fsx-pruning-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    srv = read_index(spark, idx_dir)
+    srv.blocks = srv.blocks.persist()
+    srv.stats()
+    srv.preload_termstats()
+
+    _run(srv, {
+        "q_short_fn": QuerySpec.from_text("fn"),
+        "q_short_term": QuerySpec.from_text("term00042"),
+        "q_natural": QuerySpec.from_text("term00001 term00007 generated record"),
+        "q_natural5": QuerySpec.from_text(
+            "term00042 term00100 term00500 term01000 term02000"
+        ),
+        "q_must": QuerySpec(must=["term00042"],
+                            should=["term00100", "term00500"]),
+        "q_mustnot": QuerySpec(should=["term00042", "term00100"],
+                               must_not=["term00500"]),
+    })
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
