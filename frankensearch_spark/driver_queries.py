@@ -30,11 +30,15 @@ from frankensearch_spark.sources.corpus import load_documents_as_corpus
 _INDEX_CACHE: dict[str, BuiltIndex] = {}
 
 
-def documents_index(spark: SparkSession, sf_dir: str) -> BuiltIndex:
-    key = f"{id(spark)}:{sf_dir}"
+def documents_index(
+    spark: SparkSession, sf_dir: str, content_col: str = "content"
+) -> BuiltIndex:
+    key = f"{id(spark)}:{sf_dir}:{content_col}"
     if key not in _INDEX_CACHE:
         corpus = load_documents_as_corpus(spark, sf_dir)
-        _INDEX_CACHE[key] = build_index(corpus, ["repo", "path", "commit"])
+        _INDEX_CACHE[key] = build_index(
+            corpus, ["repo", "path", "commit"], content_col=content_col
+        )
     return _INDEX_CACHE[key]
 
 
@@ -172,6 +176,72 @@ def q_bm25_topk_single(spark, sf_dir):
 
 def q_bm25_topk_multi(spark, sf_dir):
     return _bm25_spark(spark, sf_dir, ["key", "order", "merge"], 10)
+
+
+MF_TERMS = ["merge", "src3"]  # one text-vocab term + one source token
+MF_SOURCE_BOOST = 2.0  # the reference's title^2 analogue
+
+
+def _field_scores_f64(idx, terms, boost, k_unused=None):
+    """f64 per-field BM25 (same expression shape as _bm25_spark) with a
+    field boost multiplier — each field scores with its OWN df/avgdl/
+    doclen over the shared doc space (quill/index.rs:11168-11191
+    multi-field lowering)."""
+    n_docs, total_tokens = idx.stats()
+    avgdl = total_tokens / n_docs
+    p = idx.postings.filter(F.col("term").isin(terms)).select(
+        "term", "docid", F.col("tf").cast("double").alias("tf"),
+        F.col("doclen").cast("double").alias("doclen"),
+    )
+    ts = idx.termstats.filter(F.col("term").isin(terms)).select(
+        "term", F.col("df").cast("double").alias("df")
+    )
+    joined = p.join(F.broadcast(ts), "term")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    score = (
+        idf
+        * F.lit(2.2)
+        * F.lit(float(boost))
+        * F.col("tf")
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * F.col("doclen") / F.lit(avgdl))
+        )
+    )
+    return joined.groupBy("docid").agg(F.sum(score).alias("score"))
+
+
+def q_bm25_multifield(spark, sf_dir):
+    """content + source^2 multi-field BM25 (f64 oracle shape): per-field
+    statistics, field boost on the second field, scores summed across
+    fields — the reference's default content + title^2 query surface
+    (schema.rs:295-298) cross-checked against DuckDB."""
+    idx_c = documents_index(spark, sf_dir)
+    idx_s = documents_index(spark, sf_dir, content_col="repo")
+    c = _field_scores_f64(idx_c, MF_TERMS, 1.0).withColumnRenamed("score", "sc")
+    s = _field_scores_f64(idx_s, MF_TERMS, MF_SOURCE_BOOST).withColumnRenamed(
+        "score", "ss"
+    )
+    total = (
+        c.join(s, "docid", "full_outer")
+        .select(
+            "docid",
+            (
+                F.coalesce(F.col("sc"), F.lit(0.0))
+                + F.coalesce(F.col("ss"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    return (
+        total.orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+        .select("docid", F.round("score", 6).alias("score_r"))
+    )
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -744,6 +814,7 @@ QUERIES = {
     "corpus_stats": q_corpus_stats,
     "bm25_topk_single": q_bm25_topk_single,
     "bm25_topk_multi": q_bm25_topk_multi,
+    "bm25_multifield": q_bm25_multifield,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "token_quality": q_token_quality,
@@ -850,6 +921,73 @@ def _sql_hex_byte(k: int) -> str:
     return f"(16 * {pos(2 * k - 1)} + {pos(2 * k)})"
 
 
+
+def _bm25_multifield_sql() -> str:
+    tlist = ", ".join(f"'{t}'" for t in MF_TERMS)
+    return (
+        _SQL_BM25_BASE
+        + f"""
+, tok_s AS (
+  SELECT docid, unnest(l) AS term
+  FROM (SELECT doc_id AS docid,
+               list_filter(string_split_regex(lower(source), '[^0-9a-z]+'),
+                           x -> x <> '') AS l
+        FROM documents) d
+),
+tf_s AS (
+  SELECT term, docid, count(*)::BIGINT AS tf FROM tok_s GROUP BY term, docid
+),
+dl_s AS (
+  SELECT docid, count(*)::BIGINT AS doclen FROM tok_s GROUP BY docid
+),
+stats_s AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(doclen)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM dl_s
+),
+df_s AS (
+  SELECT term, count(*)::BIGINT AS df FROM tok_s GROUP BY term
+),
+score_c AS (
+  SELECT tf.docid,
+         sum(
+           ln(1.0 + ((stats.n_docs - df.df)::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
+           * 2.2
+           * tf.tf::DOUBLE
+           / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.doclen::DOUBLE / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.docid = dl.docid
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.docid
+),
+score_s AS (
+  SELECT tf_s.docid,
+         sum(
+           ln(1.0 + ((stats_s.n_docs - df_s.df)::DOUBLE + 0.5) / (df_s.df::DOUBLE + 0.5))
+           * 2.2
+           * {MF_SOURCE_BOOST}
+           * tf_s.tf::DOUBLE
+           / (tf_s.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl_s.doclen::DOUBLE / stats_s.avgdl))
+         ) AS score
+  FROM tf_s
+  JOIN df_s ON tf_s.term = df_s.term
+  JOIN dl_s ON tf_s.docid = dl_s.docid
+  CROSS JOIN stats_s
+  WHERE tf_s.term IN ({tlist})
+  GROUP BY tf_s.docid
+)
+SELECT COALESCE(c.docid, s.docid) AS docid,
+       round(COALESCE(c.score, 0) + COALESCE(s.score, 0), 6) AS score_r
+FROM score_c c FULL OUTER JOIN score_s s ON c.docid = s.docid
+ORDER BY (COALESCE(c.score, 0) + COALESCE(s.score, 0)) DESC, docid ASC
+LIMIT 10
+"""
+    )
+
+
 ORACLE_SQL = {
     "tokenize_explode": f"SELECT * FROM ({_SQL_TOKEN_ROWS}) t WHERE docid < 100",
     "term_tf": f"""
@@ -877,6 +1015,7 @@ ORACLE_SQL = {
     """,
     "bm25_topk_single": _bm25_sql(["merge"], 10),
     "bm25_topk_multi": _bm25_sql(["key", "order", "merge"], 10),
+    "bm25_multifield": _bm25_multifield_sql(),
     "dedup_exact": """
         SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs,
                min(doc_id) AS keeper
