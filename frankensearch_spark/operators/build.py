@@ -368,6 +368,125 @@ def build_postings_fused(
     )
 
 
+def build_postings_fused_vec(
+    corpus_with_docid: DataFrame,
+    content_col: str = "content",
+    with_positions: bool = True,
+) -> DataFrame:
+    """Arrow-C++ vectorized twin of :func:`build_postings_fused`.
+
+    The whole tokenize→aggregate pass runs without per-token Python:
+    ``utf8_lower`` + RE2 ``split_pattern_regex`` + ``dictionary_encode``
+    happen in Arrow C++, and everything after is numpy over the
+    dictionary CODES (never the strings).  Token admission (>65,530-byte
+    tokens dropped, position gaps preserved — T3) and per-doc admitted
+    doclen match the contract tokenizer exactly.
+
+    Parity class is the same as the SQL codegen path: on ASCII corpora
+    the posting table is IDENTICAL to the contract Arrow tokenizer
+    (asserted by tests); for exotic Unicode, RE2's ``\\pL\\pN`` classes
+    and whole-string lowering can differ from Rust
+    ``char::is_alphanumeric`` semantics — use ``tokenizer="arrow"``
+    when that matters."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from frankensearch_spark.contract import MAX_TERM_BYTES
+        from frankensearch_spark.functions.vbyte import vbyte_encode_chunks
+
+        for rb in batches:
+            n_b = rb.num_rows
+            if n_b == 0:
+                continue
+            docid_in = rb.column(0).to_numpy(zero_copy_only=False)
+            content = rb.column(1)
+            lists = pc.split_pattern_regex(
+                pc.utf8_lower(content), r"[^\pL\pN]+"
+            )
+            lens = pc.list_value_length(lists).to_numpy(
+                zero_copy_only=False
+            )
+            lens = np.nan_to_num(
+                lens.astype(np.float64), nan=0.0
+            ).astype(np.int64)
+            flat = lists.flatten()  # null list slots contribute nothing
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            rows_all = np.repeat(np.arange(n_b, dtype=np.int64), lens)
+            blen = pc.binary_length(flat).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            nonempty = blen > 0
+            # analyzer position = index among the doc's NON-EMPTY tokens
+            # (split artifacts at string edges are not tokens); admission
+            # drops oversized tokens AFTER numbering (gap rule, T3)
+            pref = np.zeros(total + 1, dtype=np.int64)
+            np.cumsum(nonempty, out=pref[1:])
+            doc_starts = np.zeros(n_b + 1, dtype=np.int64)
+            np.cumsum(lens, out=doc_starts[1:])
+            poss_all = pref[:-1] - np.repeat(
+                pref[doc_starts[:-1]], lens
+            )
+            admitted = nonempty & (blen <= MAX_TERM_BYTES)
+            rows = rows_all[admitted]
+            if rows.size == 0:
+                continue
+            poss = poss_all[admitted].astype(np.int32)
+            dls = np.bincount(rows, minlength=n_b).astype(np.int32)
+            denc = flat.filter(
+                pa.array(admitted)
+            ).dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            dictionary = denc.dictionary
+
+            order = np.lexsort((codes, rows))
+            r_s, c_s, p_s = rows[order], codes[order], poss[order]
+            change = np.empty(len(r_s), dtype=bool)
+            change[0] = True
+            change[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+            starts = np.nonzero(change)[0]
+            tf = np.diff(np.append(starts, len(r_s))).astype(np.int32)
+            head_rows = r_s[starts]
+            term_arr = dictionary.take(
+                pa.array(c_s[starts], type=pa.int64())
+            )
+            if with_positions:
+                data, bounds = vbyte_encode_chunks(
+                    p_s.astype(np.uint64), starts
+                )
+                pos_arr = pa.Array.from_buffers(
+                    pa.binary(),
+                    len(starts),
+                    [
+                        None,
+                        pa.py_buffer(bounds.astype(np.int32).tobytes()),
+                        pa.py_buffer(data.tobytes()),
+                    ],
+                )
+            else:
+                pos_arr = pa.nulls(len(starts), type=pa.binary())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(docid_in[head_rows], type=pa.int64()),
+                    term_arr,
+                    pa.array(tf, type=pa.int32()),
+                    pos_arr,
+                    pa.array(dls[head_rows], type=pa.int32()),
+                ],
+                names=["docid", "term", "tf", "positions", "doclen"],
+            )
+
+    return corpus_with_docid.select("docid", content_col).mapInArrow(
+        gen, POSTINGS_VB_SCHEMA
+    )
+
+
 def positions_as_array(pos_df: DataFrame) -> DataFrame:
     """``positions binary`` (per-posting vbyte) → ``positions array<int>``.
 
@@ -730,6 +849,12 @@ def build_index(
         if code_aware:
             raise ValueError("code_aware analysis requires tokenizer='arrow'")
         postings_src = build_postings_sql(with_docid, content_col, with_positions)
+    elif tokenizer == "vector":
+        if code_aware:
+            raise ValueError("code_aware analysis requires tokenizer='arrow'")
+        postings_src = build_postings_fused_vec(
+            with_docid, content_col, with_positions
+        )
     else:
         postings_src = build_postings_fused(
             with_docid, content_col, code_aware, with_positions

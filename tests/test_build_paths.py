@@ -159,3 +159,42 @@ def test_fused_handles_empty_and_null_content(spark):
         (0, "b", 1, (1,), 3),
         (3, "b", 1, (0,), 1),
     ]
+
+
+def test_vector_path_equals_arrow_postings(spark):
+    """The Arrow-C++ vectorized tokenizer (utf8_lower + RE2 split +
+    dictionary_encode, zero per-token Python) emits the exact posting
+    table of the contract Arrow tokenizer on the (ASCII) synthetic
+    corpus — incl. positions, admission, and per-doc doclen."""
+    from frankensearch_spark.operators.build import build_postings_fused_vec
+
+    corpus = assign_docids(
+        synthetic_corpus_df(spark, 120, partitions=3), CORPUS_KEY
+    )
+    arrow = canon(build_postings_fused(corpus))
+    vec = canon(build_postings_fused_vec(corpus))
+    assert vec == arrow
+
+
+def test_vector_path_edge_contents(spark):
+    """Vectorized tokenizer edge semantics: empty/null docs, leading and
+    trailing separators, oversized-token admission with position gaps."""
+    from frankensearch_spark.contract import MAX_TERM_BYTES
+    from frankensearch_spark.operators.build import build_postings_fused_vec
+
+    big = "x" * (MAX_TERM_BYTES + 1)
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b a"),
+            (1, ""),
+            (2, None),
+            (3, "!lead trail! "),
+            (4, f"pre {big} post"),  # gap: post sits at position 2
+        ],
+        "docid long, content string",
+    )
+    rows = canon(build_postings_fused_vec(corpus))
+    exp = canon(build_postings_fused(corpus))
+    assert rows == exp
+    by_doc = {(d, t): p for d, t, _tf, p, _dl in rows}
+    assert by_doc[(4, "post")] == (2,)  # admission gap preserved
