@@ -103,28 +103,9 @@ FROM scored ORDER BY score DESC, docid ASC LIMIT {k}
 
 
 def _bm25_spark(spark, sf_dir, terms: list[str], k: int) -> DataFrame:
-    """f64 BM25 with the identical expression shape as :func:`_bm25_sql`."""
-    idx = documents_index(spark, sf_dir)
-    n_docs, total_tokens = idx.stats()
-    avgdl = total_tokens / n_docs  # f64, same division as the SQL
-    p = idx.postings.filter(F.col("term").isin(terms)).select(
-        "term", "docid", F.col("tf").cast("double").alias("tf"),
-        F.col("doclen").cast("double").alias("doclen"),
-    )
-    ts = idx.termstats.filter(F.col("term").isin(terms)).select(
-        "term", F.col("df").cast("double").alias("df")
-    )
-    joined = p.join(F.broadcast(ts), "term")
-    idf = F.log(
-        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    score = (
-        idf
-        * F.lit(2.2)
-        * F.col("tf")
-        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doclen") / F.lit(avgdl)))
-    )
-    scored = joined.groupBy("docid").agg(F.sum(score).alias("score"))
+    """f64 BM25 with the identical expression shape as :func:`_bm25_sql`
+    (single content field == :func:`_field_scores_f64` at boost 1)."""
+    scored = _field_scores_f64(documents_index(spark, sf_dir), terms, 1.0)
     return (
         scored.orderBy(F.desc("score"), F.asc("docid"))
         .limit(k)
@@ -182,7 +163,7 @@ MF_TERMS = ["merge", "src3"]  # one text-vocab term + one source token
 MF_SOURCE_BOOST = 2.0  # the reference's title^2 analogue
 
 
-def _field_scores_f64(idx, terms, boost, k_unused=None):
+def _field_scores_f64(idx, terms, boost):
     """f64 per-field BM25 (same expression shape as _bm25_spark) with a
     field boost multiplier — each field scores with its OWN df/avgdl/
     doclen over the shared doc space (quill/index.rs:11168-11191
@@ -946,7 +927,7 @@ stats_s AS (
   FROM dl_s
 ),
 df_s AS (
-  SELECT term, count(*)::BIGINT AS df FROM tok_s GROUP BY term
+  SELECT term, count(*)::BIGINT AS df FROM tf_s GROUP BY term
 ),
 score_c AS (
   SELECT tf.docid,

@@ -825,11 +825,15 @@ def build_index(
     # tokenize stage more than the smaller write exchange saves.  On a
     # real cluster with network shuffle the trade can reverse; the fast
     # path stays available via bucket_aligned=True.)
-    if bucket_aligned and tokenizer != "arrow":
+    if bucket_aligned and tokenizer == "sql":
         # build_postings_sql repartitions by docid internally, which
         # hash-scatters each bucket across partitions — the blockify
-        # local-sort fast path would fragment every (term, bucket) group
-        raise ValueError("bucket_aligned requires tokenizer='arrow'")
+        # local-sort fast path would fragment every (term, bucket) group.
+        # The arrow and vector paths are narrow mapInArrow pipelines that
+        # preserve the bucket co-partitioning.
+        raise ValueError(
+            "bucket_aligned requires tokenizer='arrow' or 'vector'"
+        )
     if bucket_aligned:
         from frankensearch_spark.operators.merge import DEFAULT_BUCKET_SHIFT
 

@@ -109,10 +109,17 @@ def read_segment_postings(spark: SparkSession, paths: list[str]) -> DataFrame:
     positions and can never serve phrases anyway)."""
     from frankensearch_spark.operators.build import positions_as_vbyte
 
-    out = None
+    # group by the positions column's type (one cheap footer read per
+    # segment) so the format-uniform common case — every segment already
+    # canonical binary — stays ONE multi-path scan, not N unions
+    by_fmt: dict[str, list[str]] = {}
     for p in paths:
-        df = spark.read.parquet(p)
-        if "positions" in df.columns:
+        fmt = dict(spark.read.parquet(p).dtypes).get("positions", "<none>")
+        by_fmt.setdefault(fmt, []).append(p)
+    out = None
+    for fmt, group in sorted(by_fmt.items()):
+        df = spark.read.parquet(*group)
+        if fmt not in ("binary", "<none>"):
             df = positions_as_vbyte(df)
         out = (
             df
