@@ -190,6 +190,7 @@ def main() -> None:
     srv.blocks = srv.blocks.persist()
     srv.stats()
     srv.preload_termstats()
+    srv.preload_bucket_coverage()  # WAND routing sees per-term coverage
     serving_lat: list[float] = []
     for name, text in BENCH_QUERIES.items():
         serving_search_bits(srv, text, k=10)  # warm (plan + block cache)

@@ -295,6 +295,7 @@ def decode_blocks_pdf(
     pdf: pd.DataFrame,
     bucket_shift: int = DEFAULT_BUCKET_SHIFT,
     with_positions: bool | str = False,
+    docid_whitelist: np.ndarray | None = None,
 ):
     """Decode a pandas frame of block rows back to posting arrays.
 
@@ -307,10 +308,16 @@ def decode_blocks_pdf(
     per-posting LEB128 *buffers* WITHOUT decoding — positions then stay
     compressed through the serving pivot's exchange and the phrase
     kernel decodes only the candidate cells it scores.
+
+    ``docid_whitelist`` (SORTED unique int64 array): emit only postings
+    of those docids.  The doc/tf streams must decode whole-block anyway
+    (delta chains), but the per-posting position slicing — the dominant
+    cost for mega-term phrase queries — is skipped for excluded docs.
     """
     from frankensearch_spark.functions.vbyte import delta_decode, vbyte_decode
 
     vb_slices = with_positions == "vbyte"
+    wl = docid_whitelist
     all_docs, all_tfs, all_fids, all_rows = [], [], [], []
     all_pos: list = []
     has_pos_col = with_positions and "pos_bytes" in pdf.columns
@@ -319,14 +326,26 @@ def decode_blocks_pdf(
         n = int(pdf["n"].iat[i])
         offs = delta_decode(vbyte_decode(pdf["doc_bytes"].iat[i], n))
         tfs = vbyte_decode(pdf["tf_bytes"].iat[i], n)
-        all_docs.append(base + offs.astype(np.int64))
-        all_tfs.append(tfs)
-        all_fids.append(np.frombuffer(pdf["norm_bytes"].iat[i], dtype=np.uint8))
-        all_rows.append(np.full(n, i, dtype=np.int64))
+        docs_b = base + offs.astype(np.int64)
+        fids_b = np.frombuffer(pdf["norm_bytes"].iat[i], dtype=np.uint8)
+        keep = None
+        if wl is not None:
+            if wl.size == 0:
+                continue
+            j = np.searchsorted(wl, docs_b)
+            keep = wl[np.minimum(j, wl.size - 1)] == docs_b
+            if not keep.any():
+                continue
+        n_keep = n if keep is None else int(keep.sum())
+        all_docs.append(docs_b if keep is None else docs_b[keep])
+        all_tfs.append(tfs if keep is None else tfs[keep])
+        all_fids.append(fids_b if keep is None else fids_b[keep])
+        all_rows.append(np.full(n_keep, i, dtype=np.int64))
         if with_positions:
             pb = pdf["pos_bytes"].iat[i] if has_pos_col else None
+            idxs = range(n) if keep is None else np.nonzero(keep)[0]
             if pb is None:
-                all_pos.extend([None] * n)
+                all_pos.extend([None] * n_keep)
             elif vb_slices:
                 # per-posting byte boundaries: value k ends at the k-th
                 # terminator byte; posting j spans values
@@ -342,7 +361,7 @@ def decode_blocks_pdf(
                 )
                 all_pos.extend(
                     pb[byte_bounds[j] : byte_bounds[j + 1]]
-                    for j in range(n)
+                    for j in idxs
                 )
             else:
                 flat = vbyte_decode(pb, int(tfs.sum()))
@@ -350,7 +369,7 @@ def decode_blocks_pdf(
                 np.cumsum(tfs.astype(np.int64), out=bounds[1:])
                 all_pos.extend(
                     flat[bounds[j] : bounds[j + 1]].astype(np.int32)
-                    for j in range(n)
+                    for j in idxs
                 )
     if not all_docs:
         z = np.array([], dtype=np.int64)

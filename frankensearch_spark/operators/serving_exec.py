@@ -34,27 +34,39 @@ from frankensearch_spark.query_ast import (
 
 
 def blocks_to_postings(
-    index: ServingIndex, terms: list[str], with_positions: bool = False
+    index: ServingIndex, terms: list[str], with_positions: bool = False,
+    docid_whitelist=None,
 ) -> DataFrame:
     """Decode the candidate blocks of ``terms`` into posting rows
     (docid, term, tf, fieldnorm_id[, positions]) — parquet-pruned by
     tpart + term.  Positions are NOT decoded here: the sidecar is
     sliced into per-posting LEB128 buffers (``binary``), so they stay
     compressed through the pivot exchange and the phrase kernel decodes
-    only the candidate cells it actually scores."""
+    only the candidate cells it actually scores.
+
+    ``docid_whitelist``: sorted int64 numpy array shipped to executors
+    as a broadcast — only those docids' postings are emitted (and only
+    their positions sliced), the root-phrase candidate restriction."""
     tparts = sorted({term_partition(t, index.n_term_partitions) for t in terms})
     cand = index.blocks.filter(
         F.col("tpart").isin(tparts) & F.col("term").isin(terms)
     )
     shift = index.bucket_shift
+    bc = None
+    if docid_whitelist is not None:
+        bc = index.blocks.sparkSession.sparkContext.broadcast(
+            np.unique(np.asarray(docid_whitelist, dtype=np.int64))
+        )
 
     def decode(pdfs):
+        wl = bc.value if bc is not None else None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             out = decode_blocks_pdf(
                 pdf, shift,
                 with_positions="vbyte" if with_positions else False,
+                docid_whitelist=wl,
             )
             docids, tfs, fids, rows = out[:4]
             cols = {
@@ -132,6 +144,33 @@ def serving_score_ast(
             compute_avgdl(total_tokens, doc_count)
         )
 
+    # Root-phrase candidate restriction: when the WHOLE query is one
+    # phrase (possibly boosted), a scoring doc must contain every slot —
+    # so the per-field pivot can be semi-joined down to docs holding the
+    # RAREST slot's terms before any positions ride the exchange.  A
+    # "foo bar"-style phrase whose first term is a mega-term then ships
+    # ~df(rarest) rows instead of ~df(largest).  Rank-safe: docs dropped
+    # here can never have phrase freq > 0 in that field.
+    root = ast
+    from frankensearch_spark.query_ast import Boost, Phrase
+
+    while isinstance(root, Boost):
+        root = root.query
+    rare_slot_terms: list[str] | None = None
+    if isinstance(root, Phrase) and phrase_terms:
+        from frankensearch_spark.kernel import _phrase_slots
+
+        slots = _phrase_slots(root)
+        if len(slots) >= 2:
+            all_df = {}
+            for f in qfields:
+                for t, d in field_df[f].items():
+                    all_df[t] = all_df.get(t, 0) + d
+            rare_slot_terms = min(
+                (s[1] for s in slots),
+                key=lambda ts: sum(all_df.get(t, 0) for t in ts),
+            )
+
     base = None
     tf_col: dict[tuple[str, str], str] = {}
     pos_col: dict[tuple[str, str], str] = {}
@@ -139,9 +178,36 @@ def serving_score_ast(
     for fi, f in enumerate(qfields):
         if not terms:
             continue
-        postings = blocks_to_postings(
-            fidx[f], terms, with_positions=bool(phrase_terms)
+        rare_df_f = (
+            sum(field_df[f].get(t, 0) for t in rare_slot_terms)
+            if rare_slot_terms is not None
+            else None
         )
+        # cap: past ~500k candidate docids the collect+broadcast costs
+        # more than the position slices it saves — run the plain pivot
+        if rare_df_f is not None and rare_df_f <= 500_000:
+            # one cheap tf-only decode of the rarest slot -> its docid
+            # set rides to executors as a broadcast whitelist, so the
+            # mega-terms' postings (and especially their per-posting
+            # position slices) are never materialized for docs that
+            # cannot match the phrase
+            ids = np.fromiter(
+                (
+                    r["docid"]
+                    for r in blocks_to_postings(fidx[f], rare_slot_terms)
+                    .select("docid")
+                    .distinct()
+                    .collect()
+                ),
+                dtype=np.int64,
+            )
+            postings = blocks_to_postings(
+                fidx[f], terms, with_positions=True, docid_whitelist=ids
+            )
+        else:
+            postings = blocks_to_postings(
+                fidx[f], terms, with_positions=bool(phrase_terms)
+            )
         tcols = [f"f{fi}t{j}" for j in range(len(terms))]
         pivot = (
             postings.groupBy("docid", "fieldnorm_id")

@@ -90,6 +90,29 @@ class ServingIndex:
         }
         return len(self._term_df_cache)
 
+    def preload_bucket_coverage(self) -> int:
+        """Long-lived-serving planning statistic: per-term docid-bucket
+        coverage (term -> number of buckets holding ≥1 posting), one
+        grouped count over the block table per process.
+
+        This is what lets :func:`wand_topk` decide BEFORE paying for the
+        distributed bound pass whether pruning can possibly skip work: a
+        term present in every bucket contributes a near-uniform bound
+        everywhere (the i.i.d.-corpus shape), while coverage gaps are
+        exactly the buckets the Must rule / θ-bounds can drop.  The
+        reference reads the same signal for free from its mmap'd
+        block-max section; one cached job is the Spark-native analogue."""
+        rows = (
+            self.blocks.groupBy("term")
+            .agg(F.countDistinct("bucket").alias("nb"))
+            .collect()
+        )
+        self._bucket_cov = {r["term"]: int(r["nb"]) for r in rows}
+        self._total_buckets = int(
+            self.blocks.select("bucket").distinct().count()
+        )
+        return len(self._bucket_cov)
+
     def df_of_terms(self, terms: list[str]) -> dict[str, int]:
         if not terms:
             return {}
@@ -133,6 +156,11 @@ class ServingMultiIndex:
 
     def preload_termstats(self) -> int:
         return sum(f.preload_termstats() for f in self.fields.values())
+
+    def preload_bucket_coverage(self) -> int:
+        return sum(
+            f.preload_bucket_coverage() for f in self.fields.values()
+        )
 
 
 def serving_from_built(built, bucket_shift: int = DEFAULT_BUCKET_SHIFT,
@@ -408,6 +436,33 @@ class PruningReceipt:
 
 
 WAND_MIN_COST = 16_384  # argus.rs:31 — prune only past this posting volume
+COVERAGE_GAP_MIN = 0.05  # prune only if ≥5% of buckets lack some clause term
+
+
+def _coverage_gap(fidx: dict, spec: QuerySpec, tf_order: dict) -> float | None:
+    """Largest fraction of buckets MISSING some scored clause term, from
+    the preloaded per-term bucket coverage — or None when any queried
+    field hasn't preloaded it (gate inactive).
+
+    Skipping a bucket needs its bound to sit below θ, which needs some
+    clause term to be absent (Must rule) or weak there; a query whose
+    every term covers every bucket (the i.i.d.-corpus shape) has
+    near-uniform bounds and the θ ceremony can only add jobs."""
+    worst = 0.0
+    any_seen = False
+    for t in dict.fromkeys(spec.clause_terms()):
+        for f in tf_order.get(t, ()):
+            sub = fidx.get(f)
+            cov = getattr(sub, "_bucket_cov", None)
+            total = getattr(sub, "_total_buckets", None)
+            if cov is None or not total:
+                return None
+            nb = cov.get(t)
+            if nb is None:
+                continue  # term absent from the field: no bound at all
+            any_seen = True
+            worst = max(worst, 1.0 - nb / total)
+    return worst if any_seen else None
 
 
 def wand_topk(
@@ -461,6 +516,15 @@ def wand_topk(
         query_cost < min_cost or est_buckets < 4 * seed_buckets
     ):
         prune = False
+    if min_cost > 0 and prune:
+        # coverage gate (active only in long-lived serving mode, after
+        # preload_bucket_coverage): when every clause term is present in
+        # ~every bucket, bounds are near-uniform and the bound/seed/θ
+        # jobs cannot skip anything — answer with the one exhaustive
+        # decode job instead
+        gap = _coverage_gap(fidx, spec, tf_order)
+        if gap is not None and gap < COVERAGE_GAP_MIN:
+            prune = False
     score_one, score_cog = _score_buckets_kernel(spec, weights, tf_caches,
                                                  want, shift, tf_order)
     out_schema = "docid long, score float"
@@ -506,45 +570,75 @@ def wand_topk(
         bounds = meta.groupBy("bucket").applyInPandas(
             bound_fn, "bucket long, bound double, n_postings long"
         ).persist()
-        # Phase A': certify θ by scoring the best-bounded buckets exactly.
-        # Only the seed CANDIDATES are collected (≤ seed_scan_cap rows);
-        # the greedy postings-volume rule runs over that tiny list.
-        seed_rows = (
-            bounds.orderBy(F.desc("bound"), F.asc("bucket"))
-            .limit(seed_scan_cap)
-            .collect()
+        # Dispersion gate: θ can only clear a bucket whose bound sits
+        # BELOW the best achievable score, so when the bound distribution
+        # is near-flat (i.i.d. corpora: every bucket holds near-identical
+        # term statistics) the θ ceremony would score every bucket anyway
+        # through two extra jobs.  One cheap metadata agg detects that;
+        # the bypass still keeps the required-clause bucket filter (the
+        # semi-join on bounds) and is rank-identical by construction.
+        disp = bounds.agg(
+            F.max("bound").alias("mx"),
+            F.expr("percentile_approx(bound, 0.25)").alias("q25"),
+        ).collect()[0]
+        flat_bounds = (
+            disp["mx"] is not None
+            and disp["q25"] is not None
+            and disp["q25"] >= 0.98 * disp["mx"]
         )
-        seed: list[int] = []
-        acc_n = 0
-        for r in seed_rows:
-            seed.append(int(r["bucket"]))
-            acc_n += int(r["n_postings"])
-            if len(seed) >= seed_buckets and acc_n >= 4 * want:
-                break
-        winners = run_topk(cand.filter(F.col("bucket").isin(seed)))
-        if len(winners) >= want:
-            order = score_total_order_key(
-                np.array([s for _, s in winners], np.float32),
-                np.array([d for d, _ in winners], np.int64),
+        if flat_bounds:
+            winners = run_topk(
+                cand.join(bounds.select("bucket"), "bucket", "left_semi")
             )
-            theta = float(np.float32(winners[order[want - 1]][1]))
+            if receipt is not None:
+                receipt.buckets_total = bounds.count()
+                receipt.buckets_scored = receipt.buckets_total
+                receipt.buckets_unmatchable = (
+                    cand.select("bucket").distinct().count()
+                    - receipt.buckets_total
+                )
+            bounds.unpersist()
         else:
-            theta = -math.inf
-        survivors = bounds.filter(
-            (F.col("bound") >= theta) & ~F.col("bucket").isin(seed)
-        ).select("bucket")
-        rest = cand.join(survivors, "bucket", "left_semi")
-        winners += run_topk(rest)
-        if receipt is not None:
-            # extra counting jobs — only on request (conformance receipts)
-            receipt.buckets_total = bounds.count()
-            receipt.buckets_scored = len(seed) + survivors.count()
-            receipt.buckets_unmatchable = (
-                cand.select("bucket").distinct().count()
-                - receipt.buckets_total
+            # Phase A': certify θ by scoring the best-bounded buckets
+            # exactly.  Only the seed CANDIDATES are collected
+            # (≤ seed_scan_cap rows); the greedy postings-volume rule
+            # runs over that tiny list.
+            seed_rows = (
+                bounds.orderBy(F.desc("bound"), F.asc("bucket"))
+                .limit(seed_scan_cap)
+                .collect()
             )
-            receipt.theta = theta
-        bounds.unpersist()
+            seed: list[int] = []
+            acc_n = 0
+            for r in seed_rows:
+                seed.append(int(r["bucket"]))
+                acc_n += int(r["n_postings"])
+                if len(seed) >= seed_buckets and acc_n >= 4 * want:
+                    break
+            winners = run_topk(cand.filter(F.col("bucket").isin(seed)))
+            if len(winners) >= want:
+                order = score_total_order_key(
+                    np.array([s for _, s in winners], np.float32),
+                    np.array([d for d, _ in winners], np.int64),
+                )
+                theta = float(np.float32(winners[order[want - 1]][1]))
+            else:
+                theta = -math.inf
+            survivors = bounds.filter(
+                (F.col("bound") >= theta) & ~F.col("bucket").isin(seed)
+            ).select("bucket")
+            rest = cand.join(survivors, "bucket", "left_semi")
+            winners += run_topk(rest)
+            if receipt is not None:
+                # extra counting jobs — only on request (receipts)
+                receipt.buckets_total = bounds.count()
+                receipt.buckets_scored = len(seed) + survivors.count()
+                receipt.buckets_unmatchable = (
+                    cand.select("bucket").distinct().count()
+                    - receipt.buckets_total
+                )
+                receipt.theta = theta
+            bounds.unpersist()
 
     if not winners:
         return []
