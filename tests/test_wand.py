@@ -193,3 +193,44 @@ def test_wand_pagination(serving, oracle):
 def test_wand_empty_and_miss(serving):
     assert wand_topk(serving, QuerySpec(), k=10) == []
     assert wand_topk(serving, QuerySpec.from_text("zzzmissing"), k=10) == []
+
+
+def test_coverage_gate_routes_uniform_queries_exhaustive(serving, oracle):
+    """Long-lived-serving routing: after preload_bucket_coverage, a
+    query whose every term covers ~every bucket (the i.i.d. corpus
+    shape) must answer through the single exhaustive decode job — the
+    receipt stays empty because the bound/seed/θ jobs never run — while
+    a term with a real coverage gap keeps the pruned path.  Results are
+    rank-identical either way (the gate is pure routing)."""
+    from frankensearch_spark.operators.wand import (
+        COVERAGE_GAP_MIN,
+        PruningReceipt,
+        _coverage_gap,
+    )
+
+    serving.preload_bucket_coverage()
+    total = serving._total_buckets
+    # 'fn' is in every doc -> full coverage -> gap 0
+    spec = QuerySpec.from_text("fn import term00000")
+    gap = _coverage_gap({"content": serving}, spec,
+                        {t: ("content",) for t in spec.should})
+    assert gap is not None and gap < COVERAGE_GAP_MIN
+    r = PruningReceipt()
+    got = wand_topk(serving, spec, k=10, receipt=r, min_cost=1,
+                    seed_buckets=1)
+    assert r.buckets_total == 0  # pruned machinery bypassed entirely
+    exp = oracle.search_bits("fn import term00000", k=10)
+    assert [
+        (d, int(np.float32(s).view(np.uint32))) for d, s in got
+    ] == [(d, int(b)) for d, b in exp]
+
+    # coverage-gap detection itself: the sparsest fixture term reports
+    # a real gap (the clustered pruning_report evidences the pruned
+    # path staying active end-to-end — this corpus has too few buckets
+    # to clear the bucket-count gate)
+    cov = serving._bucket_cov
+    sparse = min(cov, key=cov.get)
+    spec2 = QuerySpec(should=[sparse])
+    gap2 = _coverage_gap({"content": serving}, spec2,
+                         {sparse: ("content",)})
+    assert gap2 == 1.0 - cov[sparse] / total
