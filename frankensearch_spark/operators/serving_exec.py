@@ -54,9 +54,14 @@ def blocks_to_postings(
     shift = index.bucket_shift
     bc = None
     if docid_whitelist is not None:
-        bc = index.blocks.sparkSession.sparkContext.broadcast(
-            np.unique(np.asarray(docid_whitelist, dtype=np.int64))
-        )
+        from pyspark.broadcast import Broadcast
+
+        if isinstance(docid_whitelist, Broadcast):
+            bc = docid_whitelist
+        else:
+            bc = index.blocks.sparkSession.sparkContext.broadcast(
+                np.unique(np.asarray(docid_whitelist, dtype=np.int64))
+            )
 
     def decode(pdfs):
         wl = bc.value if bc is not None else None
@@ -83,6 +88,42 @@ def blocks_to_postings(
     if with_positions:
         schema += ", positions binary"
     return cand.mapInPandas(decode, schema)
+
+
+_WL_CACHE_MAX = 32  # per-index cached rare-slot whitelists (FIFO evict)
+
+
+def _rare_slot_whitelist(sub, rare_slot_terms: list[str], rare_df: int):
+    """Broadcast whitelist of docids holding any rare-slot term, cached
+    on the (immutable-snapshot) serving index.  Evicted entries have
+    their broadcast destroyed, so a long-lived process holds at most
+    ``_WL_CACHE_MAX`` whitelists per field."""
+    key = tuple(sorted(rare_slot_terms))
+    cache = getattr(sub, "_phrase_wl_cache", None)
+    if cache is None:
+        cache = {}
+        sub._phrase_wl_cache = cache
+    bc = cache.get(key)
+    if bc is None:
+        if rare_df == 0:
+            ids = np.empty(0, dtype=np.int64)
+        else:
+            pdf = (
+                blocks_to_postings(sub, rare_slot_terms)
+                .select("docid")
+                .distinct()
+                .toPandas()
+            )
+            ids = np.unique(pdf["docid"].to_numpy(dtype=np.int64))
+        bc = sub.blocks.sparkSession.sparkContext.broadcast(ids)
+        cache[key] = bc
+        while len(cache) > _WL_CACHE_MAX:
+            evicted = cache.pop(next(iter(cache)))
+            try:
+                evicted.destroy()
+            except Exception:
+                pass  # already cleaned by the context
+    return bc
 
 
 def _serving_fields(index):
@@ -190,19 +231,13 @@ def serving_score_ast(
             # set rides to executors as a broadcast whitelist, so the
             # mega-terms' postings (and especially their per-posting
             # position slices) are never materialized for docs that
-            # cannot match the phrase
-            ids = np.fromiter(
-                (
-                    r["docid"]
-                    for r in blocks_to_postings(fidx[f], rare_slot_terms)
-                    .select("docid")
-                    .distinct()
-                    .collect()
-                ),
-                dtype=np.int64,
-            )
+            # cannot match the phrase.  Whitelists are cached per
+            # (field index, slot terms) with bounded eviction —
+            # repeated phrases in a long-lived process skip the collect
+            # job AND broadcasts never accumulate unboundedly.
+            bc = _rare_slot_whitelist(fidx[f], rare_slot_terms, rare_df_f)
             postings = blocks_to_postings(
-                fidx[f], terms, with_positions=True, docid_whitelist=ids
+                fidx[f], terms, with_positions=True, docid_whitelist=bc
             )
         else:
             postings = blocks_to_postings(

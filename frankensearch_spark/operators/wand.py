@@ -75,6 +75,10 @@ class ServingIndex:
     has_positions: bool = False  # pos_bytes sidecar present in blocks
     _cached_stats: tuple[int, int] | None = None
     _term_df_cache: dict | None = None
+    # preload_bucket_coverage() planning stats (long-lived serving)
+    _bucket_cov: dict | None = None  # term -> (n_buckets, bound flatness)
+    _total_buckets: int | None = None
+    _phrase_wl_cache: dict | None = None  # rare-slot docid whitelists (LRU)
 
     def stats(self) -> tuple[int, int]:
         if self._cached_stats is None:
@@ -91,23 +95,62 @@ class ServingIndex:
         return len(self._term_df_cache)
 
     def preload_bucket_coverage(self) -> int:
-        """Long-lived-serving planning statistic: per-term docid-bucket
-        coverage (term -> number of buckets holding ≥1 posting), one
-        grouped count over the block table per process.
+        """Long-lived-serving planning statistic, one grouped pass over
+        the block table per process: per term, (a) docid-bucket coverage
+        and (b) bound FLATNESS — the q25/max ratio of the term's
+        per-bucket block-max score shape (weight-independent: computed
+        at weight 1 with the snapshot avgdl, and every real bound is
+        weight × shape).
 
         This is what lets :func:`wand_topk` decide BEFORE paying for the
-        distributed bound pass whether pruning can possibly skip work: a
-        term present in every bucket contributes a near-uniform bound
-        everywhere (the i.i.d.-corpus shape), while coverage gaps are
-        exactly the buckets the Must rule / θ-bounds can drop.  The
-        reference reads the same signal for free from its mmap'd
-        block-max section; one cached job is the Spark-native analogue."""
+        distributed bound pass whether pruning can possibly skip work:
+        coverage gaps are the buckets the Must rule / θ-bounds can drop,
+        and per-bucket shape variation (doc-length or tf skew) is what
+        lets θ clear a bucket even at full coverage.  Only when every
+        clause term covers ~every bucket WITH near-identical shape is
+        the bound distribution provably flat.  The reference reads the
+        same signals for free from its mmap'd block-max section; one
+        cached job is the Spark-native analogue."""
+        from frankensearch_spark.contract import block_max_score
+
+        doc_count, total_tokens = self.stats()
+        avgdl = float(compute_avgdl(total_tokens, doc_count))
+
+        def shape(pdfs):
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                s = block_max_score(
+                    pdf["mtc"].to_numpy(dtype=np.int64),
+                    pdf["mfn"].to_numpy(dtype=np.int64),
+                    np.float32(avgdl),
+                    np.float32(1.0),
+                )
+                yield pd.DataFrame(
+                    {"term": pdf["term"], "shape": s.astype(np.float64)}
+                )
+
+        per_bucket = self.blocks.groupBy("term", "bucket").agg(
+            F.max("max_tf_code").alias("mtc"),
+            F.min("min_fieldnorm_id").alias("mfn"),
+        )
         rows = (
-            self.blocks.groupBy("term")
-            .agg(F.countDistinct("bucket").alias("nb"))
+            per_bucket.mapInPandas(shape, "term string, shape double")
+            .groupBy("term")
+            .agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.max("shape").alias("mx"),
+                F.expr("percentile_approx(shape, 0.25)").alias("q25"),
+            )
             .collect()
         )
-        self._bucket_cov = {r["term"]: int(r["nb"]) for r in rows}
+        self._bucket_cov = {
+            r["term"]: (
+                int(r["nb"]),
+                (float(r["q25"]) / float(r["mx"])) if r["mx"] else 1.0,
+            )
+            for r in rows
+        }
         self._total_buckets = int(
             self.blocks.select("bucket").distinct().count()
         )
@@ -440,14 +483,17 @@ COVERAGE_GAP_MIN = 0.05  # prune only if ≥5% of buckets lack some clause term
 
 
 def _coverage_gap(fidx: dict, spec: QuerySpec, tf_order: dict) -> float | None:
-    """Largest fraction of buckets MISSING some scored clause term, from
-    the preloaded per-term bucket coverage — or None when any queried
-    field hasn't preloaded it (gate inactive).
+    """Largest prunability signal over the scored clause terms, from the
+    preloaded per-term planning stats — or None when any queried field
+    hasn't preloaded them (gate inactive).
 
-    Skipping a bucket needs its bound to sit below θ, which needs some
-    clause term to be absent (Must rule) or weak there; a query whose
-    every term covers every bucket (the i.i.d.-corpus shape) has
-    near-uniform bounds and the θ ceremony can only add jobs."""
+    Per (term, field) the signal is ``max(coverage gap, bound
+    non-flatness)``: skipping a bucket needs its bound to sit below θ,
+    which needs some clause term to be absent there (Must rule /
+    missing contribution) OR its per-bucket bound shape to vary
+    (doc-length or tf skew).  A query whose every term covers every
+    bucket with near-identical shape has provably near-uniform bounds,
+    and the θ ceremony can only add jobs."""
     worst = 0.0
     any_seen = False
     for t in dict.fromkeys(spec.clause_terms()):
@@ -457,11 +503,12 @@ def _coverage_gap(fidx: dict, spec: QuerySpec, tf_order: dict) -> float | None:
             total = getattr(sub, "_total_buckets", None)
             if cov is None or not total:
                 return None
-            nb = cov.get(t)
-            if nb is None:
+            ent = cov.get(t)
+            if ent is None:
                 continue  # term absent from the field: no bound at all
+            nb, flatness = ent
             any_seen = True
-            worst = max(worst, 1.0 - nb / total)
+            worst = max(worst, 1.0 - nb / total, 1.0 - flatness)
     return worst if any_seen else None
 
 
@@ -577,15 +624,19 @@ def wand_topk(
         # through two extra jobs.  One cheap metadata agg detects that;
         # the bypass still keeps the required-clause bucket filter (the
         # semi-join on bounds) and is rank-identical by construction.
-        disp = bounds.agg(
-            F.max("bound").alias("mx"),
-            F.expr("percentile_approx(bound, 0.25)").alias("q25"),
-        ).collect()[0]
-        flat_bounds = (
-            disp["mx"] is not None
-            and disp["q25"] is not None
-            and disp["q25"] >= 0.98 * disp["mx"]
-        )
+        # min_cost=0 (the tests' conformance force mode) always takes
+        # the full θ machinery.
+        flat_bounds = False
+        if min_cost > 0:
+            disp = bounds.agg(
+                F.max("bound").alias("mx"),
+                F.expr("percentile_approx(bound, 0.25)").alias("q25"),
+            ).collect()[0]
+            flat_bounds = (
+                disp["mx"] is not None
+                and disp["q25"] is not None
+                and disp["q25"] >= 0.98 * disp["mx"]
+            )
         if flat_bounds:
             winners = run_topk(
                 cand.join(bounds.select("bucket"), "bucket", "left_semi")

@@ -195,42 +195,49 @@ def test_wand_empty_and_miss(serving):
     assert wand_topk(serving, QuerySpec.from_text("zzzmissing"), k=10) == []
 
 
-def test_coverage_gate_routes_uniform_queries_exhaustive(serving, oracle):
+def test_coverage_gate_routes_uniform_queries_exhaustive(spark):
     """Long-lived-serving routing: after preload_bucket_coverage, a
-    query whose every term covers ~every bucket (the i.i.d. corpus
-    shape) must answer through the single exhaustive decode job — the
-    receipt stays empty because the bound/seed/θ jobs never run — while
-    a term with a real coverage gap keeps the pruned path.  Results are
-    rank-identical either way (the gate is pure routing)."""
+    query whose every term covers every bucket with IDENTICAL per-bucket
+    bound shape (here: a corpus of equal-length docs all containing the
+    terms) must answer through the single exhaustive decode job — the
+    receipt stays empty because the bound/seed/θ jobs never run — and
+    results equal the forced-exhaustive path.  The fixture clears the
+    bucket-count gate (19 buckets ≥ 4×seed_buckets), so the coverage
+    gate is the deciding check."""
     from frankensearch_spark.operators.wand import (
         COVERAGE_GAP_MIN,
         PruningReceipt,
         _coverage_gap,
     )
 
-    serving.preload_bucket_coverage()
-    total = serving._total_buckets
-    # 'fn' is in every doc -> full coverage -> gap 0
-    spec = QuerySpec.from_text("fn import term00000")
-    gap = _coverage_gap({"content": serving}, spec,
-                        {t: ("content",) for t in spec.should})
-    assert gap is not None and gap < COVERAGE_GAP_MIN
-    r = PruningReceipt()
-    got = wand_topk(serving, spec, k=10, receipt=r, min_cost=1,
-                    seed_buckets=1)
-    assert r.buckets_total == 0  # pruned machinery bypassed entirely
-    exp = oracle.search_bits("fn import term00000", k=10)
-    assert [
-        (d, int(np.float32(s).view(np.uint32))) for d, s in got
-    ] == [(d, int(b)) for d, b in exp]
+    rows = [(i, "fn import alpha beta gamma") for i in range(600)]
+    corpus = spark.createDataFrame(rows, "docid long, content string")
+    built = build_index(corpus, ["docid"], cache=False)
+    srv = serving_from_built(built, bucket_shift=5, n_term_partitions=8)
+    srv.preload_termstats()
+    srv.preload_bucket_coverage()
 
-    # coverage-gap detection itself: the sparsest fixture term reports
-    # a real gap (the clustered pruning_report evidences the pruned
-    # path staying active end-to-end — this corpus has too few buckets
-    # to clear the bucket-count gate)
-    cov = serving._bucket_cov
-    sparse = min(cov, key=cov.get)
-    spec2 = QuerySpec(should=[sparse])
-    gap2 = _coverage_gap({"content": serving}, spec2,
-                         {sparse: ("content",)})
-    assert gap2 == 1.0 - cov[sparse] / total
+    spec = QuerySpec.from_text("fn import alpha")
+    gap = _coverage_gap({"content": srv}, spec,
+                        {t: ("content",) for t in spec.should})
+    assert gap is not None and gap < COVERAGE_GAP_MIN, gap
+    r = PruningReceipt()
+    got = wand_topk(srv, spec, k=10, receipt=r, min_cost=1, seed_buckets=1)
+    assert r.buckets_total == 0  # pruned machinery bypassed entirely
+    exp = wand_topk(srv, spec, k=10, prune=False)
+    assert [(d, float(s)) for d, s in got] == [(d, float(s)) for d, s in exp]
+
+    # the flatness signal itself: a doc-length-skewed corpus reports a
+    # real gap even at 100% bucket coverage, keeping pruning available
+    rows2 = [
+        (i, "fn " + " ".join(["pad"] * (2 if i < 300 else 200)))
+        for i in range(600)
+    ]
+    skewed = spark.createDataFrame(rows2, "docid long, content string")
+    built2 = build_index(skewed, ["docid"], cache=False)
+    srv2 = serving_from_built(built2, bucket_shift=5, n_term_partitions=8)
+    srv2.preload_termstats()
+    srv2.preload_bucket_coverage()
+    spec2 = QuerySpec.from_text("fn")
+    gap2 = _coverage_gap({"content": srv2}, spec2, {"fn": ("content",)})
+    assert gap2 is not None and gap2 >= COVERAGE_GAP_MIN, gap2
