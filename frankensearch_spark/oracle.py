@@ -31,8 +31,11 @@ from frankensearch_spark.contract import (
 class OracleIndex:
     """In-memory exhaustive BM25 index over one text field."""
 
-    def __init__(self, docs, tokenizer=tokenize_fast):
-        """``docs``: iterable of (docid:int, text:str)."""
+    def __init__(self, docs, tokenizer=tokenize_fast, meta=None):
+        """``docs``: iterable of (docid:int, text:str).  ``meta``:
+        optional {field_name: {docid: value}} keyword/numeric metadata
+        columns for Range/Set/keyword-Term leaves (E8) — ``doclen`` is
+        always available, derived from the admitted token count."""
         postings: dict[str, dict[int, int]] = {}
         positions: dict[str, dict[int, list[int]]] = {}
         doclen: dict[int, int] = {}
@@ -53,6 +56,12 @@ class OracleIndex:
         self.total_tokens = int(dl.sum())
         self.avgdl = compute_avgdl(self.total_tokens, self.doc_count)
         self.tf_cache = compute_tf_cache(self.avgdl)
+        self.meta_cols: dict[str, np.ndarray] = {}
+        for name, col in (meta or {}).items():
+            arr = np.empty(self.doc_count, dtype=object)
+            for i, d in enumerate(self.docids):
+                arr[i] = col.get(d)
+            self.meta_cols[name] = arr
         self.postings = {
             term: (
                 np.array(sorted(plist), dtype=np.int64),
@@ -187,6 +196,10 @@ class OracleIndex:
                 for d, parr in self.positions.get(term, {}).items():
                     arr[self._row[d]] = parr
                 pos[term] = arr
+        meta = dict(self.meta_cols)
+        # doclen is a first-class numeric pseudo-column (I64{fast}
+        # analogue) on every index, exactly like the Spark executors
+        meta.setdefault("doclen", self.doclen.astype(np.int64))
         return EvalContext.single_field(
             n=self.doc_count,
             fieldnorm_id=self.fieldnorm_id.astype(np.int64),
@@ -195,6 +208,7 @@ class OracleIndex:
             df=df,
             doc_count=self.doc_count,
             tf_cache=self.tf_cache,
+            meta=meta,
         )
 
     def expand_glob(self, pattern: str, limit: int | None = 16_384) -> list[str]:
@@ -311,7 +325,13 @@ class OracleMultiIndex:
                 tf_cache=sub.tf_cache,
                 basic=fname in self.basic_fields,
             )
-        return EvalContext(n=self.doc_count, views=views, doc_count=self.doc_count)
+        first = next(iter(self.sub.values()))
+        # 'doclen' metadata leaves read the PRIMARY field's doclen (the
+        # same rule as the Spark executors)
+        return EvalContext(
+            n=self.doc_count, views=views, doc_count=self.doc_count,
+            meta={"doclen": first.doclen.astype(np.int64)},
+        )
 
     def search_ast(self, ast, k: int = 10, offset: int = 0):
         from frankensearch_spark.kernel import eval_query

@@ -30,7 +30,17 @@ def built(spark):
 
 @pytest.fixture(scope="module")
 def oracle():
-    return OracleIndex(corpus_docs(N_DOCS))
+    # same keyword metadata columns the Spark docmeta carries, keyed by
+    # the parallelism-invariant docid (rank over the natural key)
+    from frankensearch_spark.corpus import make_corpus
+
+    rows = make_corpus(N_DOCS)
+    ordered = sorted(range(len(rows)), key=lambda i: rows[i][:3])
+    meta = {
+        name: {d: rows[i][j] for d, i in enumerate(ordered)}
+        for j, name in ((0, "repo"), (1, "path"), (2, "commit"), (3, "lang"))
+    }
+    return OracleIndex(corpus_docs(N_DOCS), meta=meta)
 
 
 def _oracle_bits(oracle, text, k=10):
@@ -221,3 +231,30 @@ def test_phrase_without_positions_rejected(spark):
     idx = build_index(corpus, CORPUS_KEY, with_positions=False, docid_mode="global")
     with pytest.raises(ValueError):
         search_ast_collect(idx, '"term00001 term00002"', k=5)
+
+
+def test_random_query_fuzz_parity(built, oracle):
+    """Grammar fuzz: random compositions of terms, fields, ranges,
+    phrases, globs, boosts, boolean operators and junk — the lenient
+    parser never errors, and the Spark AST executor must stay bit-exact
+    with the numpy oracle on every shape (deterministic seed; 40
+    compositions)."""
+    import random
+
+    rng = random.Random(0xF5A)
+    FRAGMENTS = [
+        "fn", "import", "term00001", "term00002", "term00042",
+        "missingkeywordzz", "lang:rust", "lang:go", "doclen:[40 TO 90]",
+        "doclen:[* TO 60]", '"term00001 term00002"', '"fn import"',
+        "term000*", "term0004?", "-fn", "+import", "-term00042",
+        "(fn OR import)", "(term00001 AND term00002)", "fn^2",
+        "term00001^0.5", "NOT import", "title:fn", "repo:org1",
+        '"unclosed phrase', "AND", "OR", "((", "))", "^", "a:b:c",
+        "doclen:42", "*", "?",
+    ]
+    for _ in range(40):
+        n = rng.randint(1, 4)
+        text = " ".join(rng.choice(FRAGMENTS) for _ in range(n))
+        expected = _oracle_bits(oracle, text)
+        got = search_ast_bits(built, text, k=10)
+        assert got == expected, repr(text)
