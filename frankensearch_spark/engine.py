@@ -82,6 +82,13 @@ class FrankensearchSpark:
     def upsert(self, new_corpus: DataFrame) -> "FrankensearchSpark":
         from frankensearch_spark.operators.lifecycle import upsert_documents
 
+        if self._is_serving():
+            raise NotImplementedError(
+                "upsert() on a loaded index: ingest the new documents as "
+                "a streamed mini-segment instead "
+                "(streaming.incremental.index_microbatch)"
+            )
+
         return FrankensearchSpark(
             upsert_documents(self.index, new_corpus, self.key_cols),
             self.key_cols, self.corpus, self.schema,
@@ -90,6 +97,12 @@ class FrankensearchSpark:
     def compact(self, force: bool = True) -> "FrankensearchSpark":
         from frankensearch_spark.operators.lifecycle import compact
 
+        if self._is_serving():
+            raise NotImplementedError(
+                "compact() needs the uncompressed postings; a loaded "
+                "serving index folds tombstones by rebuilding from the "
+                "source corpus (FrankensearchSpark.build) instead"
+            )
         return FrankensearchSpark(
             compact(self.index, force=force), self.key_cols, self.corpus,
             self.schema,
@@ -97,20 +110,30 @@ class FrankensearchSpark:
 
     # --- read path --------------------------------------------------------
 
+    def _is_serving(self) -> bool:
+        from frankensearch_spark.operators.wand import (
+            ServingIndex,
+            ServingMultiIndex,
+        )
+
+        return isinstance(self.index, (ServingIndex, ServingMultiIndex))
+
     def warm(self) -> "FrankensearchSpark":
         """Long-lived serving mode: preload snapshot stats + the full
         (term -> df) dictionary so per-query planning runs ZERO extra
-        Spark jobs (one job per query remains: the scan+pivot+top-k)."""
-        from frankensearch_spark.operators.build import MultiFieldIndex
-
+        Spark jobs (one job per query remains: the scan+pivot+top-k).
+        Loaded serving indexes additionally preload bucket coverage for
+        the WAND routing gate."""
         subs = (
-            self.index.fields.values()
-            if isinstance(self.index, MultiFieldIndex)
+            list(self.index.fields.values())
+            if hasattr(self.index, "fields")
             else [self.index]
         )
         for sub in subs:
             sub.stats()
             sub.preload_termstats()
+            if hasattr(sub, "preload_bucket_coverage"):
+                sub.preload_bucket_coverage()
         return self
 
     def parse(self, query: str):
@@ -126,9 +149,22 @@ class FrankensearchSpark:
         hit = self._query_cache.get(key)
         if hit is not None:
             return list(hit)
-        from frankensearch_spark.operators.astexec import search_ast_collect
+        if self._is_serving():
+            from frankensearch_spark.operators.serving_exec import (
+                serving_search_collect,
+            )
 
-        out = search_ast_collect(self.index, query, limit, offset, self.schema)
+            out = serving_search_collect(
+                self.index, query, limit, offset, self.schema
+            )
+        else:
+            from frankensearch_spark.operators.astexec import (
+                search_ast_collect,
+            )
+
+            out = search_ast_collect(
+                self.index, query, limit, offset, self.schema
+            )
         self._query_cache[key] = list(out)
         return out
 
@@ -174,6 +210,12 @@ class FrankensearchSpark:
 
     def count(self, query: str) -> int:
         """exact_count collector variant (E9)."""
+        if self._is_serving():
+            from frankensearch_spark.operators.serving_exec import (
+                serving_score_ast,
+            )
+
+            return serving_score_ast(self.index, query, self.schema).count()
         from frankensearch_spark.operators.astexec import score_ast
 
         return score_ast(self.index, query, self.schema).count()
@@ -181,9 +223,35 @@ class FrankensearchSpark:
     # --- persistence ------------------------------------------------------
 
     def save(self, path: str, **kw):
+        """Persist the index durably.  A builder engine runs the staged,
+        resumable merge+write; a loaded serving engine (whose blocks are
+        already compressed) rewrites its tables — so delete -> save ->
+        load round-trips tombstones either way."""
+        if self._is_serving():
+            from frankensearch_spark.plans.manifest import (
+                write_serving_index,
+            )
+
+            return write_serving_index(
+                self.index, path, key_cols=self.key_cols, **kw
+            )
         from frankensearch_spark.plans.manifest import write_index
 
-        return write_index(self.index, path, **kw)
+        return write_index(self.index, path, key_cols=self.key_cols, **kw)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "FrankensearchSpark":
+        """Reopen a saved index as a full engine: search/count/snipp-less
+        read surface plus tombstone deletes and re-save.  External-id
+        materialization uses the key_cols recorded in the manifest
+        (IDMAP analogue — traits.rs LexicalRead over a committed
+        snapshot)."""
+        from frankensearch_spark.plans.manifest import (
+            read_index,
+            read_key_cols,
+        )
+
+        return cls(read_index(spark, path), read_key_cols(path))
 
     @staticmethod
     def load_serving(spark: SparkSession, path: str):

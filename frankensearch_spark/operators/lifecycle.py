@@ -39,8 +39,11 @@ from frankensearch_spark.operators.build import (
 TOMBSTONE_COMPACT_THRESHOLD = 0.20  # config.rs:29
 
 
-def _tombstone_df(index: BuiltIndex, docids) -> DataFrame:
-    spark = index.postings.sparkSession
+def _tombstone_df(index, docids) -> DataFrame:
+    df = getattr(index, "postings", None)
+    if df is None:  # ServingIndex carries blocks, not postings
+        df = index.blocks
+    spark = df.sparkSession
     if isinstance(docids, DataFrame):
         return docids.select(F.col(docids.columns[0]).cast("long").alias("docid"))
     return spark.createDataFrame(
@@ -55,10 +58,35 @@ def delete_documents(index, docids):
     "df/N include tombstoned docs until compaction" rule.  Multi-field
     indexes tombstone on the PRIMARY field (the one query-time anti-join
     source shared by every field)."""
+    from frankensearch_spark.operators.wand import (
+        ServingIndex,
+        ServingMultiIndex,
+    )
+
     if isinstance(index, MultiFieldIndex):
         fields = dict(index.fields)
         fields[index.primary_name] = delete_documents(index.primary, docids)
         return MultiFieldIndex(fields, index.primary_name)
+    if isinstance(index, ServingMultiIndex):
+        fields = dict(index.fields)
+        fields[index.primary_name] = delete_documents(index.primary, docids)
+        return ServingMultiIndex(fields, index.primary_name)
+    if isinstance(index, ServingIndex):
+        ts = _tombstone_df(index, docids)
+        if index.tombstones is not None:
+            ts = index.tombstones.unionByName(ts).distinct()
+        return ServingIndex(
+            blocks=index.blocks,
+            termstats=index.termstats,
+            docmeta=index.docmeta,
+            fieldstats=index.fieldstats,
+            bucket_shift=index.bucket_shift,
+            n_term_partitions=index.n_term_partitions,
+            tombstones=ts,
+            has_positions=index.has_positions,
+            _cached_stats=index._cached_stats,
+            _term_df_cache=index._term_df_cache,
+        )
     ts = _tombstone_df(index, docids)
     if index.tombstones is not None:
         ts = index.tombstones.unionByName(ts).distinct()

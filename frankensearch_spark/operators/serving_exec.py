@@ -459,6 +459,20 @@ def ast_to_queryspec(ast):
     return spec
 
 
+def serving_search_collect(
+    index, query, k: int = 10, offset: int = 0,
+    schema: ParserSchema = ENGINE_SCHEMA, prune: bool = True,
+) -> list:
+    """[(docid, np.float32 score)] over the durable index — the loaded-
+    engine analogue of ``astexec.search_ast_collect`` (same pinned total
+    order; offset handled by over-fetching the prefix)."""
+    bits = serving_search_bits(index, query, k + offset, schema, prune)
+    out = [
+        (int(d), np.uint32(b).view(np.float32)) for d, b in bits
+    ]
+    return out[offset : offset + k]
+
+
 def serving_search_bits(index: ServingIndex, query, k: int = 10,
                         schema: ParserSchema = ENGINE_SCHEMA,
                         prune: bool = True):

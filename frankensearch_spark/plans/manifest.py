@@ -49,6 +49,9 @@ class BuildManifest:
     tables: dict[str, dict] = field(default_factory=dict)
     completed: bool = False
     with_positions: bool = False  # pos_bytes sidecar in the block store
+    # external-key column names (IDMAP analogue) — lets a reopened index
+    # materialize external ids without the builder process
+    key_cols: list[str] = field(default_factory=list)
 
 
 def _manifest_path(path: str) -> str:
@@ -82,6 +85,7 @@ def write_index(
     n_term_partitions: int = DEFAULT_TERM_PARTITIONS,
     n_groups: int = 4,
     source: str = "",
+    key_cols: list[str] | None = None,
 ) -> BuildManifest:
     """Persist a BuiltIndex as a compressed serving index, resumably.
 
@@ -92,7 +96,8 @@ def write_index(
 
     if isinstance(built, MultiFieldIndex):
         return write_multifield_index(
-            built, path, bucket_shift, n_term_partitions, n_groups, source
+            built, path, bucket_shift, n_term_partitions, n_groups, source,
+            key_cols=key_cols,
         )
     os.makedirs(path, exist_ok=True)
     manifest = load_manifest(path)
@@ -105,6 +110,7 @@ def write_index(
             n_groups=n_groups,
             source=source,
             with_positions=getattr(built, "positions", None) is not None,
+            key_cols=list(key_cols or []),
         )
         _publish(path, manifest)
     bucket_shift = manifest.bucket_shift
@@ -185,6 +191,7 @@ def write_multifield_index(
     n_term_partitions: int = DEFAULT_TERM_PARTITIONS,
     n_groups: int = 4,
     source: str = "",
+    key_cols: list[str] | None = None,
 ) -> dict:
     """Persist a MultiFieldIndex: one serving index per field under
     ``fields/<name>/`` plus a tiny root manifest.  Per-field writes reuse
@@ -197,6 +204,7 @@ def write_multifield_index(
         "fields": list(mfi.fields.keys()),
         "primary": mfi.primary_name,
         "source": source,
+        "key_cols": list(key_cols or []),
     }
     for name, built in mfi.fields.items():
         write_index(
@@ -276,6 +284,84 @@ def gc_orphans(path: str, grace_seconds: float = 300.0) -> list[str]:
         os.unlink(tmp)
         removed.append(tmp)
     return removed
+
+
+def read_key_cols(path: str) -> list[str]:
+    """External-key column names recorded at write time (IDMAP analogue)
+    — lets ``FrankensearchSpark.load`` materialize external ids without
+    the builder process.  Empty list for pre-key_cols indexes."""
+    mp = _mf_manifest_path(path)
+    if os.path.exists(mp):
+        with open(mp) as f:
+            return list(json.load(f).get("key_cols", []))
+    manifest = load_manifest(path)
+    return list(manifest.key_cols) if manifest is not None else []
+
+
+def write_serving_index(sidx, path: str, key_cols: list[str] | None = None,
+                        source: str = "") -> None:
+    """Persist an already-serving index (e.g. a loaded index whose
+    tombstone set grew via delete) to a NEW location.  The block table is
+    already in its compressed durable form, so this is a table copy plus
+    a fresh manifest — no re-merge.  delete -> save -> load round-trips
+    without resurrecting deleted documents (keeper.rs:929 tombstone
+    durability rule)."""
+    from frankensearch_spark.operators.wand import (
+        ServingIndex,
+        ServingMultiIndex,
+    )
+
+    os.makedirs(path, exist_ok=True)
+    if isinstance(sidx, ServingMultiIndex):
+        for name, sub in sidx.fields.items():
+            write_serving_index(sub, os.path.join(path, "fields", name))
+        root = {
+            "version": MANIFEST_VERSION,
+            "multifield": True,
+            "fields": list(sidx.fields.keys()),
+            "primary": sidx.primary_name,
+            "source": source,
+            "key_cols": list(key_cols or []),
+        }
+        tmp = _mf_manifest_path(path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(root, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _mf_manifest_path(path))
+        with open(os.path.join(path, "_COMMITTED"), "w") as f:
+            f.write("ok\n")
+        return
+    assert isinstance(sidx, ServingIndex)
+    spark = sidx.blocks.sparkSession
+    manifest = BuildManifest(
+        bucket_shift=sidx.bucket_shift,
+        n_term_partitions=sidx.n_term_partitions,
+        n_groups=1,
+        source=source,
+        with_positions=sidx.has_positions,
+        key_cols=list(key_cols or []),
+    )
+    dest = os.path.join(path, "blocks", "group=0")
+    sidx.blocks.write.mode("overwrite").parquet(dest)
+    manifest.committed_groups["0"] = {
+        "rows": spark.read.parquet(dest).count(), "seconds": 0.0,
+    }
+    tables = [
+        ("docmeta", sidx.docmeta),
+        ("termstats", sidx.termstats),
+        ("fieldstats", sidx.fieldstats),
+    ]
+    if sidx.tombstones is not None:
+        tables.append(("tombstones", sidx.tombstones))
+    for name, df in tables:
+        tdest = os.path.join(path, name)
+        df.write.mode("overwrite").parquet(tdest)
+        manifest.tables[name] = {"rows": spark.read.parquet(tdest).count()}
+    manifest.completed = True
+    _publish(path, manifest)
+    with open(os.path.join(path, "_COMMITTED"), "w") as f:
+        f.write("ok\n")
 
 
 def read_index(spark: SparkSession, path: str):

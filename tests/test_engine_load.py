@@ -1,0 +1,124 @@
+"""FrankensearchSpark.load: the full read surface over a reopened durable
+index (traits.rs LexicalRead over a committed snapshot), plus tombstone
+durability through delete -> save -> load (keeper.rs:929)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from frankensearch_spark.engine import FrankensearchSpark
+from frankensearch_spark.sources.corpus import CORPUS_KEY, synthetic_corpus_df
+
+N_DOCS = 120
+
+QUERIES = [
+    "fn import",
+    "fn AND error",
+    '"term00001 term00002"',
+    "term0000*",
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    corpus = synthetic_corpus_df(spark, N_DOCS, partitions=3)
+    return FrankensearchSpark.build(corpus, CORPUS_KEY)
+
+
+@pytest.fixture(scope="module")
+def loaded(spark, built, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("engload") / "idx")
+    built.save(path)
+    return FrankensearchSpark.load(spark, path)
+
+
+def _bits(hits):
+    return [(int(d), int(np.float32(s).view(np.uint32))) for d, s in hits]
+
+
+def test_key_cols_round_trip(loaded):
+    assert loaded.key_cols == CORPUS_KEY
+
+
+def test_loaded_search_docids_bit_equal(built, loaded):
+    for q in QUERIES:
+        assert _bits(loaded.search_docids(q, limit=10)) == _bits(
+            built.search_docids(q, limit=10)
+        ), q
+
+
+def test_loaded_search_external_ids(built, loaded):
+    got = loaded.search("fn import", limit=5)
+    want = built.search("fn import", limit=5)
+    assert [e for e, _ in got] == [e for e, _ in want]
+    assert [int(np.float32(s).view(np.uint32)) for _, s in got] == [
+        int(np.float32(s).view(np.uint32)) for _, s in want
+    ]
+
+
+def test_loaded_offset(built, loaded):
+    full = loaded.search_docids("fn import", limit=6)
+    tail = loaded.search_docids("fn import", limit=3, offset=3)
+    assert _bits(tail) == _bits(full[3:6])
+
+
+def test_loaded_count(built, loaded):
+    assert loaded.count("fn") == built.count("fn")
+    assert loaded.count("nosuchtermzzz") == 0
+
+
+def test_loaded_warm_bits_stable(loaded):
+    cold = _bits(loaded.search_docids("fn error import", limit=10))
+    loaded._query_cache.clear()
+    warm = _bits(loaded.warm().search_docids("fn error import", limit=10))
+    assert warm == cold
+
+
+def test_delete_save_load_round_trip(spark, loaded, tmp_path_factory):
+    """ADVICE: delete -> save -> load must NOT resurrect deleted docs."""
+    base = loaded.search_docids("fn import", limit=3)
+    victim = int(base[0][0])
+    after = loaded.delete_documents([victim])
+    assert victim not in {d for d, _ in after.search_docids("fn import", limit=3)}
+    path2 = str(tmp_path_factory.mktemp("engload2") / "idx")
+    after.save(path2)
+    reopened = FrankensearchSpark.load(spark, path2)
+    assert reopened.key_cols == CORPUS_KEY
+    got = reopened.search_docids("fn import", limit=3)
+    assert victim not in {d for d, _ in got}
+    assert _bits(got) == _bits(after.search_docids("fn import", limit=3))
+
+
+def test_loaded_upsert_and_compact_raise(loaded, spark):
+    corpus = synthetic_corpus_df(spark, 5, partitions=1)
+    with pytest.raises(NotImplementedError):
+        loaded.upsert(corpus)
+    with pytest.raises(NotImplementedError):
+        loaded.compact()
+
+
+def test_multifield_load_round_trip(spark, tmp_path_factory):
+    corpus = synthetic_corpus_df(spark, 60, partitions=2).withColumn(
+        "title", F.col("path")
+    )
+    eng = FrankensearchSpark.build_multifield(
+        corpus, CORPUS_KEY, {"content": "content", "title": "title"},
+    )
+    path = str(tmp_path_factory.mktemp("engloadmf") / "idx")
+    eng.save(path)
+    got = FrankensearchSpark.load(spark, path)
+    assert got.key_cols == CORPUS_KEY
+    for q in ("fn import", "fn AND error"):
+        assert _bits(got.search_docids(q, limit=10)) == _bits(
+            eng.search_docids(q, limit=10)
+        ), q
+    # delete -> save -> load on the multifield serving form
+    base = got.search_docids("fn import", limit=3)
+    victim = int(base[0][0])
+    after = got.delete_documents([victim])
+    path2 = str(tmp_path_factory.mktemp("engloadmf2") / "idx")
+    after.save(path2)
+    reopened = FrankensearchSpark.load(spark, path2)
+    assert victim not in {
+        d for d, _ in reopened.search_docids("fn import", limit=3)
+    }
