@@ -136,6 +136,13 @@ class FrankensearchSpark:
                 sub.preload_bucket_coverage()
         return self
 
+    def with_corpus(self, corpus: DataFrame) -> "FrankensearchSpark":
+        """Re-attach the source corpus (needed only for snippets) — a
+        loaded engine has no corpus handle because the index stores
+        postings, not raw content."""
+        self.corpus = corpus
+        return self
+
     def parse(self, query: str):
         return parse_lenient(query, self.schema)
 

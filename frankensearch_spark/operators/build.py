@@ -750,6 +750,12 @@ class MultiFieldIndex:
     def tombstones(self) -> DataFrame | None:
         return self.primary.tombstones
 
+    @property
+    def termstats(self) -> DataFrame:
+        # primary-field stats: snippets df-weight highlight terms by the
+        # content field, matching the reference's content-based previews
+        return self.primary.termstats
+
     def stats(self) -> tuple[int, int]:
         return self.primary.stats()
 

@@ -194,6 +194,11 @@ class ServingMultiIndex:
     def tombstones(self):
         return self.primary.tombstones
 
+    @property
+    def termstats(self):
+        # primary-field stats (content-based snippet weighting)
+        return self.primary.termstats
+
     def stats(self) -> tuple[int, int]:
         return self.primary.stats()
 

@@ -89,6 +89,29 @@ def test_delete_save_load_round_trip(spark, loaded, tmp_path_factory):
     assert _bits(got) == _bits(after.search_docids("fn import", limit=3))
 
 
+def test_loaded_snippets_with_corpus(spark, built, loaded):
+    """A loaded engine regains snippets once the source corpus is
+    re-attached (the index stores postings, not raw content)."""
+    corpus = synthetic_corpus_df(spark, N_DOCS, partitions=3)
+    got = loaded.with_corpus(corpus).search_with_snippets(
+        "snake_case_identifier", limit=3
+    )
+    want = built.search_with_snippets("snake_case_identifier", limit=3)
+    assert [(e, s) for e, _sc, s in got] == [(e, s) for e, _sc, s in want]
+    assert all(s is not None and "<b>" in s for _e, _sc, s in got)
+
+
+def test_multifield_snippets(spark):
+    corpus = synthetic_corpus_df(spark, 50, partitions=2).withColumn(
+        "title", F.col("path")
+    )
+    eng = FrankensearchSpark.build_multifield(
+        corpus, CORPUS_KEY, {"content": "content", "title": "title"},
+    )
+    out = eng.search_with_snippets("snake_case_identifier", limit=3)
+    assert out and all(s and "<b>" in s for _e, _sc, s in out)
+
+
 def test_loaded_upsert_and_compact_raise(loaded, spark):
     corpus = synthetic_corpus_df(spark, 5, partitions=1)
     with pytest.raises(NotImplementedError):
