@@ -80,33 +80,37 @@ class FrankensearchSpark:
         )
 
     def upsert(self, new_corpus: DataFrame) -> "FrankensearchSpark":
+        """Replace-by-external-key.  On a LOADED engine the block store
+        is first decoded back to builder form (one distributed pass —
+        see lifecycle.serving_to_built; for high-rate appends prefer
+        streamed mini-segments)."""
         from frankensearch_spark.operators.lifecycle import upsert_documents
 
-        if self._is_serving():
-            raise NotImplementedError(
-                "upsert() on a loaded index: ingest the new documents as "
-                "a streamed mini-segment instead "
-                "(streaming.incremental.index_microbatch)"
-            )
-
         return FrankensearchSpark(
-            upsert_documents(self.index, new_corpus, self.key_cols),
+            upsert_documents(self._as_built(), new_corpus, self.key_cols),
             self.key_cols, self.corpus, self.schema,
         )
 
     def compact(self, force: bool = True) -> "FrankensearchSpark":
         from frankensearch_spark.operators.lifecycle import compact
 
-        if self._is_serving():
-            raise NotImplementedError(
-                "compact() needs the uncompressed postings; a loaded "
-                "serving index folds tombstones by rebuilding from the "
-                "source corpus (FrankensearchSpark.build) instead"
-            )
+        if self._is_serving() and self.index.tombstones is None:
+            return self  # nothing to fold — skip the whole-store decode
         return FrankensearchSpark(
-            compact(self.index, force=force), self.key_cols, self.corpus,
-            self.schema,
+            compact(self._as_built(), force=force), self.key_cols,
+            self.corpus, self.schema,
         )
+
+    def _as_built(self):
+        """The index in builder (postings) form — identity for a built
+        engine, a whole-store decode for a loaded serving engine."""
+        if self._is_serving():
+            from frankensearch_spark.operators.lifecycle import (
+                serving_to_built,
+            )
+
+            return serving_to_built(self.index)
+        return self.index
 
     # --- read path --------------------------------------------------------
 

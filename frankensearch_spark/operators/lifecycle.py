@@ -156,6 +156,55 @@ def _shift_union(old: BuiltIndex, delta: BuiltIndex, shift: int,
     )
 
 
+def serving_to_built(index):
+    """Reconstruct builder form from a durable serving index: ONE
+    distributed decode pass over the whole block store (no driver
+    materialization), doclen re-joined from docmeta (fieldnorm
+    quantization is idempotent, so re-derived ids equal the stored
+    ones bit-for-bit).  This is what lets a LOADED engine run
+    upsert/compact with full reference semantics (index.rs:9104-9270
+    over a committed snapshot).
+
+    Cost note: linear in index size — fine for compaction-sized jobs;
+    for high-rate appends at very large corpora prefer streamed
+    mini-segments (streaming.incremental), which never decode the base."""
+    from frankensearch_spark.operators.wand import (
+        ServingIndex,
+        ServingMultiIndex,
+    )
+
+    if isinstance(index, ServingMultiIndex):
+        return MultiFieldIndex(
+            {n: serving_to_built(f) for n, f in index.fields.items()},
+            index.primary_name,
+        )
+    assert isinstance(index, ServingIndex)
+    from frankensearch_spark.operators.serving_exec import blocks_to_postings
+
+    decoded = blocks_to_postings(
+        index, None, with_positions=index.has_positions
+    )
+    doclens = index.docmeta.select("docid", "doclen")
+    post = decoded.drop("fieldnorm_id").join(doclens, "docid")
+    if index.has_positions:
+        postings_full = post.select("docid", "term", "tf", "positions", "doclen")
+        postings = postings_full.drop("positions")
+        positions = postings_full.select("docid", "term", "positions")
+    else:
+        postings_full = None
+        postings = post.select("docid", "term", "tf", "doclen")
+        positions = None
+    return BuiltIndex(
+        postings=postings,
+        docmeta=index.docmeta,
+        termstats=index.termstats,
+        fieldstats=index.fieldstats,
+        positions=positions,
+        tombstones=index.tombstones,
+        postings_full=postings_full,
+    )
+
+
 def upsert_documents(
     index,
     new_corpus: DataFrame,

@@ -34,23 +34,30 @@ from frankensearch_spark.query_ast import (
 
 
 def blocks_to_postings(
-    index: ServingIndex, terms: list[str], with_positions: bool = False,
+    index: ServingIndex, terms: list[str] | None, with_positions: bool = False,
     docid_whitelist=None,
 ) -> DataFrame:
     """Decode the candidate blocks of ``terms`` into posting rows
     (docid, term, tf, fieldnorm_id[, positions]) — parquet-pruned by
-    tpart + term.  Positions are NOT decoded here: the sidecar is
-    sliced into per-posting LEB128 buffers (``binary``), so they stay
-    compressed through the pivot exchange and the phrase kernel decodes
-    only the candidate cells it actually scores.
+    tpart + term.  ``terms=None`` decodes the WHOLE block store (the
+    serving->builder reconstruction path).  Positions are NOT decoded
+    here: the sidecar is sliced into per-posting LEB128 buffers
+    (``binary``), so they stay compressed through the pivot exchange and
+    the phrase kernel decodes only the candidate cells it actually
+    scores.
 
     ``docid_whitelist``: sorted int64 numpy array shipped to executors
     as a broadcast — only those docids' postings are emitted (and only
     their positions sliced), the root-phrase candidate restriction."""
-    tparts = sorted({term_partition(t, index.n_term_partitions) for t in terms})
-    cand = index.blocks.filter(
-        F.col("tpart").isin(tparts) & F.col("term").isin(terms)
-    )
+    if terms is None:
+        cand = index.blocks
+    else:
+        tparts = sorted(
+            {term_partition(t, index.n_term_partitions) for t in terms}
+        )
+        cand = index.blocks.filter(
+            F.col("tpart").isin(tparts) & F.col("term").isin(terms)
+        )
     shift = index.bucket_shift
     bc = None
     if docid_whitelist is not None:

@@ -112,12 +112,41 @@ def test_multifield_snippets(spark):
     assert out and all(s and "<b>" in s for _e, _sc, s in out)
 
 
-def test_loaded_upsert_and_compact_raise(loaded, spark):
-    corpus = synthetic_corpus_df(spark, 5, partitions=1)
-    with pytest.raises(NotImplementedError):
-        loaded.upsert(corpus)
-    with pytest.raises(NotImplementedError):
-        loaded.compact()
+def test_loaded_upsert_parity(spark, built, loaded):
+    """upsert on a loaded engine (whole-store decode, serving_to_built)
+    is bit-identical to upsert on the original builder engine."""
+    keys = built.index.docmeta.select(*CORPUS_KEY).limit(3).collect()
+    batch = spark.createDataFrame(
+        [
+            (r["repo"], r["path"], r["commit"], "rust",
+             "loadupsert_sentinel fn import")
+            for r in keys
+        ],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    a = built.upsert(batch)
+    b = loaded.upsert(batch)
+    for q in ("loadupsert_sentinel", "fn import", '"term00001 term00002"'):
+        assert _bits(b.search_docids(q, limit=10)) == _bits(
+            a.search_docids(q, limit=10)
+        ), q
+    assert len(b.search_docids("loadupsert_sentinel", limit=10)) == 3
+
+
+def test_loaded_compact_parity(spark, built, loaded):
+    victims = [int(d) for d, _ in built.search_docids("fn import", limit=2)]
+    a = built.delete_documents(victims).compact()
+    b = loaded.delete_documents(victims).compact()
+    assert b.index.tombstones is None
+    for q in QUERIES:
+        assert _bits(b.search_docids(q, limit=10)) == _bits(
+            a.search_docids(q, limit=10)
+        ), q
+
+
+def test_loaded_compact_noop_without_tombstones(loaded):
+    assert loaded.compact() is loaded
 
 
 def test_multifield_load_round_trip(spark, tmp_path_factory):
