@@ -108,3 +108,7 @@ def test_lifecycle_sequence_fuzz(spark, tmp_path, seed):
                 assert _bits(loaded.search_docids(q, limit=K)) == _bits(
                     eng.search_docids(q, limit=K)
                 ), (op, q, step)
+            # CONTINUE from the reopened engine: later delete/upsert/
+            # compact steps then run against the serving->built
+            # reconstruction path, pinning its bit-parity in sequence
+            eng = loaded
