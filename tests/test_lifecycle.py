@@ -134,3 +134,36 @@ def test_upsert_mixed_position_formats_serves_phrases(spark, built):
     assert len(hits) == 1
     miss = search_ast_bits(up, '"betamix alphamix"', k=5)
     assert miss == []
+
+
+def test_serving_to_built_reconstruction_law(built):
+    """Round-tripping builder -> serving blocks -> builder reproduces the
+    posting table EXACTLY (rows, tfs, positions bytes) — the decode
+    inverse of blockify, pinned directly rather than through query
+    parity."""
+    from frankensearch_spark.operators.lifecycle import serving_to_built
+    from frankensearch_spark.operators.wand import serving_from_built
+
+    sidx = serving_from_built(built, cache=False)
+    back = serving_to_built(sidx)
+    want = [
+        (int(r["docid"]), r["term"], int(r["tf"]), int(r["doclen"]))
+        for r in built.postings.collect()
+    ]
+    got = [
+        (int(r["docid"]), r["term"], int(r["tf"]), int(r["doclen"]))
+        for r in back.postings.collect()
+    ]
+    assert sorted(got) == sorted(want)
+    if built.positions is not None:
+        from frankensearch_spark.operators.build import positions_as_vbyte
+
+        wp = {
+            (int(r["docid"]), r["term"]): bytes(r["positions"])
+            for r in positions_as_vbyte(built.positions).collect()
+        }
+        gp = {
+            (int(r["docid"]), r["term"]): bytes(r["positions"])
+            for r in back.positions.collect()
+        }
+        assert gp == wp
