@@ -143,9 +143,12 @@ class FrankensearchSpark:
     def with_corpus(self, corpus: DataFrame) -> "FrankensearchSpark":
         """Re-attach the source corpus (needed only for snippets) — a
         loaded engine has no corpus handle because the index stores
-        postings, not raw content."""
-        self.corpus = corpus
-        return self
+        postings, not raw content.  Returns a NEW engine (the snapshot
+        convention); the ranked-query cache is shared because the index
+        snapshot is identical."""
+        eng = FrankensearchSpark(self.index, self.key_cols, corpus, self.schema)
+        eng._query_cache = self._query_cache
+        return eng
 
     def parse(self, query: str):
         return parse_lenient(query, self.schema)
@@ -237,7 +240,16 @@ class FrankensearchSpark:
         """Persist the index durably.  A builder engine runs the staged,
         resumable merge+write; a loaded serving engine (whose blocks are
         already compressed) rewrites its tables — so delete -> save ->
-        load round-trips tombstones either way."""
+        load round-trips tombstones either way.
+
+        Snapshots are IMMUTABLE once committed: saving over a path that
+        already holds a completed index raises (a silent resume-no-op
+        would resurrect deleted docs; an overwrite could delete files a
+        loaded engine is lazily reading).  Save each new state to a
+        fresh path."""
+        from frankensearch_spark.plans.manifest import _require_fresh_target
+
+        _require_fresh_target(path)
         if self._is_serving():
             from frankensearch_spark.plans.manifest import (
                 write_serving_index,

@@ -25,6 +25,8 @@ anti-join rewrite job.
 
 from __future__ import annotations
 
+import dataclasses
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,23 +72,15 @@ def delete_documents(index, docids):
     if isinstance(index, ServingMultiIndex):
         fields = dict(index.fields)
         fields[index.primary_name] = delete_documents(index.primary, docids)
-        return ServingMultiIndex(fields, index.primary_name)
+        return dataclasses.replace(index, fields=fields)
     if isinstance(index, ServingIndex):
         ts = _tombstone_df(index, docids)
         if index.tombstones is not None:
             ts = index.tombstones.unionByName(ts).distinct()
-        return ServingIndex(
-            blocks=index.blocks,
-            termstats=index.termstats,
-            docmeta=index.docmeta,
-            fieldstats=index.fieldstats,
-            bucket_shift=index.bucket_shift,
-            n_term_partitions=index.n_term_partitions,
-            tombstones=ts,
-            has_positions=index.has_positions,
-            _cached_stats=index._cached_stats,
-            _term_df_cache=index._term_df_cache,
-        )
+        # replace() keeps every other field — including the warm()
+        # planning state (_term_df_cache, _bucket_cov): tombstones don't
+        # change term stats or bucket coverage, only result filtering
+        return dataclasses.replace(index, tombstones=ts)
     ts = _tombstone_df(index, docids)
     if index.tombstones is not None:
         ts = index.tombstones.unionByName(ts).distinct()
@@ -177,6 +171,7 @@ def serving_to_built(index):
         return MultiFieldIndex(
             {n: serving_to_built(f) for n, f in index.fields.items()},
             index.primary_name,
+            field_cols=index.field_cols,
         )
     assert isinstance(index, ServingIndex)
     from frankensearch_spark.operators.serving_exec import blocks_to_postings

@@ -181,6 +181,8 @@ class ServingMultiIndex:
 
     fields: dict[str, ServingIndex]
     primary_name: str
+    field_cols: dict[str, str] | None = None  # field -> source column
+    # (persisted in the root manifest so loaded engines can upsert)
 
     @property
     def primary(self) -> ServingIndex:

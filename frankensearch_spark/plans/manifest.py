@@ -58,14 +58,47 @@ def _manifest_path(path: str) -> str:
     return os.path.join(path, "manifest.json")
 
 
-def _publish(path: str, manifest: BuildManifest) -> None:
-    """Atomic manifest publication: temp file + rename."""
-    tmp = _manifest_path(path) + ".tmp"
+def _atomic_json(dest: str, obj) -> None:
+    """Two-slot publication primitive: temp file + fsync + rename."""
+    tmp = dest + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(asdict(manifest), f, indent=1)
+        json.dump(obj, f, indent=1)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, _manifest_path(path))
+    os.replace(tmp, dest)
+
+
+def _publish(path: str, manifest: BuildManifest) -> None:
+    """Atomic manifest publication: temp file + rename."""
+    _atomic_json(_manifest_path(path), asdict(manifest))
+
+
+def _mark_committed(path: str) -> None:
+    with open(os.path.join(path, "_COMMITTED"), "w") as f:
+        f.write("ok\n")
+
+
+def is_completed_index(path: str) -> bool:
+    """True when ``path`` already holds a COMPLETED (committed) index —
+    single-field or multifield."""
+    if os.path.exists(_mf_manifest_path(path)):
+        return True
+    m = load_manifest(path)
+    return m is not None and m.completed
+
+
+def _require_fresh_target(path: str) -> None:
+    """Index snapshots are immutable once committed (the reference's
+    epoch/segment-file discipline: new state -> new files, keeper.rs
+    two-slot publication).  Writing a DIFFERENT snapshot over a committed
+    path would either silently no-op (resume sees a completed manifest)
+    or destroy the source files a lazily-read DataFrame still needs —
+    so refuse loudly instead."""
+    if is_completed_index(path):
+        raise FileExistsError(
+            f"{path} already holds a committed index; snapshots are "
+            "immutable — save to a fresh path (and gc the old one)"
+        )
 
 
 def load_manifest(path: str) -> BuildManifest | None:
@@ -175,8 +208,7 @@ def write_index(
         blocks.unpersist()
     manifest.completed = True
     _publish(path, manifest)
-    with open(os.path.join(path, "_COMMITTED"), "w") as f:
-        f.write("ok\n")
+    _mark_committed(path)
     return manifest
 
 
@@ -205,20 +237,17 @@ def write_multifield_index(
         "primary": mfi.primary_name,
         "source": source,
         "key_cols": list(key_cols or []),
+        # field -> source column map: persisted so a LOADED multifield
+        # engine can still upsert (delta builds need it)
+        "field_cols": dict(getattr(mfi, "field_cols", None) or {}),
     }
     for name, built in mfi.fields.items():
         write_index(
             built, os.path.join(path, "fields", name),
             bucket_shift, n_term_partitions, n_groups, source,
         )
-    tmp = _mf_manifest_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(root, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _mf_manifest_path(path))
-    with open(os.path.join(path, "_COMMITTED"), "w") as f:
-        f.write("ok\n")
+    _atomic_json(_mf_manifest_path(path), root)
+    _mark_committed(path)
     return root
 
 
@@ -234,7 +263,9 @@ def read_multifield_index(spark: SparkSession, path: str):
         name: read_index(spark, os.path.join(path, "fields", name))
         for name in root["fields"]
     }
-    return ServingMultiIndex(fields, root["primary"])
+    return ServingMultiIndex(
+        fields, root["primary"], field_cols=root.get("field_cols") or None
+    )
 
 
 def gc_orphans(path: str, grace_seconds: float = 300.0) -> list[str]:
@@ -299,18 +330,25 @@ def read_key_cols(path: str) -> list[str]:
 
 
 def write_serving_index(sidx, path: str, key_cols: list[str] | None = None,
-                        source: str = "") -> None:
+                        source: str = "", **_layout_kw) -> None:
     """Persist an already-serving index (e.g. a loaded index whose
-    tombstone set grew via delete) to a NEW location.  The block table is
-    already in its compressed durable form, so this is a table copy plus
-    a fresh manifest — no re-merge.  delete -> save -> load round-trips
-    without resurrecting deleted documents (keeper.rs:929 tombstone
-    durability rule)."""
+    tombstone set grew via delete) to a FRESH location.  The block table
+    is already in its compressed durable form, so this is a table copy
+    plus a fresh manifest — no re-merge.  delete -> save -> load
+    round-trips without resurrecting deleted documents (keeper.rs:929
+    tombstone durability rule).
+
+    Refuses a target that already holds a committed index: the lazily
+    read source DataFrames may point INTO that target, and an overwrite
+    would delete the files mid-scan (snapshots are immutable).  Builder
+    layout kwargs (``n_groups`` etc.) are accepted and ignored — the
+    block layout is inherited from the source store."""
     from frankensearch_spark.operators.wand import (
         ServingIndex,
         ServingMultiIndex,
     )
 
+    _require_fresh_target(path)
     os.makedirs(path, exist_ok=True)
     if isinstance(sidx, ServingMultiIndex):
         for name, sub in sidx.fields.items():
@@ -322,15 +360,10 @@ def write_serving_index(sidx, path: str, key_cols: list[str] | None = None,
             "primary": sidx.primary_name,
             "source": source,
             "key_cols": list(key_cols or []),
+            "field_cols": dict(getattr(sidx, "field_cols", None) or {}),
         }
-        tmp = _mf_manifest_path(path) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(root, f, indent=1)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, _mf_manifest_path(path))
-        with open(os.path.join(path, "_COMMITTED"), "w") as f:
-            f.write("ok\n")
+        _atomic_json(_mf_manifest_path(path), root)
+        _mark_committed(path)
         return
     assert isinstance(sidx, ServingIndex)
     spark = sidx.blocks.sparkSession
@@ -360,8 +393,7 @@ def write_serving_index(sidx, path: str, key_cols: list[str] | None = None,
         manifest.tables[name] = {"rows": spark.read.parquet(tdest).count()}
     manifest.completed = True
     _publish(path, manifest)
-    with open(os.path.join(path, "_COMMITTED"), "w") as f:
-        f.write("ok\n")
+    _mark_committed(path)
 
 
 def read_index(spark: SparkSession, path: str):

@@ -24,9 +24,10 @@ def validate_corpus_schema(df: DataFrame, content_col: str = "content") -> DataF
     """Check the input-table contract: key + content columns present,
     content is a string column.  Raises with the full expected shape so
     misconfigured catalogs fail loudly at plan time, not mid-build."""
-    missing = [c for c in CORPUS_COLUMNS if c not in df.columns]
-    if content_col not in df.columns:
-        missing.append(content_col)
+    required = [
+        c for c in CORPUS_COLUMNS if c != "content"
+    ] + [content_col]
+    missing = [c for c in required if c not in df.columns]
     if missing:
         raise ValueError(
             f"corpus table is missing columns {sorted(set(missing))}; "
@@ -54,12 +55,19 @@ def read_corpus_table(
 
     Either way the result is schema-validated against the engine's
     input contract before any build runs."""
+    import os
+
     if ref.startswith("iceberg:"):
         df = spark.read.format("iceberg").load(ref[len("iceberg:"):])
     elif ref.startswith("parquet:"):
         df = spark.read.parquet(ref[len("parquet:"):])
     elif "/" in ref:
         df = spark.read.parquet(ref)
+    elif os.path.exists(ref):
+        # bare existing directory name: resolve against the PYTHON cwd
+        # (Spark resolves relative paths against the JVM cwd, which may
+        # differ) before handing it to the reader
+        df = spark.read.parquet(os.path.abspath(ref))
     else:
         # bare dotted name — an Iceberg/catalog table identifier
         df = spark.read.table(ref)

@@ -149,6 +149,57 @@ def test_loaded_compact_noop_without_tombstones(loaded):
     assert loaded.compact() is loaded
 
 
+def test_save_refuses_committed_target(spark, built, loaded, tmp_path):
+    """Snapshots are immutable: re-saving onto a committed path raises
+    instead of silently no-oping (built) or deleting the very files the
+    loaded blocks DataFrame lazily reads (loaded)."""
+    p = str(tmp_path / "immutable")
+    built.save(p)
+    with pytest.raises(FileExistsError):
+        built.delete_documents([1]).save(p)
+    with pytest.raises(FileExistsError):
+        loaded.delete_documents([1]).save(p)
+    # and the committed index is untouched
+    assert FrankensearchSpark.load(spark, p).search_docids("fn", limit=3)
+
+
+def test_delete_preserves_warm_state(loaded):
+    warm = loaded.warm()
+    after = warm.delete_documents([0])
+    assert after.index._term_df_cache is not None
+    assert after.index._bucket_cov is not None
+
+
+def test_multifield_loaded_upsert(spark, tmp_path):
+    """field_cols persists in the root manifest, so a LOADED multifield
+    engine can upsert — parity with the builder-path upsert."""
+    corpus = synthetic_corpus_df(spark, 40, partitions=2).withColumn(
+        "title", F.col("path")
+    )
+    eng = FrankensearchSpark.build_multifield(
+        corpus, CORPUS_KEY, {"content": "content", "title": "title"},
+    )
+    p = str(tmp_path / "mfup")
+    eng.save(p)
+    ld = FrankensearchSpark.load(spark, p)
+    keys = eng.index.docmeta.select(*CORPUS_KEY).limit(2).collect()
+    batch = spark.createDataFrame(
+        [
+            (r["repo"], r["path"], r["commit"], "rust",
+             "mfup_sentinel fn import", "mfup_title")
+            for r in keys
+        ],
+        "repo string, path string, commit string, lang string, "
+        "content string, title string",
+    )
+    a = eng.upsert(batch)
+    b = ld.upsert(batch)
+    for q in ("mfup_sentinel", "fn import"):
+        assert _bits(b.search_docids(q, limit=10)) == _bits(
+            a.search_docids(q, limit=10)
+        ), q
+
+
 def test_multifield_load_round_trip(spark, tmp_path_factory):
     corpus = synthetic_corpus_df(spark, 60, partitions=2).withColumn(
         "title", F.col("path")

@@ -36,6 +36,22 @@ def test_non_string_content_rejected(spark):
         validate_corpus_schema(bad)
 
 
+def test_custom_content_col_accepted(spark):
+    df = spark.createDataFrame(
+        [("r", "p", "c", "l", "some code")],
+        "repo string, path string, commit string, lang string, body string",
+    )
+    assert validate_corpus_schema(df, content_col="body") is df
+
+
+def test_bare_existing_dir_reads_parquet(spark, tmp_path, monkeypatch):
+    src = synthetic_corpus_df(spark, 8, partitions=1)
+    dest = tmp_path / "barecorpus"
+    src.write.parquet(str(dest))
+    monkeypatch.chdir(tmp_path)
+    assert read_corpus_table(spark, "barecorpus").count() == 8
+
+
 def test_catalog_ref_dispatches_to_table(spark, tmp_path):
     src = synthetic_corpus_df(spark, 10, partitions=1)
     src.createOrReplaceTempView("corpus_view_t")
