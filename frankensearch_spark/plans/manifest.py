@@ -349,6 +349,17 @@ def write_serving_index(sidx, path: str, key_cols: list[str] | None = None,
     )
 
     _require_fresh_target(path)
+    # the target may hold a CRASHED partial build (uncommitted manifest +
+    # staged block groups); read_index unions every blocks/group=* dir,
+    # so clear the leftovers before laying down the n_groups=1 layout
+    stale_blocks = os.path.join(path, "blocks")
+    if os.path.isdir(stale_blocks):
+        import shutil
+
+        shutil.rmtree(stale_blocks, ignore_errors=True)
+    stale_manifest = _manifest_path(path)
+    if os.path.exists(stale_manifest):
+        os.unlink(stale_manifest)
     os.makedirs(path, exist_ok=True)
     if isinstance(sidx, ServingMultiIndex):
         for name, sub in sidx.fields.items():

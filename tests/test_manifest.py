@@ -104,3 +104,33 @@ def test_boolean_query_on_persisted_index(built, spark, tmp_path_factory):
     got = wand_bits(idx, spec, k=15)
     assert got == oracle.search_bits(["term00001"], k=15, must_not=["term00002"])
     assert load_manifest(path).completed
+
+
+def test_serving_save_clears_crashed_partial_target(built, spark, tmp_path_factory):
+    """A target holding a CRASHED partial builder write (uncommitted
+    manifest + staged block groups) is cleared before a serving save —
+    read_index unions every blocks/group=* dir, so stale groups would
+    silently duplicate postings."""
+    from frankensearch_spark.operators.wand import serving_from_built
+    from frankensearch_spark.plans.manifest import write_serving_index
+
+    good = str(tmp_path_factory.mktemp("src"))
+    write_index(built, good, n_groups=2)
+    sidx = read_index(spark, good)
+
+    crash = str(tmp_path_factory.mktemp("crash"))
+    write_index(built, crash, n_groups=2)
+    # forge the crash: drop the completion state but keep a staged group
+    m = load_manifest(crash)
+    m.completed = False
+    m.tables = {}
+    from frankensearch_spark.plans.manifest import _publish
+
+    _publish(crash, m)
+    os.unlink(os.path.join(crash, "_COMMITTED"))
+
+    write_serving_index(sidx, crash, key_cols=CORPUS_KEY)
+    reopened = read_index(spark, crash)
+    assert reopened.blocks.count() == sidx.blocks.count()  # no stale dup groups
+    spec = QuerySpec(should=["fn", "import"])
+    assert wand_bits(reopened, "fn import", k=10) == wand_bits(sidx, "fn import", k=10)
