@@ -411,6 +411,10 @@ def q_simhash16(spark, sf_dir):
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Token 3-shingle Jaccard similarity over the docid<30 pair grid
     (n-gram near-dup measure; bounded pair set keeps it oracle-sized)."""
+    # SCALE NOTE: this all-pairs shingle self-join is an ORACLE-SIZED
+    # measure by construction (docid < 30).  Production-scale near-dup
+    # must route through the LSH band-bucket path (q_lsh_band_buckets):
+    # bucketed candidate groups, never all-pairs.
     idx = documents_index(spark, sf_dir)
     pos = positions_as_array(idx.positions.filter(F.col("docid") < 30)).select(
         "docid", F.col("term"), F.explode("positions").alias("pos")

@@ -30,7 +30,17 @@ def serving(spark):
 
 @pytest.fixture(scope="module")
 def oracle():
-    return OracleIndex(corpus_docs(N_DOCS))
+    # same keyword metadata columns the Spark docmeta carries, keyed by
+    # the parallelism-invariant docid (rank over the natural key)
+    from frankensearch_spark.corpus import make_corpus
+
+    rows = make_corpus(N_DOCS)
+    ordered = sorted(range(len(rows)), key=lambda i: rows[i][:3])
+    meta = {
+        name: {d: rows[i][j] for d, i in enumerate(ordered)}
+        for j, name in ((0, "repo"), (1, "path"), (2, "commit"), (3, "lang"))
+    }
+    return OracleIndex(corpus_docs(N_DOCS), meta=meta)
 
 
 QUERIES = [
@@ -151,3 +161,37 @@ def test_phrase_rejected_without_positions(spark):
             serving_search_bits(idx, '"term00001 term00002"', k=5)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_serving_random_query_fuzz_parity(serving, oracle):
+    """Grammar fuzz THROUGH THE DURABLE SERVING PATH: the same fragment
+    pool as the primary-executor fuzz, but every composition routes
+    through serving_search_bits (WAND routing gate + compressed decode)
+    and must stay bit-exact with the numpy oracle.  This pins the
+    prune-vs-decode ROUTING decision itself across arbitrary shapes,
+    not just the hand-picked query lists above."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(0x5E41)
+    FRAGMENTS = [
+        "fn", "import", "term00001", "term00002", "term00042",
+        "missingkeywordzz", "lang:rust", "lang:go", "doclen:[40 TO 90]",
+        "doclen:[* TO 60]", '"term00001 term00002"', '"fn import"',
+        "term000*", "term0004?", "-fn", "+import", "-term00042",
+        "(fn OR import)", "(term00001 AND term00002)", "fn^2",
+        "term00001^0.5", "NOT import", "title:fn", "repo:org1",
+        '"unclosed phrase', "AND", "OR", "((", "))", "^", "a:b:c",
+        "doclen:42", "*", "?",
+    ]
+    for _ in range(30):
+        n = rng.randint(1, 4)
+        text = " ".join(rng.choice(FRAGMENTS) for _ in range(n))
+        ast = parse_lenient(text, ENGINE_SCHEMA).query
+        exp = [
+            (d, int(np.float32(s).view(np.uint32)))
+            for d, s in oracle.search_ast(ast, 10)
+        ]
+        got = serving_search_bits(serving, text, k=10)
+        assert got == exp, repr(text)
