@@ -791,6 +791,113 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# event-stream analytics (the telemetry side of a training-data pipeline:
+# ingest logs arrive as an append-only event table; these are the batch
+# twins of the Structured Streaming shapes — tumbling-window aggregation,
+# gap sessionization, semi-structured props extraction).  The ``ts``
+# column reads as TIMESTAMP_NTZ; the ONLY session-timezone-invariant
+# epoch primitive over NTZ is ``unix_timestamp`` (probed: date_trunc and
+# to_utc_timestamp both coerce through the session zone first), so every
+# time key below is integer epoch-seconds arithmetic — the cross-engine
+# value hash cannot depend on the driver's timezone.
+
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling 1-hour window per event_type: count + value stats.
+
+    The batch twin of ``readStream.groupBy(window("ts", "1 hour"),
+    "event_type")`` — at scale the same expression shape runs under a
+    watermark with partial (map-side) aggregation; the window key is
+    emitted as an epoch-seconds long (UTC-hour floor), not a struct, so
+    the result is engine-portable."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn(
+            "hour_epoch",
+            (F.floor(F.unix_timestamp(F.col("ts")) / 3600) * 3600).cast("long"),
+        )
+        .groupBy("hour_epoch", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value_r"),
+            F.round(F.avg("value"), 6).alias("avg_value_r"),
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+SESSION_GAP_S = 30 * 60  # 30-minute inactivity gap
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization: per user, events more than 30 minutes
+    apart start a new session; emit per-user session stats.
+
+    Two narrow windows partitioned BY USER (the natural shuffle key — at
+    scale this is one hash exchange on user_id, skew-safe because a
+    single user's history fits a task) then a plain aggregate.  The
+    streaming twin is ``applyInPandasWithState`` with a session timeout;
+    batch semantics shown here are the reference oracle for it."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", F.unix_timestamp(F.col("ts")).alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    sess = (
+        ev.withColumn("prev_s", F.lag("ts_s").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_s").isNull()
+                | (F.col("ts_s") - F.col("prev_s") > SESSION_GAP_S)
+            ).cast("int"),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("ts_s") - F.min("ts_s")).cast("long").alias("dur_s"),
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.max("sess_id").cast("long").alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            F.max("n").alias("max_session_events"),
+            F.max("dur_s").alias("max_session_secs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_events_props_extract(spark, sf_dir):
+    """Semi-structured props column: extract the integer ``k`` field
+    (regexp, no JSON-extension dependency on the oracle side), bucket it
+    mod 10, aggregate per (event_type, bucket).  The training-pipeline
+    shape for tagging/filtering raw logs by payload attributes."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn(
+            "k",
+            F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long"),
+        )
+        .withColumn("k_bucket", F.col("k") % 10)
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value_r"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
 QUERIES = {
     "tokenize_explode": q_tokenize_explode,
     "term_tf": q_term_tf,
@@ -820,6 +927,9 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    "events_windowed": q_events_windowed,
+    "events_sessionize": q_events_sessionize,
+    "events_props_extract": q_events_props_extract,
 }
 
 _SQL_SIMHASH_BITS = " + ".join(
@@ -1267,5 +1377,58 @@ ORACLE_SQL = {
                (1 + {_sql_hex_byte(2)} % 64)::INT AS height,
                1::INT AS n_frames
         FROM h
+    """,
+    "events_windowed": """
+        SELECT ((epoch_us(ts) // 1000000) // 3600 * 3600)::BIGINT
+                   AS hour_epoch,
+               event_type,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 6) AS sum_value_r,
+               round(avg(value), 6) AS avg_value_r
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "events_sessionize": f"""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s
+          FROM events
+        ),
+        flagged AS (
+          SELECT user_id, event_id, ts_s,
+                 CASE WHEN lag(ts_s) OVER w IS NULL
+                        OR ts_s - lag(ts_s) OVER w > {SESSION_GAP_S}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+        ),
+        sess AS (
+          SELECT user_id, ts_s,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                     ORDER BY ts_s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS sess_id
+          FROM flagged
+        ),
+        per_sess AS (
+          SELECT user_id, sess_id, count(*)::BIGINT AS n,
+                 (max(ts_s) - min(ts_s))::BIGINT AS dur_s
+          FROM sess GROUP BY 1, 2
+        )
+        SELECT user_id, max(sess_id)::BIGINT AS n_sessions,
+               sum(n)::BIGINT AS n_events,
+               max(n)::BIGINT AS max_session_events,
+               max(dur_s)::BIGINT AS max_session_secs
+        FROM per_sess GROUP BY 1 ORDER BY 1
+    """,
+    "events_props_extract": """
+        SELECT event_type,
+               (regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT) % 10
+                   AS k_bucket,
+               count(*)::BIGINT AS n_events,
+               round(avg(value), 6) AS avg_value_r
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """,
 }
