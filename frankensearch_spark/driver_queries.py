@@ -898,6 +898,161 @@ def q_events_props_extract(spark, sf_dir):
     )
 
 
+def _shingle_sets(spark, sf_dir):
+    """Distinct (docid, 3-shingle) rows, built JVM-side: split -> slide.
+
+    Unlike the positions-self-join shape in :func:`q_ngram_jaccard_pairs`
+    (oracle-sized by construction), this derives shingles with
+    ``transform(sequence(...))`` directly over the token array — one
+    narrow projection per document, no join, fully whole-stage-codegen.
+    That is the shape that survives 100 TB: shingling is embarrassingly
+    parallel and the only exchanges in the near-dup pipeline are the
+    small signature/bucket aggregates."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^0-9a-z]+"), lambda x: x != F.lit("")
+    )
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col("doc_id").alias("docid"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def _near_dup_pairs_df(spark, sf_dir, threshold: float = 0.8):
+    """Shingle-MinHash LSH near-dup pairs, verified: the full scale shape.
+
+    shingle -> 12 md5-minhashes -> 4 bands x 3 -> band-bucket candidate
+    pairs -> exact shingle-Jaccard ONLY on candidates -> ``j >= threshold``.
+    Work is linear in corpus size plus candidate volume (never all-pairs);
+    at 100 TB the bucket self-join is the standard dedup candidate
+    generator and the verify join touches only LSH survivors."""
+    sh = _shingle_sets(spark, sf_dir).persist()
+    seeds = spark.range(12).select(F.col("id").cast("int").alias("seed"))
+    sig = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("docid", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws("#", F.col("shingle"), F.col("seed").cast("string")))
+            ).alias("minhash")
+        )
+    )
+    bucket = (
+        sig.withColumn("band", (F.col("seed") / 3).cast("int"))
+        .groupBy("docid", "band")
+        .agg(
+            F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias(
+                "bucket"
+            )
+        )
+    )
+    a, b = bucket.alias("a"), bucket.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.docid") < F.col("b.docid")),
+        )
+        .select(F.col("a.docid").alias("d1"), F.col("b.docid").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("docid").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.docid") == F.col("d1"))
+        .join(
+            y,
+            (F.col("y.docid") == F.col("d2"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("double").alias("i"))
+    )
+    s1 = sizes.select(F.col("docid").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("docid").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac >= F.lit(threshold))
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard_r"))
+    )
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    """Verified near-duplicate pairs (shingle-LSH candidates + exact
+    Jaccard >= 0.8) — the production dedup pipeline end-to-end."""
+    return _near_dup_pairs_df(spark, sf_dir)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over verified near-dup pairs (iterative
+    min-label propagation), summarized per cluster.
+
+    The Spark side is the standard distributed CC loop: each round every
+    node takes the min label over itself and its neighbors; rounds are
+    O(graph diameter) Spark jobs of join+groupBy, which is the scalable
+    shape (GraphFrames/Pregel does exactly this) — no driver-side graph.
+    The DuckDB oracle computes the same min-reachable-docid labels with a
+    recursive CTE."""
+    pairs = _near_dup_pairs_df(spark, sf_dir).select("d1", "d2").persist()
+    edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("u", "v").persist()
+    labels = edges.select(F.col("u").alias("docid")).distinct().withColumn(
+        "label", F.col("docid")
+    ).persist()
+    # min-label propagation to fixpoint.  The loop count is the graph
+    # diameter (tiny for dedup graphs; capped defensively), and the
+    # convergence probe is a single count() per round.
+    for _ in range(20):
+        prop = (
+            edges.join(labels, edges["u"] == labels["docid"])
+            .select(F.col("v").alias("docid"), F.col("label"))
+        )
+        new_labels = (
+            labels.select("docid", "label")
+            .union(prop)
+            .groupBy("docid")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.docid") == F.col("o.docid"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("docid").alias("min_docid"),
+            F.max("docid").alias("max_docid"),
+        )
+        .select(
+            F.col("label").alias("cluster_id"), "n_docs", "min_docid", "max_docid"
+        )
+        .orderBy("cluster_id")
+    )
+    return out
+
+
 QUERIES = {
     "tokenize_explode": q_tokenize_explode,
     "term_tf": q_term_tf,
@@ -930,6 +1085,8 @@ QUERIES = {
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "events_props_extract": q_events_props_extract,
+    "near_dup_pairs": q_near_dup_pairs,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 _SQL_SIMHASH_BITS = " + ".join(
@@ -1082,6 +1239,54 @@ LIMIT 10
 """
     )
 
+
+# shingle-LSH near-dup pipeline CTE fragment (shared by near_dup_pairs /
+# dedup_clusters): 3-shingles -> 12 md5-minhashes -> 4 bands x 3 ->
+# band-bucket candidate pairs -> exact shingle-Jaccard >= 0.8.
+# Expects a preceding `tok AS ({_SQL_TOKEN_ROWS})` CTE.
+_SQL_NEAR_DUP_PAIRS = """
+        sh AS (
+          SELECT DISTINCT a.docid,
+                 a.term || ' ' || b.term || ' ' || c.term AS shingle
+          FROM tok a
+          JOIN tok b ON a.docid = b.docid AND b.pos = a.pos + 1
+          JOIN tok c ON a.docid = c.docid AND c.pos = a.pos + 2
+        ),
+        seeds AS (SELECT unnest(range(12))::INT AS seed),
+        sig AS (
+          SELECT docid, seed,
+                 min(md5(shingle || '#' || seed::VARCHAR)) AS minhash
+          FROM sh CROSS JOIN seeds GROUP BY docid, seed
+        ),
+        nd_bucket AS (
+          SELECT docid, (seed // 3)::INT AS band,
+                 md5(string_agg(minhash, '|' ORDER BY minhash)) AS bucket
+          FROM sig GROUP BY docid, (seed // 3)::INT
+        ),
+        cand AS (
+          SELECT DISTINCT a.docid AS d1, b.docid AS d2
+          FROM nd_bucket a
+          JOIN nd_bucket b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.docid < b.docid
+        ),
+        nd_sizes AS (
+          SELECT docid, count(*)::DOUBLE AS n FROM sh GROUP BY docid
+        ),
+        nd_inter AS (
+          SELECT p.d1, p.d2, count(*)::DOUBLE AS i
+          FROM cand p
+          JOIN sh x ON x.docid = p.d1
+          JOIN sh y ON y.docid = p.d2 AND y.shingle = x.shingle
+          GROUP BY p.d1, p.d2
+        ),
+        verified AS (
+          SELECT p.d1, p.d2, i, s1.n AS s1n, s2.n AS s2n
+          FROM cand p JOIN nd_inter USING (d1, d2)
+          JOIN nd_sizes s1 ON p.d1 = s1.docid
+          JOIN nd_sizes s2 ON p.d2 = s2.docid
+          WHERE i / (s1.n + s2.n - i) >= 0.8
+        )
+"""
 
 ORACLE_SQL = {
     "tokenize_explode": f"SELECT * FROM ({_SQL_TOKEN_ROWS}) t WHERE docid < 100",
@@ -1430,5 +1635,29 @@ ORACLE_SQL = {
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """,
+    "near_dup_pairs": f"""
+        WITH tok AS ({_SQL_TOKEN_ROWS}),
+        {_SQL_NEAR_DUP_PAIRS}
+        SELECT d1, d2, round(i / (s1n + s2n - i), 6) AS jaccard_r
+        FROM verified
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE tok AS ({_SQL_TOKEN_ROWS}),
+        {_SQL_NEAR_DUP_PAIRS},
+        pairs AS (SELECT d1, d2 FROM verified),
+        edges AS (
+          SELECT d1 AS u, d2 AS v FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs
+        ),
+        reach(docid, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.docid
+        ),
+        lab AS (SELECT docid, min(r) AS cluster_id FROM reach GROUP BY docid)
+        SELECT cluster_id, count(*)::BIGINT AS n_docs,
+               min(docid) AS min_docid, max(docid) AS max_docid
+        FROM lab GROUP BY cluster_id ORDER BY cluster_id
     """,
 }
