@@ -898,6 +898,61 @@ def q_events_props_extract(spark, sf_dir):
     )
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join: each purchase event attributed to the same user's most
+    recent prior (or simultaneous) view event.
+
+    Spark lacks a native ASOF JOIN; the scalable formulation is a single
+    shuffle on the join key: union both sides, one window pass per user
+    ordered by time carrying ``last(view, ignoreNulls)`` forward.  That
+    is O(n log n) per user partition with no range self-join blowup —
+    the shape that survives 100 TB of events.  The DuckDB oracle uses its
+    native ``ASOF JOIN``, so two independent formulations must agree."""
+    from pyspark.sql import Window
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            # tz-invariant epoch micros over TIMESTAMP_NTZ: unix_timestamp
+            # is the tz-invariant seconds primitive (see events_windowed),
+            # and date_part(SECOND) carries the fractional micros — unlike
+            # cast-to-TIMESTAMP, which shifts with the session zone
+            (
+                F.unix_timestamp("ts") * F.lit(1_000_000)
+                + (F.date_part(F.lit("SECOND"), F.col("ts")) % 1 * 1_000_000)
+                .cast("long")
+            ).alias("ts_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("event_type") == "view"
+    out = (
+        ev.withColumn(
+            "view_id", F.last(F.when(is_view, F.col("event_id")), True).over(w)
+        )
+        .withColumn(
+            "view_ts_us", F.last(F.when(is_view, F.col("ts_us")), True).over(w)
+        )
+        .filter((F.col("event_type") == "purchase") & F.col("view_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "view_id",
+            (F.col("ts_us") - F.col("view_ts_us")).cast("long").alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+    return out
+
+
 def _shingle_sets(spark, sf_dir):
     """Distinct (docid, 3-shingle) rows, built JVM-side: split -> slide.
 
@@ -1008,11 +1063,23 @@ def q_dedup_clusters(spark, sf_dir):
     shape (GraphFrames/Pregel does exactly this) — no driver-side graph.
     The DuckDB oracle computes the same min-reachable-docid labels with a
     recursive CTE."""
-    pairs = _near_dup_pairs_df(spark, sf_dir).select("d1", "d2").persist()
-    edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("u", "v").persist()
-    labels = edges.select(F.col("u").alias("docid")).distinct().withColumn(
-        "label", F.col("docid")
-    ).persist()
+    pairs = _near_dup_pairs_df(spark, sf_dir).select("d1", "d2")
+    # localCheckpoint (not persist): each propagation round's plan embeds
+    # the previous round's, so without truncating lineage the logical plan
+    # DOUBLES per round and the planner OOMs past ~5 rounds (caught by the
+    # chain-corpus test).  On a cluster use a reliable checkpoint dir; the
+    # truncation law is the same.
+    edges = (
+        pairs.union(pairs.select(F.col("d2"), F.col("d1")))
+        .toDF("u", "v")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("docid"))
+        .distinct()
+        .withColumn("label", F.col("docid"))
+        .localCheckpoint()
+    )
     # min-label propagation to fixpoint.  The loop count is the graph
     # diameter (tiny for dedup graphs; capped defensively), and the
     # convergence probe is a single count() per round.
@@ -1026,7 +1093,7 @@ def q_dedup_clusters(spark, sf_dir):
             .union(prop)
             .groupBy("docid")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -1034,7 +1101,6 @@ def q_dedup_clusters(spark, sf_dir):
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -1087,6 +1153,7 @@ QUERIES = {
     "events_props_extract": q_events_props_extract,
     "near_dup_pairs": q_near_dup_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "events_asof_join": q_events_asof_join,
 }
 
 _SQL_SIMHASH_BITS = " + ".join(
@@ -1659,5 +1726,13 @@ ORACLE_SQL = {
         SELECT cluster_id, count(*)::BIGINT AS n_docs,
                min(docid) AS min_docid, max(docid) AS max_docid
         FROM lab GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    "events_asof_join": """
+        SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+               (epoch_us(p.ts) - epoch_us(v.ts))::BIGINT AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY purchase_id
     """,
 }

@@ -1,0 +1,94 @@
+"""Near-dup / dedup-cluster / as-of-join driver queries vs the DuckDB oracle.
+
+Beyond the driver's sf0.01 gate this pins the two properties the driver
+cannot see:
+
+* the connected-components loop in ``dedup_clusters`` genuinely iterates —
+  a crafted 6-doc chain corpus (adjacent shingle-Jaccard ~0.85, distance-2
+  ~0.72) has graph diameter 5, so min-label propagation needs 5 rounds to
+  converge to ONE cluster; and
+* ``events_asof_join`` is session-timezone invariant (its epoch-micros key
+  is built from the tz-invariant ``unix_timestamp`` + fractional-second
+  ``date_part``, not a zone-coerced cast).
+"""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from frankensearch_spark.driver_queries import ORACLE_SQL, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+PIPELINE_QUERIES = ["near_dup_pairs", "dedup_clusters", "events_asof_join"]
+
+
+def _oracle(name: str, sf_dir: str = SF) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con.execute(ORACLE_SQL[name]).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", PIPELINE_QUERIES)
+def test_pipeline_query_matches_oracle(spark, name):
+    got = _canon(QUERIES[name](spark, SF).toPandas())
+    exp = _canon(_oracle(name))
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_join_tz_invariant(spark):
+    base = _canon(QUERIES["events_asof_join"](spark, SF).toPandas())
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        shifted = _canon(QUERIES["events_asof_join"](spark, SF).toPandas())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    pd.testing.assert_frame_equal(base, shifted)
+
+
+# ---------------------------------------------------------------------------
+# chain corpus: label propagation must cross 5 hops
+
+
+def _chain_corpus(tmp_path) -> str:
+    """6 sliding-window docs over a 140-token unique stream (window 100,
+    step 8): adjacent pairs share 90/106 shingles (J~0.849 >= 0.8), any
+    distance-2 pair only 82/114 (J~0.719 < 0.8) — a pure chain."""
+    toks = [f"tk{i:04d}" for i in range(140)]
+    rows = []
+    for k in range(6):
+        rows.append((k, " ".join(toks[8 * k : 8 * k + 100])))
+    # plus one isolated doc: no near-dup partner, must not appear at all
+    rows.append((99, " ".join(f"zz{i:03d}" for i in range(60))))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    d = tmp_path / "chain"
+    d.mkdir()
+    df.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_dedup_clusters_chain_transitivity(spark, tmp_path):
+    sf_dir = _chain_corpus(tmp_path)
+    pairs = _canon(QUERIES["near_dup_pairs"](spark, sf_dir).toPandas())
+    # exactly the 5 adjacent chain edges survive the >= 0.8 verify
+    assert list(zip(pairs["d1"], pairs["d2"])) == [(k, k + 1) for k in range(5)]
+    got = _canon(QUERIES["dedup_clusters"](spark, sf_dir).toPandas())
+    exp = _canon(_oracle("dedup_clusters", sf_dir))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # one transitive cluster spanning the whole chain: labels crossed
+    # 5 hops, so the propagation loop demonstrably ran to fixpoint
+    assert got.to_dict("records") == [
+        {"cluster_id": 0, "n_docs": 6, "min_docid": 0, "max_docid": 5}
+    ]
