@@ -791,6 +791,22 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling fan-out through the multimodal plumbing:
+    every-4th-frame index per "video" payload (one output row per sampled
+    frame; at scale this is the decode-work manifest that schedules the
+    expensive per-frame kernel).  The frame count comes from the declared
+    decode stub, so the oracle recomputes it from the sha256 digest."""
+    from frankensearch_spark.operators.multimodal import (
+        frame_sample,
+        media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents(docs, kind="video")
+    return frame_sample(media, every_n=4)
+
+
 # ---------------------------------------------------------------------------
 # event-stream analytics (the telemetry side of a training-data pipeline:
 # ingest logs arrive as an append-only event table; these are the batch
@@ -1154,6 +1170,7 @@ QUERIES = {
     "near_dup_pairs": q_near_dup_pairs,
     "dedup_clusters": q_dedup_clusters,
     "events_asof_join": q_events_asof_join,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 _SQL_SIMHASH_BITS = " + ".join(
@@ -1734,5 +1751,19 @@ ORACLE_SQL = {
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
         ORDER BY purchase_id
+    """,
+    "multimodal_frames": f"""
+        WITH h AS (
+          SELECT doc_id AS media_id, sha256(text) AS h
+          FROM documents
+        ),
+        nf AS (
+          SELECT media_id, h AS sha256,
+                 (1 + {_sql_hex_byte(3)} % 32)::INT AS n_frames
+          FROM h
+        )
+        SELECT media_id, unnest(range(0, n_frames, 4))::INT AS frame_idx,
+               sha256
+        FROM nf
     """,
 }

@@ -22,7 +22,12 @@ from frankensearch_spark.driver_queries import ORACLE_SQL, QUERIES
 
 SF = "/root/testdata/sf0.001"
 
-PIPELINE_QUERIES = ["near_dup_pairs", "dedup_clusters", "events_asof_join"]
+PIPELINE_QUERIES = [
+    "near_dup_pairs",
+    "dedup_clusters",
+    "events_asof_join",
+    "multimodal_frames",
+]
 
 
 def _oracle(name: str, sf_dir: str = SF) -> pd.DataFrame:
