@@ -951,11 +951,17 @@ def q_events_asof_join(spark, sf_dir):
     )
     is_view = F.col("event_type") == "view"
     out = (
-        ev.withColumn(
-            "view_id", F.last(F.when(is_view, F.col("event_id")), True).over(w)
-        )
-        .withColumn(
-            "view_ts_us", F.last(F.when(is_view, F.col("ts_us")), True).over(w)
+        # both carried columns in ONE projection over the SAME window spec
+        # -> a single Window node in the physical plan (two withColumn
+        # calls leave two Window passes)
+        ev.select(
+            "*",
+            F.last(F.when(is_view, F.col("event_id")), True)
+            .over(w)
+            .alias("view_id"),
+            F.last(F.when(is_view, F.col("ts_us")), True)
+            .over(w)
+            .alias("view_ts_us"),
         )
         .filter((F.col("event_type") == "purchase") & F.col("view_id").isNotNull())
         .select(

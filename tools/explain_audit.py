@@ -112,6 +112,36 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # 5. near-dup pipeline: shingling stays narrow/codegen, exchanges are
+    # the small signature aggregates + bucket self-join
+    from frankensearch_spark.driver_queries import _near_dup_pairs_df
+
+    nd = _near_dup_pairs_df(spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Near-dup pipeline (shingle-LSH candidates + verify)",
+        "3-shingling is a single whole-stage-codegen projection "
+        "(transform over the split token array — no self-join, no Python); "
+        "the exchanges are the per-(docid, seed) minhash aggregate, the "
+        "band-bucket aggregate, and the bucket self-join that emits only "
+        "same-bucket candidate pairs.  The exact-Jaccard verify join "
+        "touches LSH survivors only — the plan never builds an all-pairs "
+        "product, which is the property that survives 100 TB.",
+        fmt(nd),
+    ))
+    nd.unpersist() if hasattr(nd, "unpersist") else None
+
+    # 6. as-of join: one exchange on user_id, then a window pass
+    from frankensearch_spark.driver_queries import q_events_asof_join
+
+    sections.append((
+        "As-of join over events (purchase -> latest prior view)",
+        "Spark-native ASOF formulation: union both event sides, ONE "
+        "exchange on user_id, one Sort + Window carrying "
+        "last(view, ignoreNulls) forward.  No range self-join, no "
+        "per-row Python; per-user work is O(n log n) in its partition.",
+        fmt(q_events_asof_join(spark, "/root/testdata/sf0.001")),
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
            "Generated by `python tools/explain_audit.py` "
