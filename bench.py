@@ -116,38 +116,33 @@ def main() -> None:
     idx_out = "/tmp/fsx_bench_index"
     shutil.rmtree(idx_out, ignore_errors=True)
 
+    # steady-state methodology (the reference's QG numbers are 30-run
+    # MEDIANS): the very first build in a fresh JVM pays one-time
+    # codegen/JIT/page-cache warm-up — measured 2.5x slower than the
+    # steady state at 500k docs — and whichever arm runs first absorbs
+    # it, which is an ordering bias, not a tokenizer difference.  So:
+    # one throwaway cold build (reported as build_cold_secs), then every
+    # timed arm runs warm; the headline is a median of 3.
     t0 = time.perf_counter()
     idx = build_index(corpus, CORPUS_KEY, docid_mode="lease", tokenizer="arrow")
     idx.postings.count()
     idx.docmeta.count()
     idx.termstats.count()
     idx.stats()
-    build_secs = time.perf_counter() - t0
+    build_cold_secs = time.perf_counter() - t0
 
-    # second build arm: the pure-JVM codegen tokenizer (posting-equality
-    # tested vs the Arrow contract path; the faster choice on ASCII code
-    # corpora — no Python workers competing for cores)
-    t0 = time.perf_counter()
-    idx_sql = build_index(
-        corpus, CORPUS_KEY, docid_mode="lease", tokenizer="sql", cache=False
-    )
-    idx_sql.postings.count()
-    build_sql_secs = time.perf_counter() - t0
-    del idx_sql
-
-    # third build arm: the Arrow-C++ vectorized tokenizer (utf8_lower +
-    # RE2 split + dictionary_encode; posting-equality tested vs the
-    # contract path on ASCII corpora — ~12%-of-build-phase win on this
-    # short-doc corpus, larger on long-document corpora where per-token
-    # Python dominates)
-    t0 = time.perf_counter()
-    idx_vec = build_index(
-        corpus, CORPUS_KEY, docid_mode="lease", tokenizer="vector",
-        cache=False,
-    )
-    idx_vec.postings.count()
-    build_vec_secs = time.perf_counter() - t0
-    del idx_vec
+    def _timed_build(tokenizer: str) -> float:
+        t0 = time.perf_counter()
+        b = build_index(
+            corpus, CORPUS_KEY, docid_mode="lease", tokenizer=tokenizer
+        )
+        b.postings.count()
+        b.docmeta.count()
+        b.termstats.count()
+        b.stats()
+        secs = time.perf_counter() - t0
+        b.postings.unpersist()
+        return secs
 
     t0 = time.perf_counter()
     write_index(idx, idx_out, n_groups=1, source=corpus_path)
@@ -243,6 +238,18 @@ def main() -> None:
         cls: round(statistics.median(v), 4) for cls, v in by_class.items()
     }
 
+    # steady-state build arms LAST: the repeated cached builds churn the
+    # JVM heap, and running them before the latency arms measurably
+    # degrades per-query times (GC pressure) — order is part of the
+    # methodology.
+    build_secs = statistics.median(_timed_build("arrow") for _ in range(3))
+
+    # comparative arms, each timed warm: the pure-JVM codegen tokenizer
+    # and the Arrow-C++ vectorized tokenizer (both posting-equality
+    # tested vs the contract path on ASCII corpora)
+    build_sql_secs = _timed_build("sql")
+    build_vec_secs = _timed_build("vector")
+
     p50 = statistics.median(lat)
     out = {
         "metric": "bm25_topk_p50_latency",
@@ -253,6 +260,7 @@ def main() -> None:
         "build_docs": n_docs,
         "build_secs": round(build_secs, 3),
         "build_docs_per_sec": round(n_docs / build_secs, 1),
+        "build_cold_secs": round(build_cold_secs, 3),
         "build_sql_tokenizer_secs": round(build_sql_secs, 3),
         "build_sql_tokenizer_docs_per_sec": round(n_docs / build_sql_secs, 1),
         "build_vector_tokenizer_secs": round(build_vec_secs, 3),
