@@ -791,6 +791,28 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: exactly 5 docs per language,
+    chosen by md5-hash order (reservoir-style exact-N-per-group, the
+    reproducible train/eval-split shape).
+
+    One shuffle on the group key + a per-group window rank — at 100 TB
+    this is the standard deterministic sampler: no rand() (which would
+    re-evaluate per stage, see the docid-lease pitfall), no driver-side
+    state, byte-identical across engines and re-runs."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.md5(F.concat_ws("#", F.lit("sample"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(F.col("h"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 5)
+        .select("lang", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank"))
+    )
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Video frame-sampling fan-out through the multimodal plumbing:
     every-4th-frame index per "video" payload (one output row per sampled
@@ -1177,6 +1199,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "events_asof_join": q_events_asof_join,
     "multimodal_frames": q_multimodal_frames,
+    "stratified_sample": q_stratified_sample,
 }
 
 _SQL_SIMHASH_BITS = " + ".join(
@@ -1771,5 +1794,17 @@ ORACLE_SQL = {
         SELECT media_id, unnest(range(0, n_frames, 4))::INT AS frame_idx,
                sha256
         FROM nf
+    """,
+    "stratified_sample": """
+        WITH ranked AS (
+          SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('sample' || '#' || doc_id::VARCHAR), doc_id
+                 ) AS sample_rank
+          FROM documents
+        )
+        SELECT lang, doc_id, sample_rank::BIGINT AS sample_rank
+        FROM ranked WHERE sample_rank <= 5
     """,
 }

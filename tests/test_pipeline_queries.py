@@ -27,6 +27,7 @@ PIPELINE_QUERIES = [
     "dedup_clusters",
     "events_asof_join",
     "multimodal_frames",
+    "stratified_sample",
 ]
 
 
