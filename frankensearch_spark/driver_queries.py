@@ -722,6 +722,29 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """recall@10 of the IVF path vs exact brute force — ONE row, same
+    harness as ann_multiprobe_recall: both ANN scale paths ship with a
+    measured recall number, not a claimed one."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    bf = (
+        emb.crossJoin(F.broadcast(qrow))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", _cosine("embedding", "qv").alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    ann = q_ann_ivf_topk(spark, sf_dir).select("vec_id")
+    inter = ann.join(bf, "vec_id").count()
+    return spark.createDataFrame(
+        [(round(inter / 10.0, 6),)], "recall_r double"
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, the SCALE shape: candidates
     come from an equi-join on (table, sign-bucket) over the 8 LSH tables
@@ -1200,6 +1223,7 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "multimodal_frames": q_multimodal_frames,
     "stratified_sample": q_stratified_sample,
+    "ann_ivf_recall": q_ann_ivf_recall,
 }
 
 _SQL_SIMHASH_BITS = " + ".join(
@@ -1806,5 +1830,42 @@ ORACLE_SQL = {
         )
         SELECT lang, doc_id, sample_rank::BIGINT AS sample_rank
         FROM ranked WHERE sample_rank <= 5
+    """,
+    "ann_ivf_recall": f"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+          WHERE vec_id BETWEEN 1 AND {IVF_CENTROIDS}
+        ),
+        assigned AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_sql_cos("e.embedding", "c.cvec")} DESC, c.cid ASC
+                 ) AS rn
+          FROM embeddings e CROSS JOIN cent c
+        ),
+        a AS (SELECT vec_id, embedding, cid FROM assigned WHERE rn = 1),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        probes AS (
+          SELECT c.cid FROM cent c CROSS JOIN q
+          ORDER BY {_sql_cos("c.cvec", "q.qv")} DESC, c.cid ASC
+          LIMIT {IVF_NPROBE}
+        ),
+        ivf10 AS (
+          SELECT a.vec_id
+          FROM a JOIN probes USING (cid) CROSS JOIN q
+          WHERE a.vec_id <> 0
+          ORDER BY {_sql_cos("a.embedding", "q.qv")} DESC, a.vec_id ASC
+          LIMIT 10
+        ),
+        bf10 AS (
+          SELECT e.vec_id
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> 0
+          ORDER BY {_sql_cos("e.embedding", "q.qv")} DESC, e.vec_id ASC
+          LIMIT 10
+        )
+        SELECT round(count(*)::DOUBLE / 10.0, 6) AS recall_r
+        FROM ivf10 JOIN bf10 USING (vec_id)
     """,
 }
