@@ -34,10 +34,78 @@ FRAGMENTS = [
 ]
 
 
+# multi-field fragment pool over the reference's 120-doc fixture corpus
+# (content + title^2) — field scopes, boosts, phrases, globs, booleans
+MF_FRAGMENTS = [
+    "rust", "ownership", "borrowing", "search", "index", "embeddings",
+    "title:ownership", "title:rust^3", "content:search", "owner*",
+    '"error handling"', '"rust ownership"', "rust AND ownership",
+    "(search OR index)", "-rust", "+ownership", "NOT embeddings",
+    "transformer embeddings semantic", "title:owner*", "rust^0.5",
+    '"unclosed', "AND", "^", "missingzz",
+]
+
+
+def _fuzz_multifield(spark, rng, n_mf: int) -> int:
+    """Random compositions through the multi-field primary AND durable
+    serving paths vs OracleMultiIndex.  Returns mismatch count."""
+    import json
+    import shutil
+    import tempfile
+
+    from frankensearch_spark.operators.astexec import search_ast_bits
+    from frankensearch_spark.operators.build import build_multifield_index
+    from frankensearch_spark.operators.serving_exec import serving_search_bits
+    from frankensearch_spark.oracle import OracleMultiIndex
+    from frankensearch_spark.plans.manifest import read_index, write_index
+    from frankensearch_spark.query_ast import REFERENCE_SCHEMA, parse_lenient
+
+    with open("/root/reference/tests/fixtures/corpus.json") as fh:
+        docs = json.load(fh)["documents"]
+    ordered = sorted(docs, key=lambda d: d["doc_id"])
+    pairs = [
+        (i, {"content": d.get("content", ""), "title": d.get("title", "")})
+        for i, d in enumerate(ordered)
+    ]
+    corpus = spark.createDataFrame(
+        [(i, t["title"], t["content"]) for i, t in pairs],
+        "docid long, title string, content string",
+    )
+    built = build_multifield_index(
+        corpus, ["docid"], {"content": "content", "title": "title"}
+    )
+    oracle = OracleMultiIndex(pairs, ["content", "title"])
+    path = tempfile.mkdtemp(prefix="fsx_fuzz_mf_")
+    bad = 0
+    try:
+        write_index(built, path, bucket_shift=6, n_term_partitions=8, n_groups=1)
+        srv = read_index(spark, path)
+        for i in range(n_mf):
+            text = " ".join(
+                rng.choice(MF_FRAGMENTS) for _ in range(rng.randint(1, 4))
+            )
+            ast = parse_lenient(text, REFERENCE_SCHEMA).query
+            exp = oracle.search_ast_bits(ast, k=10)
+            got_p = search_ast_bits(built, ast, k=10, schema=REFERENCE_SCHEMA)
+            got_s = serving_search_bits(srv, text, k=10, schema=REFERENCE_SCHEMA)
+            if got_p != exp:
+                bad += 1
+                print(f"MF PRIMARY MISMATCH: {text!r}\n  got {got_p}\n  exp {exp}")
+            if got_s != exp:
+                bad += 1
+                print(f"MF SERVING MISMATCH: {text!r}\n  got {got_s}\n  exp {exp}")
+            if (i + 1) % 50 == 0:
+                print(f"multifield {i + 1}/{n_mf} bad={bad}")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return bad
+
+
 def main() -> int:
     n_serving = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     n_ast = int(sys.argv[2]) if len(sys.argv) > 2 else 150
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0xF00D
+    n_mf = int(sys.argv[4]) if len(sys.argv) > 4 else 100
     n_docs = 250
 
     import shutil
@@ -110,7 +178,12 @@ def main() -> int:
             if (i + 1) % 50 == 0:
                 print(f"ast {i + 1}/{n_ast} ok={i + 1 - bad}")
 
-        print(f"done: {n_serving} serving + {n_ast} ast, {bad} mismatches")
+        bad += _fuzz_multifield(spark, rng, n_mf)
+
+        print(
+            f"done: {n_serving} serving + {n_ast} ast + {n_mf} multifield, "
+            f"{bad} mismatches"
+        )
         return 1 if bad else 0
     finally:
         shutil.rmtree(path, ignore_errors=True)
