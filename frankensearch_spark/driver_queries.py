@@ -814,6 +814,21 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Resize planning through the multimodal plumbing: target dims
+    preserving aspect ratio at max_side=32 (metadata-only — the pixel op
+    lives behind the decode stub).  Completes the driver-checked
+    multimodal family: features, frame fan-out, resize planning."""
+    from frankensearch_spark.operators.multimodal import (
+        media_from_documents,
+        resize_metadata,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents(docs, kind="image")
+    return resize_metadata(media, max_side=32)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: exactly 5 docs per language,
     chosen by md5-hash order (reservoir-style exact-N-per-group, the
@@ -1224,6 +1239,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "stratified_sample": q_stratified_sample,
     "ann_ivf_recall": q_ann_ivf_recall,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 _SQL_SIMHASH_BITS = " + ".join(
@@ -1867,5 +1883,25 @@ ORACLE_SQL = {
         )
         SELECT round(count(*)::DOUBLE / 10.0, 6) AS recall_r
         FROM ivf10 JOIN bf10 USING (vec_id)
+    """,
+    "multimodal_resize": f"""
+        WITH h AS (
+          SELECT doc_id AS media_id, sha256(text) AS h FROM documents
+        ),
+        dims AS (
+          SELECT media_id,
+                 (1 + {_sql_hex_byte(1)} % 64)::INT AS width,
+                 (1 + {_sql_hex_byte(2)} % 64)::INT AS height
+          FROM h
+        ),
+        scaled AS (
+          SELECT media_id, width, height,
+                 least(1.0, 32.0 / greatest(width, height)) AS s
+          FROM dims
+        )
+        SELECT media_id, width, height,
+               greatest(round(width * s)::INT, 1) AS target_width,
+               greatest(round(height * s)::INT, 1) AS target_height
+        FROM scaled
     """,
 }

@@ -28,12 +28,14 @@ PIPELINE_QUERIES = [
     "events_asof_join",
     "multimodal_frames",
     "stratified_sample",
+    "multimodal_resize",
+    "ann_ivf_recall",
 ]
 
 
 def _oracle(name: str, sf_dir: str = SF) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("documents", "events"):
+    for t in ("documents", "events", "embeddings"):
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
