@@ -76,11 +76,11 @@ df AS (
 """
 
 
-def _bm25_sql(terms: list[str], k: int) -> str:
+def _bm25_scored_cte(terms: list[str]) -> str:
+    """`, scored AS (...)` fragment appended to _SQL_BM25_BASE — the f64
+    BM25 sum per docid restricted to ``terms``."""
     tlist = ", ".join(f"'{t}'" for t in terms)
-    return (
-        _SQL_BM25_BASE
-        + f"""
+    return f"""
 , scored AS (
   SELECT tf.docid,
          sum(
@@ -95,7 +95,14 @@ def _bm25_sql(terms: list[str], k: int) -> str:
   CROSS JOIN stats
   WHERE tf.term IN ({tlist})
   GROUP BY tf.docid
-)
+)"""
+
+
+def _bm25_sql(terms: list[str], k: int) -> str:
+    return (
+        _SQL_BM25_BASE
+        + _bm25_scored_cte(terms)
+        + f"""
 SELECT docid, round(score, 6) AS score_r
 FROM scored ORDER BY score DESC, docid ASC LIMIT {k}
 """
@@ -222,6 +229,48 @@ def q_bm25_multifield(spark, sf_dir):
         total.orderBy(F.desc("score"), F.asc("docid"))
         .limit(10)
         .select("docid", F.round("score", 6).alias("score_r"))
+    )
+
+
+FUSION_TERMS = ["merge", "order"]
+FUSION_DEPTH = 50  # candidate_count analogue (fusion/rrf.rs:111)
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid two-tier search — the reference's product path (fsfs
+    ``search``: lexical BM25 fused with the semantic tier via RRF K=60,
+    README.md:296-310, fusion/rrf.rs:195-236): BM25 top-50 for
+    'merge order' × cosine top-50 vs the vec_id=0 embedding, fused on
+    docid == vec_id with the 4-level deterministic ordering
+    (rrf.rs:154-173).  Ranks emit -1 for the side a doc is absent from
+    (hash-stable stand-in for FusedHit's None)."""
+    from frankensearch_spark.operators.fusion import rrf_fuse
+
+    lex = (
+        _field_scores_f64(documents_index(spark, sf_dir), FUSION_TERMS, 1.0)
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(FUSION_DEPTH)
+        .select("docid", F.col("score").alias("lex_score"))
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sem = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("docid"),
+            _cosine("embedding", "qv").alias("sem_score"),
+        )
+        .orderBy(F.desc("sem_score"), F.asc("docid"))
+        .limit(FUSION_DEPTH)
+    )
+    fused = rrf_fuse(lex, sem, limit=10)
+    return fused.select(
+        "docid",
+        F.round("rrf_score", 6).alias("rrf_r"),
+        F.coalesce("lex_rank", F.lit(-1)).cast("long").alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(-1)).cast("long").alias("sem_rank"),
+        F.col("in_both").cast("int").alias("in_both"),
     )
 
 
@@ -1240,6 +1289,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "ann_ivf_recall": q_ann_ivf_recall,
     "multimodal_resize": q_multimodal_resize,
+    "hybrid_rrf_fusion": q_hybrid_rrf,
 }
 
 _SQL_SIMHASH_BITS = " + ".join(
@@ -1510,6 +1560,39 @@ ORACLE_SQL = {
         )
         SELECT vec_id, round(sim, 6) AS sim_r
         FROM s ORDER BY sim DESC, vec_id ASC LIMIT 20
+    """,
+    "hybrid_rrf_fusion": f"""
+        {_SQL_BM25_BASE}{_bm25_scored_cte(FUSION_TERMS)}
+        , lexs AS (
+          SELECT docid, score AS lex_score,
+                 row_number() OVER (ORDER BY score DESC, docid ASC) AS lex_rank
+          FROM scored QUALIFY lex_rank <= {FUSION_DEPTH}
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        sems AS (
+          SELECT e.vec_id AS docid,
+                 row_number() OVER (
+                   ORDER BY {_sql_cos("e.embedding", "q.qv")} DESC, e.vec_id ASC
+                 ) AS sem_rank
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+          QUALIFY sem_rank <= {FUSION_DEPTH}
+        ),
+        fused AS (
+          SELECT coalesce(l.docid, s.docid) AS docid,
+                 coalesce(1.0 / (60.0 + l.lex_rank), 0.0)
+                   + coalesce(1.0 / (60.0 + s.sem_rank), 0.0) AS rrf,
+                 l.lex_rank, s.sem_rank, l.lex_score,
+                 (l.docid IS NOT NULL AND s.docid IS NOT NULL) AS in_both
+          FROM lexs l FULL OUTER JOIN sems s ON l.docid = s.docid
+        )
+        SELECT docid, round(rrf, 6) AS rrf_r,
+               coalesce(lex_rank, -1) AS lex_rank,
+               coalesce(sem_rank, -1) AS sem_rank,
+               in_both::INT AS in_both
+        FROM fused
+        ORDER BY rrf DESC, in_both DESC,
+                 coalesce(lex_score, '-infinity'::DOUBLE) DESC, docid ASC
+        LIMIT 10
     """,
     "embedding_norms": """
         SELECT vec_id, label,

@@ -1,0 +1,90 @@
+"""Reciprocal Rank Fusion — the reference's product-path tier fuse.
+
+Re-expresses ``frankensearch-fusion``'s RRF law over DataFrames:
+
+* rank contribution ``1/(K + rank + 1)`` with 0-based ranks and the
+  default ``K = 60`` (fusion/rrf.rs:22,116-118);
+* contributions SUM across sources for documents present in both lists
+  (rrf.rs:195-236 rrf_fuse);
+* the 4-level deterministic ordering of rrf.rs:154-173 (the default
+  ``LexicalThenId`` tiebreak): rrf score desc, in-both-sources first,
+  lexical score desc (absent lexical score = -inf), doc id asc.
+
+Scale shape: both inputs are already top-``depth`` candidate lists
+(``TakeOrderedAndProject`` upstream), exactly like the in-memory
+candidate vectors the reference fuses driver-side — so the
+``row_number`` rank windows below run over <= depth rows, a query-time
+constant, and nothing corpus-scale flows through an unpartitioned sort.
+The fuse itself is one full-outer join on the id column between two
+k-row relations (broadcast-sized at any corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_RRF_K = 60.0  # fusion/rrf.rs:22
+
+
+def rank_by_score(df: DataFrame, score_col: str, id_col: str, rank_col: str) -> DataFrame:
+    """1-based rank by (score desc, id asc) — the pinned list order the
+    reference's callers establish before fusing (descending relevance,
+    rrf.rs:210-214).  ``1/(K + rank0 + 1)`` over 0-based ranks equals
+    ``1/(K + rank)`` over these 1-based ranks.
+
+    The input must already be a bounded candidate list (top-depth); the
+    unpartitioned window is over that constant-size list by contract.
+    """
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    *,
+    limit: int,
+    rrf_k: float = DEFAULT_RRF_K,
+    id_col: str = "docid",
+    lex_score_col: str = "lex_score",
+    sem_score_col: str = "sem_score",
+) -> DataFrame:
+    """Fuse two ranked candidate lists with Reciprocal Rank Fusion.
+
+    ``lexical`` carries (id_col, lex_score_col), ``semantic`` carries
+    (id_col, sem_score_col); both must already be bounded top-depth
+    lists.  Returns the fused top-``limit`` with columns
+    ``(id_col, rrf_score, lex_rank, sem_rank, lex_score, sem_score,
+    in_both)`` — ranks/scores are null for the side a doc is absent
+    from, mirroring ``FusedHit``'s Option fields (rrf.rs:175-188).
+    """
+    lex = rank_by_score(
+        lexical.select(id_col, lex_score_col), lex_score_col, id_col, "lex_rank"
+    )
+    sem = rank_by_score(
+        semantic.select(id_col, sem_score_col), sem_score_col, id_col, "sem_rank"
+    )
+    fused = lex.join(sem, id_col, "full_outer")
+    contrib = lambda rank_col: F.when(  # noqa: E731
+        F.col(rank_col).isNotNull(),
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col).cast("double")),
+    ).otherwise(F.lit(0.0))
+    # lexical + semantic in that order — matches the reference's
+    # accumulation order so the f64 sum is bit-identical (rrf.rs:845+
+    # merge inner folds lexical contributions first).
+    rrf = (contrib("lex_rank") + contrib("sem_rank")).alias("rrf_score")
+    in_both = (
+        F.col("lex_rank").isNotNull() & F.col("sem_rank").isNotNull()
+    ).alias("in_both")
+    out = fused.select(
+        id_col, rrf, "lex_rank", "sem_rank", lex_score_col, sem_score_col, in_both
+    )
+    # 4-level deterministic ordering (rrf.rs:154-173, LexicalThenId):
+    # absent lexical score compares as f32::NEG_INFINITY (rrf.rs:162).
+    return out.orderBy(
+        F.desc("rrf_score"),
+        F.desc("in_both"),
+        F.desc(F.coalesce(F.col(lex_score_col), F.lit(float("-inf")))),
+        F.asc(id_col),
+    ).limit(limit)

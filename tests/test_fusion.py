@@ -1,0 +1,87 @@
+"""RRF fusion operator vs the reference's pinned semantics.
+
+Pins (fusion/rrf.rs):
+
+* the contribution law ``1/(K + rank + 1)`` over 0-based ranks, K=60
+  (rrf.rs:22,116-118), contributions summed across sources;
+* the exact fused order of the reference's own dispatch-parity fixture
+  (rrf.rs:1068-1100 ``default_strategy_is_byte_identical_to_rrf``:
+  lexical a/b/c × semantic a/d/b);
+* the 4-level deterministic ordering (rrf.rs:154-173): rrf desc,
+  in-both first, lexical score desc (absent = -inf), id asc — exercised
+  through a crafted three-way rrf tie at ``rrf_k=0``.
+
+The driver-facing ``hybrid_rrf_fusion`` query is oracle-checked
+separately in test_pipeline_queries.py.
+"""
+
+import pytest
+
+from frankensearch_spark.operators.fusion import rrf_fuse
+
+
+def _fuse(spark, lex_rows, sem_rows, **kw):
+    lex = spark.createDataFrame(lex_rows, "docid string, lex_score double")
+    sem = spark.createDataFrame(sem_rows, "docid string, sem_score double")
+    return rrf_fuse(lex, sem, **kw).collect()
+
+
+def test_reference_fixture_order_and_scores(spark):
+    # rrf.rs:1068-1080 fixture; expected contributions at K=60:
+    #   a = 1/61 + 1/61, b = 1/62 + 1/63, d = 1/62, c = 1/63
+    out = _fuse(
+        spark,
+        [("a", 10.0), ("b", 2.0), ("c", 1.0)],
+        [("a", 0.9), ("d", 0.5), ("b", 0.4)],
+        limit=10,
+    )
+    assert [r.docid for r in out] == ["a", "b", "d", "c"]
+    exp = {
+        "a": 1 / 61 + 1 / 61,
+        "b": 1 / 62 + 1 / 63,
+        "d": 1 / 62,
+        "c": 1 / 63,
+    }
+    for r in out:
+        assert r.rrf_score == pytest.approx(exp[r.docid], abs=0, rel=0), r.docid
+    assert [r.in_both for r in out] == [True, True, False, False]
+    a = out[0]
+    assert (a.lex_rank, a.sem_rank, a.lex_score, a.sem_score) == (1, 1, 10.0, 0.9)
+    d = out[2]
+    assert (d.lex_rank, d.sem_rank, d.lex_score) == (None, 2, None)
+
+
+def test_tie_order_in_both_then_lexical_then_id(spark):
+    # rrf_k=0 forces a three-way rrf tie at 1.0:
+    #   A: both lists at rank 2 -> 1/2 + 1/2;  B: lex rank 1 -> 1/1;
+    #   C: sem rank 1 -> 1/1.
+    # Order law: A (in_both) > B (has a lexical score) > C.
+    out = _fuse(
+        spark,
+        [("B", 10.0), ("A", 5.0)],
+        [("C", 0.9), ("A", 0.8)],
+        limit=10,
+        rrf_k=0.0,
+    )
+    assert [r.docid for r in out] == ["A", "B", "C"]
+    assert [r.rrf_score for r in out] == [1.0, 1.0, 1.0]
+
+
+def test_rank_law_is_score_desc_then_id_asc(spark):
+    # equal lexical scores rank by id asc -> x before y, so x gets the
+    # larger contribution.
+    out = _fuse(spark, [("y", 1.0), ("x", 1.0)], [], limit=2)
+    assert [(r.docid, r.lex_rank) for r in out] == [("x", 1), ("y", 2)]
+    assert out[0].rrf_score == pytest.approx(1 / 61, abs=0, rel=0)
+
+
+def test_limit_applies_after_fuse(spark):
+    out = _fuse(
+        spark,
+        [("a", 3.0), ("b", 2.0), ("c", 1.0)],
+        [("d", 0.9)],
+        limit=2,
+    )
+    # a and d tie at 1/61 (lex rank 1 / sem rank 1); a wins on having a
+    # lexical score, d (1/61) still beats b (1/62)
+    assert [r.docid for r in out] == ["a", "d"]

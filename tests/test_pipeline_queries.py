@@ -30,6 +30,7 @@ PIPELINE_QUERIES = [
     "stratified_sample",
     "multimodal_resize",
     "ann_ivf_recall",
+    "hybrid_rrf_fusion",
 ]
 
 
