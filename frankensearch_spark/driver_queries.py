@@ -246,6 +246,19 @@ def q_hybrid_rrf(spark, sf_dir):
     (hash-stable stand-in for FusedHit's None)."""
     from frankensearch_spark.operators.fusion import rrf_fuse
 
+    lex, sem = _fusion_candidates(spark, sf_dir)
+    fused = rrf_fuse(lex, sem, limit=10)
+    return fused.select(
+        "docid",
+        F.round("rrf_score", 6).alias("rrf_r"),
+        F.coalesce("lex_rank", F.lit(-1)).cast("long").alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(-1)).cast("long").alias("sem_rank"),
+        F.col("in_both").cast("int").alias("in_both"),
+    )
+
+
+def _fusion_candidates(spark, sf_dir):
+    """Shared bounded candidate lists for the two fusion strategies."""
     lex = (
         _field_scores_f64(documents_index(spark, sf_dir), FUSION_TERMS, 1.0)
         .orderBy(F.desc("score"), F.asc("docid"))
@@ -264,10 +277,22 @@ def q_hybrid_rrf(spark, sf_dir):
         .orderBy(F.desc("sem_score"), F.asc("docid"))
         .limit(FUSION_DEPTH)
     )
-    fused = rrf_fuse(lex, sem, limit=10)
+    return lex, sem
+
+
+def q_hybrid_pool_minmax(spark, sf_dir):
+    """Pool-local min-max score fusion over the same candidate lists as
+    ``hybrid_rrf_fusion`` — the reference's magnitude-preserving fusion
+    strategy (rrf.rs:465-520): per-tier min-max normalization within the
+    retrieved pool, absent tier contributes 0.0, tier-weighted sum, same
+    4-level deterministic ordering."""
+    from frankensearch_spark.operators.fusion import pool_minmax_fuse
+
+    lex, sem = _fusion_candidates(spark, sf_dir)
+    fused = pool_minmax_fuse(lex, sem, limit=10)
     return fused.select(
         "docid",
-        F.round("rrf_score", 6).alias("rrf_r"),
+        F.round("rrf_score", 6).alias("fused_r"),
         F.coalesce("lex_rank", F.lit(-1)).cast("long").alias("lex_rank"),
         F.coalesce("sem_rank", F.lit(-1)).cast("long").alias("sem_rank"),
         F.col("in_both").cast("int").alias("in_both"),
@@ -1290,6 +1315,7 @@ QUERIES = {
     "ann_ivf_recall": q_ann_ivf_recall,
     "multimodal_resize": q_multimodal_resize,
     "hybrid_rrf_fusion": q_hybrid_rrf,
+    "hybrid_pool_minmax": q_hybrid_pool_minmax,
 }
 
 _SQL_SIMHASH_BITS = " + ".join(
@@ -1591,6 +1617,47 @@ ORACLE_SQL = {
                in_both::INT AS in_both
         FROM fused
         ORDER BY rrf DESC, in_both DESC,
+                 coalesce(lex_score, '-infinity'::DOUBLE) DESC, docid ASC
+        LIMIT 10
+    """,
+    "hybrid_pool_minmax": f"""
+        {_SQL_BM25_BASE}{_bm25_scored_cte(FUSION_TERMS)}
+        , lexs AS (
+          SELECT docid, score AS lex_score,
+                 row_number() OVER (ORDER BY score DESC, docid ASC) AS lex_rank
+          FROM scored QUALIFY lex_rank <= {FUSION_DEPTH}
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        sems AS (
+          SELECT e.vec_id AS docid,
+                 {_sql_cos("e.embedding", "q.qv")} AS sem_score,
+                 row_number() OVER (
+                   ORDER BY {_sql_cos("e.embedding", "q.qv")} DESC, e.vec_id ASC
+                 ) AS sem_rank
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+          QUALIFY sem_rank <= {FUSION_DEPTH}
+        ),
+        lst AS (SELECT min(lex_score) AS lmin, max(lex_score) AS lmax FROM lexs),
+        sst AS (SELECT min(sem_score) AS smin, max(sem_score) AS smax FROM sems),
+        fused AS (
+          SELECT coalesce(l.docid, s.docid) AS docid,
+                 (CASE WHEN l.lex_score IS NOT NULL AND lst.lmax - lst.lmin > 0
+                       THEN (l.lex_score - lst.lmin) / (lst.lmax - lst.lmin)
+                       ELSE 0.0 END)
+                 + (CASE WHEN s.sem_score IS NOT NULL AND sst.smax - sst.smin > 0
+                         THEN (s.sem_score - sst.smin) / (sst.smax - sst.smin)
+                         ELSE 0.0 END) AS fscore,
+                 l.lex_rank, s.sem_rank, l.lex_score,
+                 (l.docid IS NOT NULL AND s.docid IS NOT NULL) AS in_both
+          FROM lexs l FULL OUTER JOIN sems s ON l.docid = s.docid
+          CROSS JOIN lst CROSS JOIN sst
+        )
+        SELECT docid, round(fscore, 6) AS fused_r,
+               coalesce(lex_rank, -1) AS lex_rank,
+               coalesce(sem_rank, -1) AS sem_rank,
+               in_both::INT AS in_both
+        FROM fused
+        ORDER BY fscore DESC, in_both DESC,
                  coalesce(lex_score, '-infinity'::DOUBLE) DESC, docid ASC
         LIMIT 10
     """,

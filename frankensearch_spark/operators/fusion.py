@@ -21,6 +21,8 @@ k-row relations (broadcast-sized at any corpus scale).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -80,11 +82,90 @@ def rrf_fuse(
     out = fused.select(
         id_col, rrf, "lex_rank", "sem_rank", lex_score_col, sem_score_col, in_both
     )
-    # 4-level deterministic ordering (rrf.rs:154-173, LexicalThenId):
-    # absent lexical score compares as f32::NEG_INFINITY (rrf.rs:162).
+    return _ordered_limit(out, limit, id_col, lex_score_col)
+
+
+def _ordered_limit(out: DataFrame, limit: int, id_col: str, lex_score_col: str) -> DataFrame:
+    """4-level deterministic ordering (rrf.rs:154-173, LexicalThenId
+    tiebreak): fused score desc, in-both-sources first, lexical score
+    desc (absent compares as NEG_INFINITY, rrf.rs:162), id asc."""
     return out.orderBy(
         F.desc("rrf_score"),
         F.desc("in_both"),
         F.desc(F.coalesce(F.col(lex_score_col), F.lit(float("-inf")))),
         F.asc(id_col),
     ).limit(limit)
+
+
+def _sanitize_tier_weight(weight: float) -> float:
+    """Non-finite or non-positive tier weights degrade to the neutral 1.0
+    (rrf.rs:90-100 sanitize_tier_weight)."""
+    w = float(weight)
+    return w if math.isfinite(w) and w > 0.0 else 1.0
+
+
+def pool_minmax_fuse(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    *,
+    limit: int,
+    lexical_weight: float = 1.0,
+    semantic_weight: float = 1.0,
+    id_col: str = "docid",
+    lex_score_col: str = "lex_score",
+    sem_score_col: str = "sem_score",
+) -> DataFrame:
+    """Pool-local min-max score fusion — the reference's magnitude-
+    preserving alternative to RRF (rrf.rs:465-520 pool_minmax_fuse):
+
+    * each tier's raw scores min-max normalize to [0, 1] **within its
+      retrieved pool** (the bounded input list, rrf.rs:438-450);
+    * a degenerate pool (max == min, or empty) maps every score to 0.0
+      (rrf.rs:456-463 minmax_norm — no divide-by-zero, no spurious
+      signal from a flat tier);
+    * a doc a tier did not retrieve contributes that tier's pool
+      minimum normalized value = 0.0;
+    * fused score = tier-weighted sum of the normalized scores, sorted
+      under the same 4-level deterministic ordering as RRF.
+
+    Same bounded-input contract and output schema as :func:`rrf_fuse`
+    (fused value in ``rrf_score``, as the reference stores it).
+    """
+    lw = _sanitize_tier_weight(lexical_weight)
+    sw = _sanitize_tier_weight(semantic_weight)
+    lex = rank_by_score(
+        lexical.select(id_col, lex_score_col), lex_score_col, id_col, "lex_rank"
+    )
+    sem = rank_by_score(
+        semantic.select(id_col, sem_score_col), sem_score_col, id_col, "sem_rank"
+    )
+    lex_stats = lex.agg(
+        F.min(lex_score_col).alias("_lmin"), F.max(lex_score_col).alias("_lmax")
+    )
+    sem_stats = sem.agg(
+        F.min(sem_score_col).alias("_smin"), F.max(sem_score_col).alias("_smax")
+    )
+    fused = (
+        lex.join(sem, id_col, "full_outer")
+        .crossJoin(F.broadcast(lex_stats))
+        .crossJoin(F.broadcast(sem_stats))
+    )
+
+    def norm(score_col: str, mn: str, mx: str):
+        rng = F.col(mx) - F.col(mn)
+        return F.when(
+            F.col(score_col).isNotNull() & (rng > F.lit(0.0)),
+            (F.col(score_col) - F.col(mn)) / rng,
+        ).otherwise(F.lit(0.0))
+
+    fscore = (
+        F.lit(lw) * norm(lex_score_col, "_lmin", "_lmax")
+        + F.lit(sw) * norm(sem_score_col, "_smin", "_smax")
+    ).alias("rrf_score")
+    in_both = (
+        F.col("lex_rank").isNotNull() & F.col("sem_rank").isNotNull()
+    ).alias("in_both")
+    out = fused.select(
+        id_col, fscore, "lex_rank", "sem_rank", lex_score_col, sem_score_col, in_both
+    )
+    return _ordered_limit(out, limit, id_col, lex_score_col)

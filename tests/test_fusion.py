@@ -17,13 +17,19 @@ separately in test_pipeline_queries.py.
 
 import pytest
 
-from frankensearch_spark.operators.fusion import rrf_fuse
+from frankensearch_spark.operators.fusion import pool_minmax_fuse, rrf_fuse
 
 
 def _fuse(spark, lex_rows, sem_rows, **kw):
     lex = spark.createDataFrame(lex_rows, "docid string, lex_score double")
     sem = spark.createDataFrame(sem_rows, "docid string, sem_score double")
     return rrf_fuse(lex, sem, **kw).collect()
+
+
+def _mmfuse(spark, lex_rows, sem_rows, **kw):
+    lex = spark.createDataFrame(lex_rows, "docid string, lex_score double")
+    sem = spark.createDataFrame(sem_rows, "docid string, sem_score double")
+    return pool_minmax_fuse(lex, sem, **kw).collect()
 
 
 def test_reference_fixture_order_and_scores(spark):
@@ -85,3 +91,75 @@ def test_limit_applies_after_fuse(spark):
     # a and d tie at 1/61 (lex rank 1 / sem rank 1); a wins on having a
     # lexical score, d (1/61) still beats b (1/62)
     assert [r.docid for r in out] == ["a", "d"]
+
+
+# ── pool-local min-max fusion (rrf.rs:436-520) ──────────────────────────
+
+
+def test_minmax_norms_within_pool_and_sums_tiers(spark):
+    # lex pool [1, 3, 10] -> a=1.0, b=2/9, c=0.0
+    # sem pool [0.4, 0.5, 0.9] -> a=1.0, d=0.2, b=0.0
+    out = _mmfuse(
+        spark,
+        [("a", 10.0), ("b", 3.0), ("c", 1.0)],
+        [("a", 0.9), ("d", 0.5), ("b", 0.4)],
+        limit=10,
+    )
+    exp = {"a": 2.0, "b": 2.0 / 9.0 + 0.0, "d": 0.2, "c": 0.0}
+    assert [r.docid for r in out] == ["a", "b", "d", "c"]
+    for r in out:
+        assert r.rrf_score == pytest.approx(exp[r.docid], rel=1e-12), r.docid
+    # absent tier contributes exactly 0.0 (rrf.rs:473-474); d is sem-only
+    d = out[2]
+    assert (d.lex_rank, d.lex_score, d.sem_rank) == (None, None, 2)
+
+
+def test_minmax_degenerate_pool_maps_to_zero(spark):
+    # flat lexical pool (max == min) -> every lex contribution 0.0
+    # (rrf.rs:452-462); ordering falls to in_both, lex score, id
+    out = _mmfuse(
+        spark,
+        [("a", 5.0), ("b", 5.0)],
+        [("b", 0.9), ("c", 0.1)],
+        limit=10,
+    )
+    exp = {"b": 1.0, "a": 0.0, "c": 0.0}
+    for r in out:
+        assert r.rrf_score == pytest.approx(exp[r.docid], rel=1e-12), r.docid
+    # a (has a lexical score) orders before c at fused 0.0 (rrf.rs:162)
+    assert [r.docid for r in out] == ["b", "a", "c"]
+
+
+def test_minmax_empty_tier_contributes_nothing(spark):
+    # empty sem pool -> (+inf, -inf) stats -> all-zero sem side
+    # (rrf.rs:436-438)
+    out = _mmfuse(spark, [("a", 2.0), ("b", 1.0)], [], limit=10)
+    assert [(r.docid, r.rrf_score) for r in out] == [("a", 1.0), ("b", 0.0)]
+
+
+def test_minmax_tier_weights_reweight_the_sum(spark):
+    # rrf.rs pool_minmax_tier_weights_reweight_the_sum analogue:
+    # semantic_weight=3 triples the sem contribution; non-finite /
+    # non-positive weights sanitize to 1.0 (rrf.rs:90-100)
+    out = _mmfuse(
+        spark,
+        [("a", 2.0), ("b", 1.0)],
+        [("b", 0.9), ("a", 0.1)],
+        limit=10,
+        lexical_weight=1.0,
+        semantic_weight=3.0,
+    )
+    exp = {"a": 1.0 * 1.0 + 3.0 * 0.0, "b": 0.0 + 3.0 * 1.0}
+    for r in out:
+        assert r.rrf_score == pytest.approx(exp[r.docid], rel=1e-12), r.docid
+    out2 = _mmfuse(
+        spark,
+        [("a", 2.0), ("b", 1.0)],
+        [("b", 0.9), ("a", 0.1)],
+        limit=10,
+        lexical_weight=float("nan"),
+        semantic_weight=-4.0,
+    )
+    exp2 = {"a": 1.0, "b": 1.0}
+    for r in out2:
+        assert r.rrf_score == pytest.approx(exp2[r.docid], rel=1e-12), r.docid

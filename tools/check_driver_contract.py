@@ -1,6 +1,8 @@
 """Local replica of the driver's correctness gate: run each queries()[name]
 on Spark and oracle_sql()[name] on DuckDB, compare row count, schema width,
-and order-insensitive values. Usage: python tools/check_driver_contract.py [sf_dir]
+and order-insensitive values.
+
+Usage: python tools/check_driver_contract.py [sf_dir] [--only name1,name2]
 """
 
 import sys
@@ -26,7 +28,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return rounded.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: set[str] | None = None):
     import __spark_entry__ as e
     from frankensearch_spark.session import get_spark
 
@@ -36,6 +38,12 @@ def main(sf_dir: str):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, osql = e.queries(), e.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         try:
@@ -75,4 +83,10 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    argv = sys.argv[1:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    sys.exit(main(argv[0] if argv else "/root/testdata/sf0.01", only))
