@@ -14,7 +14,7 @@ f32 op order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frankensearch_spark.operators.build import (
@@ -1209,16 +1209,16 @@ def q_near_dup_pairs(spark, sf_dir):
     return _near_dup_pairs_df(spark, sf_dir)
 
 
-def q_dedup_clusters(spark, sf_dir):
-    """Connected components over verified near-dup pairs (iterative
-    min-label propagation), summarized per cluster.
+def _dedup_labels_df(spark, sf_dir):
+    """(docid, label) connected-component labels over verified near-dup
+    pairs via iterative min-label propagation.
 
-    The Spark side is the standard distributed CC loop: each round every
-    node takes the min label over itself and its neighbors; rounds are
-    O(graph diameter) Spark jobs of join+groupBy, which is the scalable
-    shape (GraphFrames/Pregel does exactly this) — no driver-side graph.
-    The DuckDB oracle computes the same min-reachable-docid labels with a
-    recursive CTE."""
+    The standard distributed CC loop: each round every node takes the
+    min label over itself and its neighbors; rounds are O(graph
+    diameter) Spark jobs of join+groupBy, which is the scalable shape
+    (GraphFrames/Pregel does exactly this) — no driver-side graph.
+    Shared by ``dedup_clusters`` (cluster summaries) and
+    ``dedup_keep_list`` (canonical-doc retention policy)."""
     pairs = _near_dup_pairs_df(spark, sf_dir).select("d1", "d2")
     # localCheckpoint (not persist): each propagation round's plan embeds
     # the previous round's, so without truncating lineage the logical plan
@@ -1260,6 +1260,14 @@ def q_dedup_clusters(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over verified near-dup pairs, summarized per
+    cluster; the DuckDB oracle computes the same min-reachable-docid
+    labels with a recursive CTE."""
+    labels = _dedup_labels_df(spark, sf_dir)
     out = (
         labels.groupBy("label")
         .agg(
@@ -1273,6 +1281,113 @@ def q_dedup_clusters(spark, sf_dir):
         .orderBy("cluster_id")
     )
     return out
+
+
+def q_dedup_keep_list(spark, sf_dir):
+    """Canonical-document retention policy over the dedup clusters: per
+    connected component keep the doc with the most characters (ties ->
+    lowest docid) and count what gets dropped — the decision step a
+    training-data pipeline runs after near-dup clustering.
+
+    One window over the cluster membership (partitioned by cluster
+    label, never global) + one aggregate; linear in the number of
+    clustered docs, so it rides the same 100-TB shape as the LSH
+    pipeline that feeds it."""
+    labels = _dedup_labels_df(spark, sf_dir)
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    member = labels.join(doc, "docid")
+    w = Window.partitionBy("label").orderBy(F.desc("n_chars"), F.asc("docid"))
+    ranked = member.withColumn("rn", F.row_number().over(w))
+    keep = ranked.filter(F.col("rn") == 1).select(
+        F.col("label").alias("cluster_id"),
+        F.col("docid").alias("keep_docid"),
+        F.col("n_chars").alias("keep_chars"),
+    )
+    drops = (
+        ranked.filter(F.col("rn") > 1)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+        .withColumnRenamed("label", "cluster_id")
+    )
+    # every cluster has >= 2 members (labels exist only for docs with at
+    # least one verified near-dup edge), so the inner join keeps all
+    return keep.join(drops, "cluster_id").orderBy("cluster_id")
+
+
+def q_doclen_percentiles(spark, sf_dir):
+    """Exact per-language document-length percentiles — the length-filter
+    thresholds a curation pipeline derives before cutting a training
+    set.  ``percentile`` here is the EXACT continuous-interpolation
+    aggregate (matches DuckDB ``quantile_cont``); at 100 TB swap in
+    ``approx_percentile`` (t-digest, one pass, no per-group sort) —
+    same query shape, bounded error."""
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25_r"),
+            F.round(F.expr("percentile(n_chars, 0.50)"), 6).alias("p50_r"),
+            F.round(F.expr("percentile(n_chars, 0.90)"), 6).alias("p90_r"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99_r"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-language distinctive terms: rank by (languages-containing-the-
+    term ASC, in-language count DESC, term ASC) — integer-only ordering,
+    deterministic across engines — and report the cross-language tf-idf
+    (count × ln(n_langs / langs_with)) as a value column.  Top 5 per
+    language.
+
+    Scale shape: one groupBy(lang, term) aggregate over the postings
+    (map-side combinable), one groupBy(term) for language df, a window
+    partitioned by lang (never global).  The postings join to lang rides
+    the already-built index — no re-tokenize."""
+    idx = documents_index(spark, sf_dir)
+    lang = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docid"), "lang"
+    )
+    cnt = (
+        idx.postings.select("term", "docid", "tf")
+        .join(lang, "docid")
+        .groupBy("lang", "term")
+        .agg(F.sum("tf").cast("long").alias("cnt"))
+    )
+    lw = cnt.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("langs_with")
+    )
+    nl = cnt.select("lang").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_langs")
+    )
+    scored = (
+        cnt.join(lw, "term")
+        .crossJoin(F.broadcast(nl))
+        .withColumn(
+            "tfidf_r",
+            F.round(
+                F.col("cnt").cast("double")
+                * F.log(F.col("n_langs") / F.col("langs_with").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("langs_with"), F.desc("cnt"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "term", "cnt", "langs_with", "tfidf_r", F.col("rn").cast("long").alias("rn"))
+        .orderBy("lang", "rn")
+    )
 
 
 QUERIES = {
@@ -1309,6 +1424,9 @@ QUERIES = {
     "events_props_extract": q_events_props_extract,
     "near_dup_pairs": q_near_dup_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_list": q_dedup_keep_list,
+    "doclen_percentiles": q_doclen_percentiles,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "events_asof_join": q_events_asof_join,
     "multimodal_frames": q_multimodal_frames,
     "stratified_sample": q_stratified_sample,
@@ -1962,6 +2080,75 @@ ORACLE_SQL = {
         SELECT cluster_id, count(*)::BIGINT AS n_docs,
                min(docid) AS min_docid, max(docid) AS max_docid
         FROM lab GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    "dedup_keep_list": f"""
+        WITH RECURSIVE tok AS ({_SQL_TOKEN_ROWS}),
+        {_SQL_NEAR_DUP_PAIRS},
+        pairs AS (SELECT d1, d2 FROM verified),
+        edges AS (
+          SELECT d1 AS u, d2 AS v FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs
+        ),
+        reach(docid, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.docid
+        ),
+        lab AS (SELECT docid, min(r) AS cluster_id FROM reach GROUP BY docid),
+        mem AS (
+          SELECT l.cluster_id, l.docid, d.n_chars::BIGINT AS n_chars,
+                 row_number() OVER (
+                   PARTITION BY l.cluster_id
+                   ORDER BY d.n_chars DESC, l.docid ASC
+                 ) AS rn
+          FROM lab l JOIN documents d ON d.doc_id = l.docid
+        ),
+        keep AS (
+          SELECT cluster_id, docid AS keep_docid, n_chars AS keep_chars
+          FROM mem WHERE rn = 1
+        ),
+        drp AS (
+          SELECT cluster_id, count(*)::BIGINT AS n_dropped
+          FROM mem WHERE rn > 1 GROUP BY cluster_id
+        )
+        SELECT k.cluster_id, k.keep_docid, k.keep_chars, d.n_dropped
+        FROM keep k JOIN drp d USING (cluster_id)
+        ORDER BY k.cluster_id
+    """,
+    "doclen_percentiles": """
+        SELECT lang,
+               count(*)::BIGINT AS n_docs,
+               round(quantile_cont(n_chars, 0.25), 6) AS p25_r,
+               round(quantile_cont(n_chars, 0.50), 6) AS p50_r,
+               round(quantile_cont(n_chars, 0.90), 6) AS p90_r,
+               round(quantile_cont(n_chars, 0.99), 6) AS p99_r,
+               min(n_chars)::BIGINT AS min_chars,
+               max(n_chars)::BIGINT AS max_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "tfidf_top_terms": f"""
+        WITH tok AS ({_SQL_TOKEN_ROWS}),
+        cnt AS (
+          SELECT d.lang, t.term, count(*)::BIGINT AS cnt
+          FROM tok t JOIN documents d ON d.doc_id = t.docid
+          GROUP BY d.lang, t.term
+        ),
+        lw AS (
+          SELECT term, count(*)::BIGINT AS langs_with FROM cnt GROUP BY term
+        ),
+        nl AS (SELECT count(DISTINCT lang)::DOUBLE AS n_langs FROM cnt),
+        ranked AS (
+          SELECT c.lang, c.term, c.cnt, w.langs_with,
+                 round(c.cnt::DOUBLE * ln(n.n_langs / w.langs_with::DOUBLE), 6)
+                   AS tfidf_r,
+                 row_number() OVER (
+                   PARTITION BY c.lang
+                   ORDER BY w.langs_with ASC, c.cnt DESC, c.term ASC
+                 )::BIGINT AS rn
+          FROM cnt c JOIN lw w USING (term) CROSS JOIN nl n
+        )
+        SELECT lang, term, cnt, langs_with, tfidf_r, rn
+        FROM ranked WHERE rn <= 5 ORDER BY lang, rn
     """,
     "events_asof_join": """
         SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,

@@ -25,12 +25,15 @@ SF = "/root/testdata/sf0.001"
 PIPELINE_QUERIES = [
     "near_dup_pairs",
     "dedup_clusters",
+    "dedup_keep_list",
     "events_asof_join",
     "multimodal_frames",
     "stratified_sample",
     "multimodal_resize",
     "ann_ivf_recall",
     "hybrid_rrf_fusion",
+    "doclen_percentiles",
+    "tfidf_top_terms",
 ]
 
 
@@ -76,12 +79,15 @@ def _chain_corpus(tmp_path) -> str:
     step 8): adjacent pairs share 90/106 shingles (J~0.849 >= 0.8), any
     distance-2 pair only 82/114 (J~0.719 < 0.8) — a pure chain."""
     toks = [f"tk{i:04d}" for i in range(140)]
+    # n_chars values crafted so the keep-list law is non-trivial: doc 3
+    # is the unique max (kept), docs 2 and 4 tie below it
+    n_chars = [10, 20, 30, 99, 30, 20]
     rows = []
     for k in range(6):
-        rows.append((k, " ".join(toks[8 * k : 8 * k + 100])))
+        rows.append((k, " ".join(toks[8 * k : 8 * k + 100]), n_chars[k]))
     # plus one isolated doc: no near-dup partner, must not appear at all
-    rows.append((99, " ".join(f"zz{i:03d}" for i in range(60))))
-    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    rows.append((99, " ".join(f"zz{i:03d}" for i in range(60)), 5))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "n_chars"])
     d = tmp_path / "chain"
     d.mkdir()
     df.to_parquet(d / "documents.parquet")
@@ -100,4 +106,29 @@ def test_dedup_clusters_chain_transitivity(spark, tmp_path):
     # 5 hops, so the propagation loop demonstrably ran to fixpoint
     assert got.to_dict("records") == [
         {"cluster_id": 0, "n_docs": 6, "min_docid": 0, "max_docid": 5}
+    ]
+    # retention policy over the same cluster: doc 3 has the unique max
+    # n_chars (99), so it is kept and the other 5 chain members drop;
+    # the isolated doc 99 never appears (no cluster membership)
+    keep = _canon(QUERIES["dedup_keep_list"](spark, sf_dir).toPandas())
+    assert keep.to_dict("records") == [
+        {"cluster_id": 0, "keep_docid": 3, "keep_chars": 99, "n_dropped": 5}
+    ]
+
+
+def test_dedup_keep_list_tie_breaks_to_min_docid(spark, tmp_path):
+    """Equal n_chars within a cluster -> lowest docid is canonical
+    (deterministic retention, no engine-order dependence)."""
+    toks = [f"tk{i:04d}" for i in range(108)]
+    rows = [
+        (7, " ".join(toks[0:100]), 50),
+        (3, " ".join(toks[8:108]), 50),  # adjacent window, J ~0.85
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "n_chars"])
+    d = tmp_path / "tie"
+    d.mkdir()
+    df.to_parquet(d / "documents.parquet")
+    keep = _canon(QUERIES["dedup_keep_list"](spark, str(d)).toPandas())
+    assert keep.to_dict("records") == [
+        {"cluster_id": 3, "keep_docid": 3, "keep_chars": 50, "n_dropped": 1}
     ]
