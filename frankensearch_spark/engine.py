@@ -222,6 +222,62 @@ class FrankensearchSpark:
             out.append((ext, score, snips.get(int(d))))
         return out
 
+    def search_hybrid(self, query: str, semantic_scores: DataFrame,
+                      limit: int = 10, depth: int = 50,
+                      strategy: str = "rrf",
+                      lexical_weight: float = 1.0,
+                      semantic_weight: float = 1.0):
+        """Two-tier hybrid search — the reference's fusion dispatch over
+        a lexical tier and a semantic tier (fusion/rrf.rs:228-260 rrf,
+        :465-520 pool min-max; strategy selection mirrors its config
+        surface).  The semantic tier arrives as DATA — a (docid,
+        sem_score) DataFrame from any embedding scorer (e.g. the ANN
+        cosine top-k queries) — because the embedding model itself is
+        out of the lexical rebuild's scope (SURVEY §1).
+
+        Lexical candidates are this engine's own ranked top-``depth``
+        (pinned f32 total order); both tiers are bounded ``depth``-row
+        relations, so fusion is broadcast-sized at any corpus scale.
+
+        Returns [(docid, fused_score, lex_rank|None, sem_rank|None)],
+        fused ordering per the 4-level deterministic law.
+        """
+        from frankensearch_spark.operators.fusion import (
+            pool_minmax_fuse,
+            rrf_fuse,
+        )
+
+        if strategy not in ("rrf", "minmax"):
+            raise ValueError(f"unknown fusion strategy {strategy!r}")
+        spark = semantic_scores.sparkSession
+        lex_hits = self.search_docids(query, depth)
+        lex = spark.createDataFrame(
+            [(int(d), float(s)) for d, s in lex_hits],
+            "docid long, lex_score double",
+        )
+        sem = (
+            semantic_scores.select(
+                F.col("docid").cast("long").alias("docid"),
+                F.col("sem_score").cast("double").alias("sem_score"),
+            )
+            .orderBy(F.desc("sem_score"), F.asc("docid"))
+            .limit(depth)
+        )
+        fuse = rrf_fuse if strategy == "rrf" else pool_minmax_fuse
+        fused = fuse(
+            lex, sem, limit=limit,
+            lexical_weight=lexical_weight, semantic_weight=semantic_weight,
+        )
+        return [
+            (
+                int(r["docid"]),
+                float(r["rrf_score"]),
+                None if r["lex_rank"] is None else int(r["lex_rank"]),
+                None if r["sem_rank"] is None else int(r["sem_rank"]),
+            )
+            for r in fused.collect()
+        ]
+
     def count(self, query: str) -> int:
         """exact_count collector variant (E9)."""
         if self._is_serving():

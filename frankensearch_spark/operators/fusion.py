@@ -48,6 +48,8 @@ def rrf_fuse(
     *,
     limit: int,
     rrf_k: float = DEFAULT_RRF_K,
+    lexical_weight: float = 1.0,
+    semantic_weight: float = 1.0,
     id_col: str = "docid",
     lex_score_col: str = "lex_score",
     sem_score_col: str = "sem_score",
@@ -60,7 +62,11 @@ def rrf_fuse(
     ``(id_col, rrf_score, lex_rank, sem_rank, lex_score, sem_score,
     in_both)`` — ranks/scores are null for the side a doc is absent
     from, mirroring ``FusedHit``'s Option fields (rrf.rs:175-188).
+    Tier weights multiply each side's contribution (rrf.rs:274,312),
+    sanitized like the reference (non-finite/non-positive -> 1.0).
     """
+    lw = _sanitize_tier_weight(lexical_weight)
+    sw = _sanitize_tier_weight(semantic_weight)
     lex = rank_by_score(
         lexical.select(id_col, lex_score_col), lex_score_col, id_col, "lex_rank"
     )
@@ -68,14 +74,19 @@ def rrf_fuse(
         semantic.select(id_col, sem_score_col), sem_score_col, id_col, "sem_rank"
     )
     fused = lex.join(sem, id_col, "full_outer")
-    contrib = lambda rank_col: F.when(  # noqa: E731
+    contrib = lambda rank_col, w: F.when(  # noqa: E731
         F.col(rank_col).isNotNull(),
-        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col).cast("double")),
+        (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col).cast("double")))
+        * F.lit(w),
     ).otherwise(F.lit(0.0))
     # lexical + semantic in that order — matches the reference's
     # accumulation order so the f64 sum is bit-identical (rrf.rs:845+
-    # merge inner folds lexical contributions first).
-    rrf = (contrib("lex_rank") + contrib("sem_rank")).alias("rrf_score")
+    # merge inner folds lexical contributions first); weights multiply
+    # AFTER the division exactly as rank_contribution(k, rank) * weight
+    # does (rrf.rs:274,312), preserving the op-order contract.
+    rrf = (
+        contrib("lex_rank", lw) + contrib("sem_rank", sw)
+    ).alias("rrf_score")
     in_both = (
         F.col("lex_rank").isNotNull() & F.col("sem_rank").isNotNull()
     ).alias("in_both")

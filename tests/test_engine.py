@@ -75,3 +75,35 @@ def test_ranked_query_cache(eng):
     assert after._query_cache == {}
     got = after.search_docids(q, limit=5)
     assert victim not in {d for d, _ in got}
+
+
+def test_search_hybrid_two_tier(eng, spark):
+    """Hybrid facade == manual composition: lexical top-depth fused with
+    a caller-provided semantic tier under both strategies."""
+    lex_hits = eng.search_docids("fn import", limit=5)
+    assert len(lex_hits) == 5
+    lex_ids = [int(d) for d, _ in lex_hits]
+    # semantic tier: top lexical doc is absent; one foreign doc present
+    foreign = max(lex_ids) + 1
+    sem_rows = [(lex_ids[1], 0.9), (foreign, 0.8), (lex_ids[2], 0.1)]
+    sem = spark.createDataFrame(sem_rows, "docid long, sem_score double")
+
+    out = eng.search_hybrid("fn import", sem, limit=10, depth=5)
+    assert [d for d, *_ in out][0] == lex_ids[1]  # in-both, best sem
+    by_id = {d: (s, lr, sr) for d, s, lr, sr in out}
+    # RRF law: lex rank 2 + sem rank 1 for the winner (1-based ranks)
+    assert by_id[lex_ids[1]][0] == pytest.approx(1 / 62 + 1 / 61, rel=1e-12)
+    assert by_id[lex_ids[1]][1:] == (2, 1)
+    # semantic-only doc carries no lexical rank
+    assert by_id[foreign][1] is None and by_id[foreign][2] == 2
+    # lexical-only top doc keeps rank 1, contribution 1/61
+    assert by_id[lex_ids[0]][0] == pytest.approx(1 / 61, rel=1e-12)
+
+    mm = eng.search_hybrid("fn import", sem, limit=10, depth=5,
+                           strategy="minmax")
+    mm_by_id = {d: s for d, s, *_ in mm}
+    # pool min-max: best-in-both doc normalizes to sem 1.0; the lexical
+    # pool max (rank-1 doc) normalizes to lex 1.0
+    assert mm_by_id[lex_ids[0]] == pytest.approx(1.0, rel=1e-12)
+    with pytest.raises(ValueError):
+        eng.search_hybrid("fn import", sem, strategy="bogus")

@@ -163,3 +163,33 @@ def test_minmax_tier_weights_reweight_the_sum(spark):
     exp2 = {"a": 1.0, "b": 1.0}
     for r in out2:
         assert r.rrf_score == pytest.approx(exp2[r.docid], rel=1e-12), r.docid
+
+
+def test_rrf_tier_weights_scale_contributions(spark):
+    # rrf.rs:274,312 — contribution = (1/(K+rank)) * weight; sanitize
+    # non-finite/non-positive to 1.0 (rrf.rs:90-100)
+    out = _fuse(
+        spark,
+        [("a", 2.0), ("b", 1.0)],
+        [("b", 0.9), ("a", 0.1)],
+        limit=10,
+        lexical_weight=2.0,
+        semantic_weight=0.5,
+    )
+    exp = {
+        "a": (1 / 61) * 2.0 + (1 / 62) * 0.5,
+        "b": (1 / 62) * 2.0 + (1 / 61) * 0.5,
+    }
+    for r in out:
+        assert r.rrf_score == pytest.approx(exp[r.docid], rel=1e-12), r.docid
+    out2 = _fuse(
+        spark,
+        [("a", 2.0), ("b", 1.0)],
+        [("b", 0.9), ("a", 0.1)],
+        limit=10,
+        lexical_weight=float("inf"),
+        semantic_weight=0.0,
+    )
+    exp2 = {"a": 1 / 61 + 1 / 62, "b": 1 / 62 + 1 / 61}
+    for r in out2:
+        assert r.rrf_score == pytest.approx(exp2[r.docid], rel=1e-12), r.docid
