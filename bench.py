@@ -5,7 +5,9 @@ Prints ONE JSON line:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     FSX_BENCH_DOCS (synthetic-corpus size; default scales with sf).
+     FSX_BENCH_DOCS (query/serving corpus size; default 500k*sf),
+     FSX_BENCH_BUILD_DOCS (throughput-arm corpus size; default 5M*sf,
+     capped at 2M — large enough that per-job constants amortize).
 
 The build arm measures the full durable pipeline (corpus parquet ->
 tokenize -> posting aggregation -> compressed global term partitions ->
@@ -80,8 +82,22 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = 0.1
+    # TWO corpora, two regimes, deliberately:
+    # * query corpus (n_docs, 500k*sf = 50k at sf0.1): every latency /
+    #   serving / class arm runs against it — round-over-round
+    #   comparable (r01 measured the same arms at the same size).
+    # * build corpus (n_build, 10x): the throughput arms only.  At 50k
+    #   docs fixed per-job constants (~0.2-0.25 s Spark scheduling
+    #   floor per action) eat ~25% of the measured build and the
+    #   steady-state number under-reports the pipeline by ~1.5x vs the
+    #   same code at 500k — the 500k figure is the one that
+    #   extrapolates to the 100-TB regime.
     n_docs = int(os.environ.get("FSX_BENCH_DOCS", str(int(500_000 * sf_num))))
     n_docs = max(n_docs, 5000)
+    n_build = int(
+        os.environ.get("FSX_BENCH_BUILD_DOCS", str(int(5_000_000 * sf_num)))
+    )
+    n_build = max(min(n_build, 2_000_000), n_docs)
 
     from frankensearch_spark.operators.build import build_index
     from frankensearch_spark.operators.query import QuerySpec, topk
@@ -90,6 +106,9 @@ def main() -> None:
     from frankensearch_spark.sources.corpus import CORPUS_KEY
 
     corpus_path = _corpus_parquet(n_docs)
+    build_corpus_path = (
+        corpus_path if n_build == n_docs else _corpus_parquet(n_build)
+    )
 
     spark = get_spark(
         "fsx-bench",
@@ -116,13 +135,9 @@ def main() -> None:
     idx_out = "/tmp/fsx_bench_index"
     shutil.rmtree(idx_out, ignore_errors=True)
 
-    # steady-state methodology (the reference's QG numbers are 30-run
-    # MEDIANS): the very first build in a fresh JVM pays one-time
-    # codegen/JIT/page-cache warm-up — measured 2.5x slower than the
-    # steady state at 500k docs — and whichever arm runs first absorbs
-    # it, which is an ordering bias, not a tokenizer difference.  So:
-    # one throwaway cold build (reported as build_cold_secs), then every
-    # timed arm runs warm; the headline is a median of 3.
+    # This in-process build only prepares the QUERY index (and reports
+    # its cold time); the throughput headline comes from the fresh-JVM
+    # spark-submit arms below — see the methodology note there.
     t0 = time.perf_counter()
     idx = build_index(corpus, CORPUS_KEY, docid_mode="lease", tokenizer="arrow")
     idx.postings.count()
@@ -130,19 +145,6 @@ def main() -> None:
     idx.termstats.count()
     idx.stats()
     build_cold_secs = time.perf_counter() - t0
-
-    def _timed_build(tokenizer: str) -> float:
-        t0 = time.perf_counter()
-        b = build_index(
-            corpus, CORPUS_KEY, docid_mode="lease", tokenizer=tokenizer
-        )
-        b.postings.count()
-        b.docmeta.count()
-        b.termstats.count()
-        b.stats()
-        secs = time.perf_counter() - t0
-        b.postings.unpersist()
-        return secs
 
     t0 = time.perf_counter()
     write_index(idx, idx_out, n_groups=1, source=corpus_path)
@@ -238,17 +240,62 @@ def main() -> None:
         cls: round(statistics.median(v), 4) for cls, v in by_class.items()
     }
 
-    # steady-state build arms LAST: the repeated cached builds churn the
-    # JVM heap, and running them before the latency arms measurably
-    # degrades per-query times (GC pressure) — order is part of the
-    # methodology.
-    build_secs = statistics.median(_timed_build("arrow") for _ in range(3))
+    # Throughput arms LAST, each in a FRESH spark-submit process over
+    # the BUILD corpus (n_build).  In-process measurement after the
+    # latency/serving arms under-reports by ~40%: the serving block
+    # caches and the concurrent arm leave the old-gen fragmented, and
+    # System.gc() + clearCache only claw back half of it — a fresh JVM
+    # (exactly how the N-vs-4N scaling bench measures, and how a real
+    # cluster submits the job) is the reproducible steady state.  Each
+    # arm: workers pre-warmed, one cold build (JIT), then median of
+    # repeat-1 rebuilds with the SQL cache cleared between (Spark's
+    # CacheManager otherwise substitutes the repeat plan with the
+    # cached InMemoryRelation — measured 6x inflation).
+    def _submit_arm(tokenizer: str, repeat: int) -> dict:
+        import subprocess
 
-    # comparative arms, each timed warm: the pure-JVM codegen tokenizer
-    # and the Arrow-C++ vectorized tokenizer (both posting-equality
-    # tested vs the contract path on ASCII corpora)
-    build_sql_secs = _timed_build("sql")
-    build_vec_secs = _timed_build("vector")
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from scaling_bench import make_zip
+
+        zpath = make_zip(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "dist"))
+        out_dir = f"/tmp/fsx_bench_arm_{tokenizer}"
+        cmd = [
+            "spark-submit",
+            "--master", f"local[{cpus}]",
+            "--conf", f"spark.sql.shuffle.partitions={cpus}",
+            "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+            "--conf", "spark.sql.adaptive.enabled=true",
+            "--conf", "spark.driver.memory=16g",
+            "--conf", "spark.local.dir=/dev/shm/spark-local",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zpath,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "submit_build.py"),
+            "--corpus", build_corpus_path, "--out", out_dir,
+            "--tokenizer", tokenizer, "--repeat", str(repeat),
+        ]
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800, check=False
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)
+        for line in proc.stdout.splitlines()[::-1]:
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        raise RuntimeError(
+            f"no JSON from build arm {tokenizer}:\n{proc.stderr[-2000:]}"
+        )
+
+    arm = _submit_arm("arrow", repeat=6)
+    build_secs = arm["build_secs"]
+    build_cold_fresh_secs = arm["build_cold_secs"]
+    build_write_secs = arm["write_secs"]
+    arm_sql = _submit_arm("sql", repeat=2)
+    build_sql_secs = arm_sql["build_secs"]
+    arm_vec = _submit_arm("vector", repeat=2)
+    build_vec_secs = arm_vec["build_secs"]
 
     p50 = statistics.median(lat)
     out = {
@@ -257,16 +304,22 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": sf_num,
-        "build_docs": n_docs,
+        "query_docs": n_docs,
+        "build_docs": n_build,
         "build_secs": round(build_secs, 3),
-        "build_docs_per_sec": round(n_docs / build_secs, 1),
+        "build_docs_per_sec": round(n_build / build_secs, 1),
         "build_cold_secs": round(build_cold_secs, 3),
+        "build_cold_fresh_jvm_secs": round(build_cold_fresh_secs, 3),
+        "build_warm_runs": arm.get("build_warm_runs"),
         "build_sql_tokenizer_secs": round(build_sql_secs, 3),
-        "build_sql_tokenizer_docs_per_sec": round(n_docs / build_sql_secs, 1),
+        "build_sql_tokenizer_docs_per_sec": round(n_build / build_sql_secs, 1),
         "build_vector_tokenizer_secs": round(build_vec_secs, 3),
-        "build_vector_tokenizer_docs_per_sec": round(n_docs / build_vec_secs, 1),
+        "build_vector_tokenizer_docs_per_sec": round(n_build / build_vec_secs, 1),
+        "build_write_secs": round(build_write_secs, 3),
         "durable_write_secs": round(write_secs, 3),
-        "durable_docs_per_sec": round(n_docs / (build_secs + write_secs), 1),
+        "durable_docs_per_sec": round(
+            n_build / (build_secs + build_write_secs), 1
+        ),
         "index_bytes_per_doc": round(index_bytes / n_docs, 1),
         "index_to_corpus_ratio": round(index_bytes / max(corpus_bytes, 1), 3),
         "class_p50": class_p50,

@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--no-warm", action="store_true")
     ap.add_argument("--skip-write", action="store_true",
                     help="stop after in-memory index materialization")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="total builds: first is cold, the rest re-run "
+                         "with the SQL cache cleared (steady-state "
+                         "median, the reference's 30-run-median shape)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -61,15 +65,30 @@ def main() -> None:
 
     shutil.rmtree(args.out, ignore_errors=True)
 
-    t0 = time.perf_counter()
-    idx = build_index(
-        corpus, CORPUS_KEY, docid_mode="lease", tokenizer=args.tokenizer
-    )
-    idx.postings.count()
-    idx.docmeta.count()
-    idx.termstats.count()
-    n_docs, total_tokens = idx.stats()
-    build_secs = time.perf_counter() - t0
+    def one_build():
+        # clear the SQL cache first: Spark's CacheManager substitutes
+        # plans that match a cached logical plan with the cached
+        # InMemoryRelation, so a repeat build over the same corpus
+        # would otherwise time a cache scan, not the pipeline
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        b = build_index(
+            corpus, CORPUS_KEY, docid_mode="lease", tokenizer=args.tokenizer
+        )
+        b.postings.count()
+        b.docmeta.count()
+        b.termstats.count()
+        nd, tt = b.stats()
+        return time.perf_counter() - t0, b, nd, tt
+
+    cold_secs, idx, n_docs, total_tokens = one_build()
+    warm: list[float] = []
+    for _ in range(max(args.repeat - 1, 0)):
+        secs, idx, n_docs, total_tokens = one_build()
+        warm.append(secs)
+    import statistics
+
+    build_secs = statistics.median(warm) if warm else cold_secs
 
     write_secs = None
     if not args.skip_write:
@@ -85,10 +104,13 @@ def main() -> None:
                 "docs": n_docs,
                 "total_tokens": total_tokens,
                 "tokenizer": args.tokenizer,
+                "build_cold_secs": round(cold_secs, 2),
+                "build_warm_runs": [round(s, 2) for s in warm],
                 "build_secs": round(build_secs, 2),
                 "write_secs": write_secs,
                 "total_secs": round(total, 2),
                 "docs_per_sec": round(n_docs / total, 1),
+                "build_docs_per_sec": round(n_docs / build_secs, 1),
             }
         )
     )
