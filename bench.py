@@ -288,7 +288,13 @@ def main() -> None:
             f"no JSON from build arm {tokenizer}:\n{proc.stderr[-2000:]}"
         )
 
-    arm = _submit_arm("arrow", repeat=6)
+    # the parent session has served its purpose (latency/serving arms);
+    # stopping it BEFORE the subprocess arms frees its 16 GB heap +
+    # cached blocks — measured ~30% faster subprocess builds vs arms
+    # run while the idle parent JVM still holds memory
+    spark.stop()
+
+    arm = _submit_arm("arrow", repeat=8)
     build_secs = arm["build_secs"]
     build_cold_fresh_secs = arm["build_cold_secs"]
     build_write_secs = arm["write_secs"]
@@ -337,7 +343,6 @@ def main() -> None:
         with open(scaling_path) as fh:
             out["scaling"] = json.load(fh)
     print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":
