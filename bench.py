@@ -139,7 +139,7 @@ def main() -> None:
     # its cold time); the throughput headline comes from the fresh-JVM
     # spark-submit arms below — see the methodology note there.
     t0 = time.perf_counter()
-    idx = build_index(corpus, CORPUS_KEY, docid_mode="lease", tokenizer="arrow")
+    idx = build_index(corpus, CORPUS_KEY, docid_mode="lease")
     idx.postings.count()
     idx.docmeta.count()
     idx.termstats.count()
@@ -294,10 +294,16 @@ def main() -> None:
     # run while the idle parent JVM still holds memory
     spark.stop()
 
-    arm = _submit_arm("arrow", repeat=8)
+    # headline arm = the DEFAULT build path (hybrid auto tokenizer:
+    # ASCII docs through the Arrow-C++ kernel, the rest through the
+    # contract analyzer — contract-exact everywhere); comparative arms:
+    # pure contract analyzer, pure-JVM SQL codegen, forced RE2 vector.
+    arm = _submit_arm("auto", repeat=8)
     build_secs = arm["build_secs"]
     build_cold_fresh_secs = arm["build_cold_secs"]
     build_write_secs = arm["write_secs"]
+    arm_contract = _submit_arm("arrow", repeat=2)
+    build_contract_secs = arm_contract["build_secs"]
     arm_sql = _submit_arm("sql", repeat=2)
     build_sql_secs = arm_sql["build_secs"]
     arm_vec = _submit_arm("vector", repeat=2)
@@ -317,6 +323,11 @@ def main() -> None:
         "build_cold_secs": round(build_cold_secs, 3),
         "build_cold_fresh_jvm_secs": round(build_cold_fresh_secs, 3),
         "build_warm_runs": arm.get("build_warm_runs"),
+        "build_tokenizer": "auto",
+        "build_contract_tokenizer_secs": round(build_contract_secs, 3),
+        "build_contract_tokenizer_docs_per_sec": round(
+            n_build / build_contract_secs, 1
+        ),
         "build_sql_tokenizer_secs": round(build_sql_secs, 3),
         "build_sql_tokenizer_docs_per_sec": round(n_build / build_sql_secs, 1),
         "build_vector_tokenizer_secs": round(build_vec_secs, 3),

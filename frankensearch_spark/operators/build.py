@@ -247,6 +247,90 @@ POSTINGS_SCHEMA = "docid long, term string, tf int, positions array<int>, doclen
 POSTINGS_VB_SCHEMA = "docid long, term string, tf int, positions binary, doclen int"
 
 
+def _contract_batch(rb, tok_fn, with_positions: bool, vbyte: bool):
+    """Per-batch kernel of :func:`build_postings_fused` (contract
+    analyzer in Python, numpy aggregation).  Returns a RecordBatch of
+    postings or ``None`` when the batch yields no tokens."""
+    import numpy as np
+    import pyarrow as pa
+
+    from frankensearch_spark.functions.vbyte import vbyte_encode_chunks
+
+    docid_in = rb.column(0).to_numpy(zero_copy_only=False)
+    contents = rb.column(1).to_pylist()
+    term_col: list[str] = []
+    pos_col: list[int] = []  # analyzer positions (gaps preserved, T3)
+    doc_idx: list[int] = []  # row index within this batch, per token
+    dls = np.zeros(len(contents), dtype=np.int32)
+    for i, content in enumerate(contents):
+        if content is None:
+            continue
+        toks = tok_fn(content)
+        n = len(toks)
+        if n == 0:
+            continue
+        dls[i] = n
+        for t, p in toks:
+            term_col.append(t)
+            pos_col.append(p)
+        doc_idx.extend([i] * n)
+    if not term_col:
+        return None
+    rows = np.asarray(doc_idx, dtype=np.int64)
+    poss = np.asarray(pos_col, dtype=np.int32)
+    codes, uniq_terms = pd.factorize(np.asarray(term_col, dtype=object))
+    # tokens are already docid-major and position-ascending; a
+    # stable sort by code within the existing order groups the
+    # (doc, term) runs without disturbing position order
+    order = np.lexsort((codes, rows))
+    r_s, c_s, p_s = rows[order], codes[order], poss[order]
+    change = np.empty(len(r_s), dtype=bool)
+    change[0] = True
+    change[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+    starts = np.nonzero(change)[0]
+    tf = np.diff(np.append(starts, len(r_s))).astype(np.int32)
+    head_rows = r_s[starts]
+    doclen_out = dls[head_rows]
+    term_arr = pa.array(uniq_terms, type=pa.string()).take(
+        pa.array(c_s[starts], type=pa.int64())
+    )
+    if with_positions and vbyte:
+        # zero-materialization binary assembly: ONE encoded
+        # buffer + int32 offsets via from_buffers — building a
+        # Python bytes object per posting instead measured +50%
+        # on the whole build phase at 2M docs
+        data, bounds = vbyte_encode_chunks(p_s.astype(np.uint64), starts)
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(),
+            len(starts),
+            [
+                None,
+                pa.py_buffer(bounds.astype(np.int32).tobytes()),
+                pa.py_buffer(data.tobytes()),
+            ],
+        )
+    elif with_positions:
+        offsets = np.append(starts, len(p_s)).astype(np.int32)
+        pos_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(p_s, type=pa.int32()),
+        )
+    elif vbyte:
+        pos_arr = pa.nulls(len(starts), type=pa.binary())
+    else:
+        pos_arr = pa.nulls(len(starts), type=pa.list_(pa.int32()))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(docid_in[head_rows], type=pa.int64()),
+            term_arr,
+            pa.array(tf, type=pa.int32()),
+            pos_arr,
+            pa.array(doclen_out, type=pa.int32()),
+        ],
+        names=["docid", "term", "tf", "positions", "doclen"],
+    )
+
+
 def build_postings_fused(
     corpus_with_docid: DataFrame,
     content_col: str = "content",
@@ -281,87 +365,10 @@ def build_postings_fused(
     vbyte = pos_format == "vbyte"
 
     def gen(batches):
-        import numpy as np
-        import pyarrow as pa
-
-        from frankensearch_spark.functions.vbyte import vbyte_encode_chunks
-
         for rb in batches:
-            docid_in = rb.column(0).to_numpy(zero_copy_only=False)
-            contents = rb.column(1).to_pylist()
-            term_col: list[str] = []
-            pos_col: list[int] = []  # analyzer positions (gaps preserved, T3)
-            doc_idx: list[int] = []  # row index within this batch, per token
-            dls = np.zeros(len(contents), dtype=np.int32)
-            for i, content in enumerate(contents):
-                if content is None:
-                    continue
-                toks = tok_fn(content)
-                n = len(toks)
-                if n == 0:
-                    continue
-                dls[i] = n
-                for t, p in toks:
-                    term_col.append(t)
-                    pos_col.append(p)
-                doc_idx.extend([i] * n)
-            if not term_col:
-                continue
-            rows = np.asarray(doc_idx, dtype=np.int64)
-            poss = np.asarray(pos_col, dtype=np.int32)
-            codes, uniq_terms = pd.factorize(np.asarray(term_col, dtype=object))
-            # tokens are already docid-major and position-ascending; a
-            # stable sort by code within the existing order groups the
-            # (doc, term) runs without disturbing position order
-            order = np.lexsort((codes, rows))
-            r_s, c_s, p_s = rows[order], codes[order], poss[order]
-            change = np.empty(len(r_s), dtype=bool)
-            change[0] = True
-            change[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
-            starts = np.nonzero(change)[0]
-            tf = np.diff(np.append(starts, len(r_s))).astype(np.int32)
-            head_rows = r_s[starts]
-            doclen_out = dls[head_rows]
-            term_arr = pa.array(uniq_terms, type=pa.string()).take(
-                pa.array(c_s[starts], type=pa.int64())
-            )
-            if with_positions and vbyte:
-                # zero-materialization binary assembly: ONE encoded
-                # buffer + int32 offsets via from_buffers — building a
-                # Python bytes object per posting instead measured +50%
-                # on the whole build phase at 2M docs
-                data, bounds = vbyte_encode_chunks(
-                    p_s.astype(np.uint64), starts
-                )
-                pos_arr = pa.Array.from_buffers(
-                    pa.binary(),
-                    len(starts),
-                    [
-                        None,
-                        pa.py_buffer(bounds.astype(np.int32).tobytes()),
-                        pa.py_buffer(data.tobytes()),
-                    ],
-                )
-            elif with_positions:
-                offsets = np.append(starts, len(p_s)).astype(np.int32)
-                pos_arr = pa.ListArray.from_arrays(
-                    pa.array(offsets, type=pa.int32()),
-                    pa.array(p_s, type=pa.int32()),
-                )
-            elif vbyte:
-                pos_arr = pa.nulls(len(starts), type=pa.binary())
-            else:
-                pos_arr = pa.nulls(len(starts), type=pa.list_(pa.int32()))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(docid_in[head_rows], type=pa.int64()),
-                    term_arr,
-                    pa.array(tf, type=pa.int32()),
-                    pos_arr,
-                    pa.array(doclen_out, type=pa.int32()),
-                ],
-                names=["docid", "term", "tf", "positions", "doclen"],
-            )
+            out = _contract_batch(rb, tok_fn, with_positions, vbyte)
+            if out is not None:
+                yield out
 
     return corpus_with_docid.select("docid", content_col).mapInArrow(
         gen, POSTINGS_VB_SCHEMA if vbyte else POSTINGS_SCHEMA
@@ -390,97 +397,148 @@ def build_postings_fused_vec(
     when that matters."""
 
     def gen(batches):
-        import numpy as np
-        import pyarrow as pa
+        for rb in batches:
+            out = _vector_batch(rb, with_positions)
+            if out is not None:
+                yield out
+
+    return corpus_with_docid.select("docid", content_col).mapInArrow(
+        gen, POSTINGS_VB_SCHEMA
+    )
+
+
+def _vector_batch(rb, with_positions: bool):
+    """Per-batch kernel of :func:`build_postings_fused_vec` (Arrow-C++
+    tokenize, numpy aggregation over dictionary codes).  Returns a
+    RecordBatch of postings or ``None`` when the batch yields no
+    tokens."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from frankensearch_spark.contract import MAX_TERM_BYTES
+    from frankensearch_spark.functions.vbyte import vbyte_encode_chunks
+
+    n_b = rb.num_rows
+    if n_b == 0:
+        return None
+    docid_in = rb.column(0).to_numpy(zero_copy_only=False)
+    content = rb.column(1)
+    lists = pc.split_pattern_regex(pc.utf8_lower(content), r"[^\pL\pN]+")
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
+    flat = lists.flatten()  # null list slots contribute nothing
+    total = int(lens.sum())
+    if total == 0:
+        return None
+    rows_all = np.repeat(np.arange(n_b, dtype=np.int64), lens)
+    blen = pc.binary_length(flat).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    nonempty = blen > 0
+    # analyzer position = index among the doc's NON-EMPTY tokens
+    # (split artifacts at string edges are not tokens); admission
+    # drops oversized tokens AFTER numbering (gap rule, T3)
+    pref = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(nonempty, out=pref[1:])
+    doc_starts = np.zeros(n_b + 1, dtype=np.int64)
+    np.cumsum(lens, out=doc_starts[1:])
+    poss_all = pref[:-1] - np.repeat(pref[doc_starts[:-1]], lens)
+    admitted = nonempty & (blen <= MAX_TERM_BYTES)
+    rows = rows_all[admitted]
+    if rows.size == 0:
+        return None
+    poss = poss_all[admitted].astype(np.int32)
+    dls = np.bincount(rows, minlength=n_b).astype(np.int32)
+    denc = flat.filter(pa.array(admitted)).dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = denc.dictionary
+
+    order = np.lexsort((codes, rows))
+    r_s, c_s, p_s = rows[order], codes[order], poss[order]
+    change = np.empty(len(r_s), dtype=bool)
+    change[0] = True
+    change[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+    starts = np.nonzero(change)[0]
+    tf = np.diff(np.append(starts, len(r_s))).astype(np.int32)
+    head_rows = r_s[starts]
+    term_arr = dictionary.take(pa.array(c_s[starts], type=pa.int64()))
+    if with_positions:
+        data, bounds = vbyte_encode_chunks(p_s.astype(np.uint64), starts)
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(),
+            len(starts),
+            [
+                None,
+                pa.py_buffer(bounds.astype(np.int32).tobytes()),
+                pa.py_buffer(data.tobytes()),
+            ],
+        )
+    else:
+        pos_arr = pa.nulls(len(starts), type=pa.binary())
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(docid_in[head_rows], type=pa.int64()),
+            term_arr,
+            pa.array(tf, type=pa.int32()),
+            pos_arr,
+            pa.array(dls[head_rows], type=pa.int32()),
+        ],
+        names=["docid", "term", "tf", "positions", "doclen"],
+    )
+
+
+def build_postings_fused_auto(
+    corpus_with_docid: DataFrame,
+    content_col: str = "content",
+    with_positions: bool = True,
+) -> DataFrame:
+    """Hybrid tokenizer: ASCII fast path, contract-exact everywhere.
+
+    The reference tokenizes with an ASCII fast path and falls back to
+    full Unicode handling per chunk; the Spark analogue routes PER
+    DOCUMENT inside one mapInArrow pass: documents whose content is
+    pure ASCII (``string_is_ascii``, Arrow C++) go through the
+    vectorized RE2 kernel (:func:`_vector_batch`), the rest through the
+    reference contract analyzer (:func:`_contract_batch`).  On ASCII
+    input the two kernels are posting-table IDENTICAL (pinned by
+    test_build_paths), and non-ASCII documents never reach the RE2
+    kernel — so ``auto`` equals the contract path bit-for-bit on EVERY
+    corpus while running the cheap kernel for the (dominant, for source
+    code) ASCII share.  Tokenization is per-document, so per-doc routing
+    cannot change any posting.
+
+    This is the default tokenizer of :func:`build_index`."""
+    from frankensearch_spark.analyze import tokenize_fast
+
+    def gen(batches):
         import pyarrow.compute as pc
 
-        from frankensearch_spark.contract import MAX_TERM_BYTES
-        from frankensearch_spark.functions.vbyte import vbyte_encode_chunks
-
         for rb in batches:
-            n_b = rb.num_rows
-            if n_b == 0:
+            if rb.num_rows == 0:
                 continue
-            docid_in = rb.column(0).to_numpy(zero_copy_only=False)
-            content = rb.column(1)
-            lists = pc.split_pattern_regex(
-                pc.utf8_lower(content), r"[^\pL\pN]+"
-            )
-            lens = pc.list_value_length(lists).to_numpy(
-                zero_copy_only=False
-            )
-            lens = np.nan_to_num(
-                lens.astype(np.float64), nan=0.0
-            ).astype(np.int64)
-            flat = lists.flatten()  # null list slots contribute nothing
-            total = int(lens.sum())
-            if total == 0:
+            # null content: both kernels drop the doc — route to the
+            # vector side (no Python loop) via fill_null(True)
+            mask = pc.fill_null(pc.string_is_ascii(rb.column(1)), True)
+            n_ascii = pc.sum(mask).as_py() or 0
+            if n_ascii == rb.num_rows:
+                # all-ASCII batch (the common case for source code):
+                # skip the filter() copy of every content buffer
+                out = _vector_batch(rb, with_positions)
+                if out is not None:
+                    yield out
                 continue
-            rows_all = np.repeat(np.arange(n_b, dtype=np.int64), lens)
-            blen = pc.binary_length(flat).to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-            nonempty = blen > 0
-            # analyzer position = index among the doc's NON-EMPTY tokens
-            # (split artifacts at string edges are not tokens); admission
-            # drops oversized tokens AFTER numbering (gap rule, T3)
-            pref = np.zeros(total + 1, dtype=np.int64)
-            np.cumsum(nonempty, out=pref[1:])
-            doc_starts = np.zeros(n_b + 1, dtype=np.int64)
-            np.cumsum(lens, out=doc_starts[1:])
-            poss_all = pref[:-1] - np.repeat(
-                pref[doc_starts[:-1]], lens
-            )
-            admitted = nonempty & (blen <= MAX_TERM_BYTES)
-            rows = rows_all[admitted]
-            if rows.size == 0:
-                continue
-            poss = poss_all[admitted].astype(np.int32)
-            dls = np.bincount(rows, minlength=n_b).astype(np.int32)
-            denc = flat.filter(
-                pa.array(admitted)
-            ).dictionary_encode()
-            codes = denc.indices.to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
-            dictionary = denc.dictionary
-
-            order = np.lexsort((codes, rows))
-            r_s, c_s, p_s = rows[order], codes[order], poss[order]
-            change = np.empty(len(r_s), dtype=bool)
-            change[0] = True
-            change[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
-            starts = np.nonzero(change)[0]
-            tf = np.diff(np.append(starts, len(r_s))).astype(np.int32)
-            head_rows = r_s[starts]
-            term_arr = dictionary.take(
-                pa.array(c_s[starts], type=pa.int64())
-            )
-            if with_positions:
-                data, bounds = vbyte_encode_chunks(
-                    p_s.astype(np.uint64), starts
+            if n_ascii:
+                out = _vector_batch(rb.filter(mask), with_positions)
+                if out is not None:
+                    yield out
+            other_rb = rb.filter(pc.invert(mask))
+            if other_rb.num_rows:
+                out = _contract_batch(
+                    other_rb, tokenize_fast, with_positions, True
                 )
-                pos_arr = pa.Array.from_buffers(
-                    pa.binary(),
-                    len(starts),
-                    [
-                        None,
-                        pa.py_buffer(bounds.astype(np.int32).tobytes()),
-                        pa.py_buffer(data.tobytes()),
-                    ],
-                )
-            else:
-                pos_arr = pa.nulls(len(starts), type=pa.binary())
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(docid_in[head_rows], type=pa.int64()),
-                    term_arr,
-                    pa.array(tf, type=pa.int32()),
-                    pos_arr,
-                    pa.array(dls[head_rows], type=pa.int32()),
-                ],
-                names=["docid", "term", "tf", "positions", "doclen"],
-            )
+                if out is not None:
+                    yield out
 
     return corpus_with_docid.select("docid", content_col).mapInArrow(
         gen, POSTINGS_VB_SCHEMA
@@ -799,19 +857,23 @@ def build_index(
     with_positions: bool = True,
     code_aware: bool = False,
     cache: bool = True,
-    tokenizer: str = "arrow",
+    tokenizer: str = "auto",
     n_build_partitions: int | None = None,
     meta_cols: list[str] | None = None,
     bucket_aligned: bool = False,
 ) -> BuiltIndex:
     """Full batch build: corpus -> postings/docmeta/termstats/fieldstats.
 
-    ``tokenizer="arrow"`` runs the exact reference analyzer in a fused
-    mapInArrow pass; ``tokenizer="sql"`` runs the pure-JVM codegen path
-    (identical postings on ASCII corpora, ~10x faster per core — see
-    :func:`build_postings_sql`).  If the corpus already carries a
-    ``docid`` column it is trusted as the global docid (e.g. the driver
-    testdata's ``doc_id``)."""
+    ``tokenizer="auto"`` (default) routes ASCII documents through the
+    Arrow-C++ kernel and the rest through the contract analyzer —
+    contract-exact postings on every corpus, vectorized on the ASCII
+    share (:func:`build_postings_fused_auto`).  ``tokenizer="arrow"``
+    runs the exact reference analyzer for every document;
+    ``tokenizer="vector"`` forces the RE2 kernel (ASCII-parity class);
+    ``tokenizer="sql"`` runs the pure-JVM codegen path (identical
+    postings on ASCII corpora — see :func:`build_postings_sql`).  If
+    the corpus already carries a ``docid`` column it is trusted as the
+    global docid (e.g. the driver testdata's ``doc_id``)."""
     spark = corpus.sparkSession
     if n_build_partitions is None:
         n_build_partitions = spark.sparkContext.defaultParallelism
@@ -838,7 +900,7 @@ def build_index(
         # The arrow and vector paths are narrow mapInArrow pipelines that
         # preserve the bucket co-partitioning.
         raise ValueError(
-            "bucket_aligned requires tokenizer='arrow' or 'vector'"
+            "bucket_aligned requires tokenizer='arrow'/'vector'/'auto'"
         )
     if bucket_aligned:
         from frankensearch_spark.operators.merge import DEFAULT_BUCKET_SHIFT
@@ -865,10 +927,22 @@ def build_index(
         postings_src = build_postings_fused_vec(
             with_docid, content_col, with_positions
         )
-    else:
+    elif tokenizer == "auto":
+        if code_aware:
+            # code-aware splitting only exists in the contract analyzer
+            postings_src = build_postings_fused(
+                with_docid, content_col, code_aware, with_positions
+            )
+        else:
+            postings_src = build_postings_fused_auto(
+                with_docid, content_col, with_positions
+            )
+    elif tokenizer == "arrow":
         postings_src = build_postings_fused(
             with_docid, content_col, code_aware, with_positions
         )
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
     positions = None
     postings_full = None
     if with_positions:

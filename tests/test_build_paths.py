@@ -198,3 +198,40 @@ def test_vector_path_edge_contents(spark):
     assert rows == exp
     by_doc = {(d, t): p for d, t, _tf, p, _dl in rows}
     assert by_doc[(4, "post")] == (2,)  # admission gap preserved
+
+
+def test_auto_equals_contract_on_mixed_corpus(spark):
+    """The hybrid auto tokenizer (ASCII docs -> RE2 kernel, the rest ->
+    contract analyzer) must equal the contract path BIT-FOR-BIT on a
+    corpus that mixes ASCII docs with Unicode shapes where RE2's
+    \\pL\\pN classes could diverge from Rust char::is_alphanumeric."""
+    from frankensearch_spark.operators.build import build_postings_fused_auto
+
+    base = synthetic_corpus_df(spark, 60, partitions=2)
+    extra = base.sparkSession.createDataFrame(
+        [
+            ("u", "h.txt", "c0", "txt", "héllo wörld héllo"),
+            ("u", "j.txt", "c0", "txt", "日本語 テスト 2024"),
+            ("u", "e.txt", "c0", "txt", "emoji 🚀 mix ascii"),
+            ("u", "t.txt", "c0", "txt", "İstanbul straße ŉouns"),
+            ("u", "m.txt", "c0", "txt", "áccent combining"),
+            ("u", "n.txt", "c0", "txt", None),
+            ("u", "x.txt", "c0", "txt", "①②③ enclosed ¼ vulgar"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    corpus = assign_docids(base.unionByName(extra), CORPUS_KEY)
+    auto = canon(build_postings_fused_auto(corpus))
+    contract = canon(build_postings_fused(corpus))
+    assert auto == contract
+
+
+def test_build_index_default_tokenizer_is_auto(spark):
+    """build_index() with no tokenizer arg routes through the hybrid
+    path and matches an explicit contract-tokenizer build."""
+    from frankensearch_spark.operators.build import build_index
+
+    corpus = synthetic_corpus_df(spark, 80, partitions=2)
+    dflt = build_index(corpus, CORPUS_KEY, cache=False)
+    arrow = build_index(corpus, CORPUS_KEY, cache=False, tokenizer="arrow")
+    assert canon(dflt.postings_full) == canon(arrow.postings_full)

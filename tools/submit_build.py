@@ -29,7 +29,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--tokenizer", default="arrow", choices=["arrow", "sql", "vector"])
+    ap.add_argument("--tokenizer", default="auto", choices=["auto", "arrow", "sql", "vector"])
     ap.add_argument("--no-warm", action="store_true")
     ap.add_argument("--skip-write", action="store_true",
                     help="stop after in-memory index materialization")
