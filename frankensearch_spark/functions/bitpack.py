@@ -1,0 +1,127 @@
+"""FrameOfReference bitpacked block codec (reference's primary posting
+codec, quiver.rs:395-430 kind FrameOfReference; freq sub-encodings
+FREQ_ALL_ONE / FREQ_BITPACKED at quiver.rs:892-920).
+
+A FULL block (exactly POSTINGS_PER_BLOCK postings) stores its docid
+stream as ``[width:u8][n values bitpacked LSB-first at width bits]``
+where the value stream is identical to the vint codec's (first value =
+absolute in-bucket offset of the block's first posting, the rest =
+docid deltas) and ``width`` is the minimal bit width of the stream's
+maximum.  The tf stream is ``b"\\x00"`` when every tf == 1
+(FREQ_ALL_ONE — by far the common case for natural text) else
+``[width:u8][bitpacked]``.  Partial tail blocks keep the canonical
+LEB128 vint codec, exactly the reference's Vint tail-block rule.
+
+Everything here is pure numpy — encode vectorizes across all blocks
+sharing a width (``np.packbits(bitorder="little")``), decode unpacks
+one block in one shot.  No Python-per-value loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CODEC_VINT = 0
+CODEC_FOR = 1
+
+FREQ_ALL_ONE = 0  # leading tf_bytes flag byte
+
+
+def _bitlen_vec(vals: np.ndarray) -> np.ndarray:
+    """Exact integer bit length per element (uint64), floor 1 — six
+    vectorized halving passes, no float log2 edge cases."""
+    a = np.ascontiguousarray(vals, dtype=np.uint64).copy()
+    r = np.zeros(a.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = a >= (np.uint64(1) << np.uint64(s))
+        r[m] += s
+        a[m] >>= np.uint64(s)
+    r += (a > 0).astype(np.int64)
+    return np.maximum(r, 1)
+
+
+def bitwidth(max_val: int) -> int:
+    """Minimal bits to store ``max_val`` (>=1 so a width byte of zero
+    never denotes a packed stream — zero is the FREQ_ALL_ONE flag)."""
+    return max(int(max_val).bit_length(), 1)
+
+
+def bitpack(vals: np.ndarray, width: int) -> bytes:
+    """LSB-first bitpack of ``vals`` (uint64) at ``width`` bits/value."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def bitunpack(buf: bytes, n: int, width: int) -> np.ndarray:
+    """Inverse of :func:`bitpack` — returns uint64[n]."""
+    need = n * width
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), count=need, bitorder="little"
+    )
+    shifts = np.arange(width, dtype=np.uint64)
+    return (bits.reshape(n, width).astype(np.uint64) << shifts).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
+def for_encode_rows(mat: np.ndarray) -> list[bytes]:
+    """Encode a (k, block_len) uint64 matrix of value streams, one FOR
+    buffer per row: ``[width:u8][bitpacked row]``.
+
+    Rows are grouped by their minimal width so each distinct width packs
+    in ONE vectorized call — at most 64 groups regardless of k."""
+    k, n = mat.shape
+    out: list[bytes | None] = [None] * k
+    if k == 0:
+        return []
+    widths = _bitlen_vec(mat.max(axis=1))
+    for w in np.unique(widths):
+        rows = np.nonzero(widths == w)[0]
+        sub = mat[rows]  # (r, n)
+        shifts = np.arange(w, dtype=np.uint64)
+        bits = ((sub[:, :, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        packed = np.packbits(
+            bits.reshape(rows.size, n * int(w)), axis=1, bitorder="little"
+        )
+        wb = bytes([int(w)])
+        for i, r in enumerate(rows):
+            out[r] = wb + packed[i].tobytes()
+    return out  # type: ignore[return-value]
+
+
+def for_decode_doc(buf: bytes, n: int) -> np.ndarray:
+    """Decode a FOR doc stream -> uint64[n] value stream (same stream
+    shape the vint codec decodes: first value absolute-in-bucket, rest
+    deltas)."""
+    width = buf[0]
+    if width == 0 or width > 64:
+        raise ValueError(f"invalid FOR width {width}")
+    return bitunpack(buf[1:], n, width)
+
+
+def for_encode_tf_rows(mat: np.ndarray) -> list[bytes]:
+    """Encode a (k, block_len) uint64 tf matrix: FREQ_ALL_ONE flag byte
+    when a row is all ones, else a FOR buffer."""
+    k = mat.shape[0]
+    if k == 0:
+        return []
+    all_one = (mat == 1).all(axis=1)
+    out: list[bytes] = [b""] * k
+    ones = np.nonzero(all_one)[0]
+    for r in ones:
+        out[r] = bytes([FREQ_ALL_ONE])
+    rest = np.nonzero(~all_one)[0]
+    if rest.size:
+        enc = for_encode_rows(mat[rest])
+        for i, r in enumerate(rest):
+            out[r] = enc[i]
+    return out
+
+
+def for_decode_tf(buf: bytes, n: int) -> np.ndarray:
+    """Decode a FOR tf stream -> uint32[n]."""
+    if buf[0] == FREQ_ALL_ONE:
+        return np.ones(n, dtype=np.uint32)
+    return for_decode_doc(buf, n).astype(np.uint32)

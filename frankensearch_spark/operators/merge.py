@@ -46,7 +46,8 @@ DEFAULT_TERM_PARTITIONS = 64
 BLOCKS_SCHEMA = (
     "term string, bucket long, first_doc long, n int, "
     "doc_bytes binary, tf_bytes binary, norm_bytes binary, "
-    "max_tf_code int, min_fieldnorm_id int, tpart int, pos_bytes binary"
+    "max_tf_code int, min_fieldnorm_id int, tpart int, pos_bytes binary, "
+    "codec int"
 )
 
 
@@ -60,18 +61,31 @@ def term_partition(term: str, n_parts: int = DEFAULT_TERM_PARTITIONS) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_parts
 
 
-def _blockify_arrow(batches, bucket_shift: int):
+def _blockify_arrow(batches, bucket_shift: int, codec: str = "vint"):
     """mapInArrow blockify kernel over partitions pre-sorted by
     (term, bucket, docid) — no per-cell Python: list positions are
     consumed as FLAT values + offsets (zero-copy), binary positions as
     one data buffer + byte offsets, and term run boundaries come from
     one vectorized Arrow compare.  Byte-identity with the independently
     written pandas reference kernel (tests/test_properties.py) is
-    pinned property-style."""
+    pinned property-style.
+
+    ``codec="for"`` stores every FULL 128-posting block FrameOfReference
+    bitpacked (minimal-width doc deltas; tf FREQ_ALL_ONE / bitpacked —
+    the reference's primary codec, quiver.rs:395-430) and keeps LEB128
+    for partial tail blocks, per-row codec column dispatching decode."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from frankensearch_spark.functions.bitpack import (
+        CODEC_FOR,
+        CODEC_VINT,
+        for_encode_rows,
+        for_encode_tf_rows,
+    )
     from frankensearch_spark.functions.vbyte import vbyte_encode_segmented
+
+    use_for = codec == "for"
 
     for rb in batches:
         n_rows = rb.num_rows
@@ -110,8 +124,53 @@ def _blockify_arrow(batches, bucket_shift: int):
         deltas[1:] = offs[1:] - offs[:-1]
         deltas[b_starts] = offs[b_starts]
 
-        doc_bytes = vbyte_encode_segmented(deltas, b_starts)
-        tf_bytes = vbyte_encode_segmented(tfs.astype(np.uint64), b_starts)
+        full_mask = b_sizes == POSTINGS_PER_BLOCK
+        if use_for and full_mask.any():
+            # FOR path: gather full blocks into (k, 128) matrices (every
+            # full block has identical length, so one fancy-index does
+            # it) and bitpack per width group; tails re-segment through
+            # the canonical LEB128 encoder unchanged.
+            f_rows = np.nonzero(full_mask)[0]
+            gather = b_starts[f_rows][:, None] + np.arange(
+                POSTINGS_PER_BLOCK, dtype=np.int64
+            )
+            doc_for = for_encode_rows(deltas[gather])
+            tf_for = for_encode_tf_rows(tfs.astype(np.uint64)[gather])
+            t_rows = np.nonzero(~full_mask)[0]
+            if t_rows.size:
+                sizes_t = b_sizes[t_rows]
+                total_t = int(sizes_t.sum())
+                starts_new = np.zeros(t_rows.size, dtype=np.int64)
+                np.cumsum(sizes_t[:-1], out=starts_new[1:])
+                flat_idx = (
+                    np.arange(total_t, dtype=np.int64)
+                    - np.repeat(starts_new, sizes_t)
+                    + np.repeat(b_starts[t_rows], sizes_t)
+                )
+                doc_vint = vbyte_encode_segmented(
+                    deltas[flat_idx], starts_new
+                )
+                tf_vint = vbyte_encode_segmented(
+                    tfs.astype(np.uint64)[flat_idx], starts_new
+                )
+            else:
+                doc_vint, tf_vint = [], []
+            doc_bytes: list[bytes] = [b""] * b_starts.size
+            tf_bytes: list[bytes] = [b""] * b_starts.size
+            codec_col = np.full(b_starts.size, CODEC_VINT, dtype=np.int32)
+            for i, r in enumerate(f_rows):
+                doc_bytes[r] = doc_for[i]
+                tf_bytes[r] = tf_for[i]
+            codec_col[f_rows] = CODEC_FOR
+            for i, r in enumerate(t_rows):
+                doc_bytes[r] = doc_vint[i]
+                tf_bytes[r] = tf_vint[i]
+        else:
+            doc_bytes = vbyte_encode_segmented(deltas, b_starts)
+            tf_bytes = vbyte_encode_segmented(
+                tfs.astype(np.uint64), b_starts
+            )
+            codec_col = np.full(b_starts.size, CODEC_VINT, dtype=np.int32)
         norm_raw = fids.tobytes()
         norm_bounds = np.append(b_starts, n_rows)
         norm_bytes = [
@@ -194,11 +253,12 @@ def _blockify_arrow(batches, bucket_shift: int):
                 pa.array(min_fn.astype(np.int32), type=pa.int32()),
                 pa.array(tparts[b_starts].astype(np.int32), type=pa.int32()),
                 pos_arr,
+                pa.array(codec_col, type=pa.int32()),
             ],
             names=[
                 "term", "bucket", "first_doc", "n", "doc_bytes", "tf_bytes",
                 "norm_bytes", "max_tf_code", "min_fieldnorm_id", "tpart",
-                "pos_bytes",
+                "pos_bytes", "codec",
             ],
         )
 
@@ -210,6 +270,7 @@ def build_blocks(
     shuffle_partitions: int | None = None,
     positions: DataFrame | None = None,
     aligned_shift: int | None = None,
+    codec: str = "vint",
 ) -> DataFrame:
     """postings -> compressed block table.
 
@@ -267,7 +328,7 @@ def build_blocks(
             "tpart", "thash", "term", "bucket", "docid"
         ).drop("thash")
         blocks = arranged.mapInArrow(
-            lambda it: _blockify_arrow(it, bucket_shift), BLOCKS_SCHEMA
+            lambda it: _blockify_arrow(it, bucket_shift, codec), BLOCKS_SCHEMA
         )
         # disk-layout exchange over BLOCK rows: HASH on tpart (a range
         # partitioner would sample — recomputing the whole blockify a
@@ -287,7 +348,7 @@ def build_blocks(
         n_shuffle, "tpart", "thash", "term", "bucket", "docid"
     ).sortWithinPartitions("tpart", "thash", "term", "bucket", "docid").drop("thash")
     return arranged.mapInArrow(
-        lambda it: _blockify_arrow(it, bucket_shift), BLOCKS_SCHEMA
+        lambda it: _blockify_arrow(it, bucket_shift, codec), BLOCKS_SCHEMA
     )
 
 
@@ -314,6 +375,11 @@ def decode_blocks_pdf(
     (delta chains), but the per-posting position slicing — the dominant
     cost for mega-term phrase queries — is skipped for excluded docs.
     """
+    from frankensearch_spark.functions.bitpack import (
+        CODEC_FOR,
+        for_decode_doc,
+        for_decode_tf,
+    )
     from frankensearch_spark.functions.vbyte import delta_decode, vbyte_decode
 
     vb_slices = with_positions == "vbyte"
@@ -321,11 +387,19 @@ def decode_blocks_pdf(
     all_docs, all_tfs, all_fids, all_rows = [], [], [], []
     all_pos: list = []
     has_pos_col = with_positions and "pos_bytes" in pdf.columns
+    # pre-codec durable indexes have no codec column -> all vint
+    codecs = pdf["codec"] if "codec" in pdf.columns else None
     for i in range(len(pdf)):
         base = int(pdf["bucket"].iat[i]) << bucket_shift
         n = int(pdf["n"].iat[i])
-        offs = delta_decode(vbyte_decode(pdf["doc_bytes"].iat[i], n))
-        tfs = vbyte_decode(pdf["tf_bytes"].iat[i], n)
+        if codecs is not None and int(codecs.iat[i]) == CODEC_FOR:
+            offs = delta_decode(
+                for_decode_doc(pdf["doc_bytes"].iat[i], n).astype(np.uint32)
+            )
+            tfs = for_decode_tf(pdf["tf_bytes"].iat[i], n)
+        else:
+            offs = delta_decode(vbyte_decode(pdf["doc_bytes"].iat[i], n))
+            tfs = vbyte_decode(pdf["tf_bytes"].iat[i], n)
         docs_b = base + offs.astype(np.int64)
         fids_b = np.frombuffer(pdf["norm_bytes"].iat[i], dtype=np.uint8)
         keep = None

@@ -215,7 +215,8 @@ class ServingMultiIndex:
 
 def serving_from_built(built, bucket_shift: int = DEFAULT_BUCKET_SHIFT,
                        n_term_partitions: int = 64, cache: bool = True,
-                       with_positions: bool = True) -> ServingIndex:
+                       with_positions: bool = True,
+                       codec: str = "vint") -> ServingIndex:
     from frankensearch_spark.operators.merge import build_blocks
 
     positions = built.positions if with_positions else None
@@ -224,6 +225,7 @@ def serving_from_built(built, bucket_shift: int = DEFAULT_BUCKET_SHIFT,
         built.postings if (full is None or positions is None) else full,
         bucket_shift, n_term_partitions, positions=positions,
         aligned_shift=getattr(built, "bucket_aligned_shift", None),
+        codec=codec,
     )
     if cache:
         blocks = blocks.persist()

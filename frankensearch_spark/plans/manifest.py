@@ -52,6 +52,11 @@ class BuildManifest:
     # external-key column names (IDMAP analogue) — lets a reopened index
     # materialize external ids without the builder process
     key_cols: list[str] = field(default_factory=list)
+    # posting block codec: "vint" (LEB128 everywhere) or "for"
+    # (FrameOfReference bitpacked full blocks, LEB128 tails) — the block
+    # rows are self-describing via their codec column; recorded here for
+    # observability and so resumed builds keep one codec per index
+    codec: str = "vint"
 
 
 def _manifest_path(path: str) -> str:
@@ -119,6 +124,7 @@ def write_index(
     n_groups: int = 4,
     source: str = "",
     key_cols: list[str] | None = None,
+    codec: str = "vint",
 ) -> BuildManifest:
     """Persist a BuiltIndex as a compressed serving index, resumably.
 
@@ -130,7 +136,7 @@ def write_index(
     if isinstance(built, MultiFieldIndex):
         return write_multifield_index(
             built, path, bucket_shift, n_term_partitions, n_groups, source,
-            key_cols=key_cols,
+            key_cols=key_cols, codec=codec,
         )
     os.makedirs(path, exist_ok=True)
     manifest = load_manifest(path)
@@ -144,11 +150,13 @@ def write_index(
             source=source,
             with_positions=getattr(built, "positions", None) is not None,
             key_cols=list(key_cols or []),
+            codec=codec,
         )
         _publish(path, manifest)
     bucket_shift = manifest.bucket_shift
     n_term_partitions = manifest.n_term_partitions
     n_groups = manifest.n_groups
+    codec = manifest.codec
 
     spark = built.postings.sparkSession
     full = getattr(built, "postings_full", None)
@@ -157,6 +165,7 @@ def write_index(
         bucket_shift, n_term_partitions,
         positions=getattr(built, "positions", None),
         aligned_shift=getattr(built, "bucket_aligned_shift", None),
+        codec=codec,
     )
     # with one group the block stream writes straight through (no second
     # pass, no cache); staged builds pay one persist for the group filters
@@ -224,6 +233,7 @@ def write_multifield_index(
     n_groups: int = 4,
     source: str = "",
     key_cols: list[str] | None = None,
+    codec: str = "vint",
 ) -> dict:
     """Persist a MultiFieldIndex: one serving index per field under
     ``fields/<name>/`` plus a tiny root manifest.  Per-field writes reuse
@@ -245,6 +255,7 @@ def write_multifield_index(
         write_index(
             built, os.path.join(path, "fields", name),
             bucket_shift, n_term_partitions, n_groups, source,
+            codec=codec,
         )
     _atomic_json(_mf_manifest_path(path), root)
     _mark_committed(path)

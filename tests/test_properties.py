@@ -214,6 +214,7 @@ def _blockify_partition(pdfs, bucket_shift: int):
                 "min_fieldnorm_id": min_fn.astype(np.int32),
                 "tpart": tparts[b_starts].astype(np.int32),
                 "pos_bytes": pos_bytes,
+                "codec": np.zeros(b_starts.size, dtype=np.int32),
             }
         )
 
@@ -298,3 +299,29 @@ def test_blockify_positions_roundtrip(data):
     )
     exp = sorted((r[0], r[1], tuple(int(x) for x in r[5])) for r in rows)
     assert got == exp
+    # FrameOfReference codec arm: full blocks bitpack, tails stay vint;
+    # decode must reproduce the identical posting stream (docid, tf,
+    # fieldnorm, positions) — the codec changes bytes, never semantics
+    for_blocks = pa.Table.from_batches(
+        list(_blockify_arrow([rb], shift, "for"))
+    ).to_pandas().reset_index(drop=True)
+    from frankensearch_spark.functions.bitpack import CODEC_FOR, CODEC_VINT
+
+    is_full = for_blocks["n"].to_numpy() == 128
+    assert (
+        for_blocks["codec"].to_numpy()
+        == np.where(is_full, CODEC_FOR, CODEC_VINT)
+    ).all()
+    d2, t2, f2, r2, p2 = decode_blocks_pdf(
+        for_blocks, shift, with_positions=True
+    )
+    d1, t1, f1, r1 = decode_blocks_pdf(blocks, shift)
+    key1 = sorted(zip(blocks["term"].to_numpy()[r1], d1, t1, f1))
+    key2 = sorted(zip(for_blocks["term"].to_numpy()[r2], d2, t2, f2))
+    assert key1 == key2
+    got_for = sorted(
+        (for_blocks["term"].to_numpy()[r2[i]], int(d2[i]),
+         tuple(int(x) for x in p2[i]))
+        for i in range(len(d2))
+    )
+    assert got_for == exp

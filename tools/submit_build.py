@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--tokenizer", default="auto", choices=["auto", "arrow", "sql", "vector"])
+    ap.add_argument("--codec", default="vint", choices=["vint", "for"],
+                    help="posting block codec for the durable write")
     ap.add_argument("--no-warm", action="store_true")
     ap.add_argument("--skip-write", action="store_true",
                     help="stop after in-memory index materialization")
@@ -93,8 +95,18 @@ def main() -> None:
     write_secs = None
     if not args.skip_write:
         t0 = time.perf_counter()
-        write_index(idx, args.out, n_groups=1, source=args.corpus)
+        write_index(idx, args.out, n_groups=1, source=args.corpus,
+                    codec=args.codec)
         write_secs = round(time.perf_counter() - t0, 2)
+
+    index_bytes = None
+    if not args.skip_write:
+        index_bytes = 0
+        for root, _dirs, files in __import__("os").walk(args.out):
+            for f in files:
+                index_bytes += __import__("os").path.getsize(
+                    __import__("os").path.join(root, f)
+                )
 
     total = build_secs + (write_secs or 0.0)
     print(
@@ -111,6 +123,8 @@ def main() -> None:
                 "total_secs": round(total, 2),
                 "docs_per_sec": round(n_docs / total, 1),
                 "build_docs_per_sec": round(n_docs / build_secs, 1),
+                "codec": args.codec,
+                "index_bytes": index_bytes,
             }
         )
     )
