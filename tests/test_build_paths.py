@@ -235,3 +235,44 @@ def test_build_index_default_tokenizer_is_auto(spark):
     dflt = build_index(corpus, CORPUS_KEY, cache=False)
     arrow = build_index(corpus, CORPUS_KEY, cache=False, tokenizer="arrow")
     assert canon(dflt.postings_full) == canon(arrow.postings_full)
+
+
+def test_code_aware_index_end_to_end(spark):
+    """North-star code-aware analysis, end to end: build with
+    code_aware=True and retrieve a camelCase document BY ITS PART.
+    Parts are emitted at the whole token's position (the CASS
+    compound-plus-parts pattern), so phrase adjacency over originals is
+    preserved while sub-token search works."""
+    from frankensearch_spark.engine import FrankensearchSpark
+
+    base = synthetic_corpus_df(spark, 40, partitions=2)
+    extra = spark.createDataFrame(
+        [
+            ("u", "a.rs", "c0", "rust",
+             "fn parseHttpRequest handles the camelCase HTTPServer2 path"),
+            ("u", "b.rs", "c0", "rust",
+             "fn plain_snake_case_handler no camel here"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    corpus = base.unionByName(extra)
+    eng = FrankensearchSpark.build(
+        corpus, CORPUS_KEY, code_aware=True, tokenizer="arrow"
+    )
+    plain = FrankensearchSpark.build(corpus, CORPUS_KEY)
+
+    def docids(e, q):
+        return [d for d, _ in e.search_docids(q, limit=5)]
+
+    # the part 'parse' only exists as a camelCase fragment
+    hits = docids(eng, "parse")
+    assert len(hits) == 1
+    assert docids(plain, "parse") == []           # default analyzer: no split
+    # whole original token still searchable in both
+    assert docids(eng, "parsehttprequest") == hits
+    assert docids(plain, "parsehttprequest") == hits
+    # digit-boundary part of HTTPServer2 (other corpus docs may carry a
+    # literal 'server' token — membership, not exact hit-list equality)
+    assert hits[0] in docids(eng, "server")
+    # snake_case splits in BOTH (underscore is a separator already)
+    assert docids(eng, "handler") == docids(plain, "handler") != []
