@@ -3,11 +3,12 @@ codec, quiver.rs:395-430 kind FrameOfReference; freq sub-encodings
 FREQ_ALL_ONE / FREQ_BITPACKED at quiver.rs:892-920).
 
 A FULL block (exactly POSTINGS_PER_BLOCK postings) stores its docid
-stream as ``[width:u8][n values bitpacked LSB-first at width bits]``
-where the value stream is identical to the vint codec's (first value =
-absolute in-bucket offset of the block's first posting, the rest =
-docid deltas) and ``width`` is the minimal bit width of the stream's
-maximum.  The tf stream is ``b"\\x00"`` when every tf == 1
+stream as ``[width:u8][n-1 GAPS bitpacked LSB-first at width bits]`` —
+true frame-of-reference: the absolute first in-bucket offset is NOT in
+the packed stream (it is recoverable from the block row's
+``(first_doc, bucket)`` columns), so ``width`` is the minimal bit width
+of the largest GAP, never of the ~13-bit absolute offset.  The tf
+stream is ``b"\\x00"`` when every tf == 1
 (FREQ_ALL_ONE — by far the common case for natural text) else
 ``[width:u8][bitpacked]``.  Partial tail blocks keep the canonical
 LEB128 vint codec, exactly the reference's Vint tail-block rule.
@@ -40,22 +41,8 @@ def _bitlen_vec(vals: np.ndarray) -> np.ndarray:
     return np.maximum(r, 1)
 
 
-def bitwidth(max_val: int) -> int:
-    """Minimal bits to store ``max_val`` (>=1 so a width byte of zero
-    never denotes a packed stream — zero is the FREQ_ALL_ONE flag)."""
-    return max(int(max_val).bit_length(), 1)
-
-
-def bitpack(vals: np.ndarray, width: int) -> bytes:
-    """LSB-first bitpack of ``vals`` (uint64) at ``width`` bits/value."""
-    v = np.ascontiguousarray(vals, dtype=np.uint64)
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.ravel(), bitorder="little").tobytes()
-
-
 def bitunpack(buf: bytes, n: int, width: int) -> np.ndarray:
-    """Inverse of :func:`bitpack` — returns uint64[n]."""
+    """Unpack ``n`` LSB-first ``width``-bit values -> uint64[n]."""
     need = n * width
     bits = np.unpackbits(
         np.frombuffer(buf, dtype=np.uint8), count=need, bitorder="little"
@@ -92,9 +79,9 @@ def for_encode_rows(mat: np.ndarray) -> list[bytes]:
 
 
 def for_decode_doc(buf: bytes, n: int) -> np.ndarray:
-    """Decode a FOR doc stream -> uint64[n] value stream (same stream
-    shape the vint codec decodes: first value absolute-in-bucket, rest
-    deltas)."""
+    """Decode a FOR-packed stream of ``n`` values -> uint64[n].  For the
+    doc stream the caller passes n-1 (gaps only) and prepends the
+    absolute first offset from the block row's columns."""
     width = buf[0]
     if width == 0 or width > 64:
         raise ValueError(f"invalid FOR width {width}")

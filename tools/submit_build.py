@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 import time
@@ -101,12 +102,11 @@ def main() -> None:
 
     index_bytes = None
     if not args.skip_write:
-        index_bytes = 0
-        for root, _dirs, files in __import__("os").walk(args.out):
-            for f in files:
-                index_bytes += __import__("os").path.getsize(
-                    __import__("os").path.join(root, f)
-                )
+        index_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(args.out)
+            for f in files
+        )
 
     total = build_secs + (write_secs or 0.0)
     print(
