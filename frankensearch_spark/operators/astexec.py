@@ -280,6 +280,12 @@ def score_ast(index, query, schema: ParserSchema = ENGINE_SCHEMA) -> DataFrame:
                 pivot = pivot.join(ppivot, "docid", "left")
         base = pivot if base is None else base.join(pivot, "docid", "full_outer")
 
+    if base is None and not has_all:
+        # every text leaf references a field absent from this index:
+        # nothing can score — empty, not an AttributeError (same guard
+        # as serving_exec)
+        return empty
+
     extra_meta = [c for c in meta_fields if c not in ("docid", "doclen")]
     # 'doclen' metadata leaves read the PRIMARY field's doclen
     needs_primary_doclen = "doclen" in meta_fields

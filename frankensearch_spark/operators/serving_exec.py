@@ -16,6 +16,8 @@ also take the block-max WAND pruned path (:mod:`operators.wand`).
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -98,45 +100,91 @@ def blocks_to_postings(
 
 
 _WL_CACHE_MAX = 32  # per-index cached rare-slot whitelists (FIFO evict)
+_WL_CACHE_LOCK = threading.Lock()
 
 
 def _rare_slot_whitelist(sub, rare_slot_terms: list[str], rare_df: int):
     """Broadcast whitelist of docids holding any rare-slot term, cached
-    on the (immutable-snapshot) serving index.  Evicted entries have
-    their broadcast destroyed, so a long-lived process holds at most
-    ``_WL_CACHE_MAX`` whitelists per field."""
+    on the (immutable-snapshot) serving index.
+
+    Concurrency (the bench's 8-thread FAIR-pool serving mode): cache
+    mutations take a lock, and eviction UNPERSISTs (never destroys) —
+    an in-flight or lazily-held plan that still references an evicted
+    broadcast refetches it from the driver instead of failing with
+    "used after destroy"; only executor copies are dropped eagerly.
+    The whitelist-building collect runs OUTSIDE the lock (it is a Spark
+    job); a concurrent miss on the same key keeps the first-registered
+    broadcast and unpersists the duplicate."""
     key = tuple(sorted(rare_slot_terms))
-    cache = getattr(sub, "_phrase_wl_cache", None)
-    if cache is None:
-        cache = {}
-        sub._phrase_wl_cache = cache
-    bc = cache.get(key)
-    if bc is None:
-        if rare_df == 0:
-            ids = np.empty(0, dtype=np.int64)
+    with _WL_CACHE_LOCK:
+        cache = getattr(sub, "_phrase_wl_cache", None)
+        if cache is None:
+            cache = {}
+            sub._phrase_wl_cache = cache
+        bc = cache.get(key)
+    if bc is not None:
+        return bc
+    if rare_df == 0:
+        ids = np.empty(0, dtype=np.int64)
+    else:
+        pdf = (
+            blocks_to_postings(sub, rare_slot_terms)
+            .select("docid")
+            .distinct()
+            .toPandas()
+        )
+        ids = np.unique(pdf["docid"].to_numpy(dtype=np.int64))
+    bc = sub.blocks.sparkSession.sparkContext.broadcast(ids)
+    with _WL_CACHE_LOCK:
+        race = cache.get(key)
+        drop = []
+        if race is not None:
+            drop.append(bc)
+            bc = race
         else:
-            pdf = (
-                blocks_to_postings(sub, rare_slot_terms)
-                .select("docid")
-                .distinct()
-                .toPandas()
-            )
-            ids = np.unique(pdf["docid"].to_numpy(dtype=np.int64))
-        bc = sub.blocks.sparkSession.sparkContext.broadcast(ids)
-        cache[key] = bc
-        while len(cache) > _WL_CACHE_MAX:
-            evicted = cache.pop(next(iter(cache)))
-            try:
-                evicted.destroy()
-            except Exception:
-                pass  # already cleaned by the context
+            cache[key] = bc
+            while len(cache) > _WL_CACHE_MAX:
+                drop.append(cache.pop(next(iter(cache))))
+    for old in drop:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # context already cleaned up
     return bc
 
 
 def _serving_fields(index):
-    if hasattr(index, "fields"):  # ServingMultiIndex
-        return dict(index.fields), index.primary
-    return {"content": index}, index
+    # shared duck-typing rule with the pruned executor — one definition
+    from frankensearch_spark.operators.wand import _wand_fields
+
+    return _wand_fields(index)
+
+
+def _phrase_fields(ast) -> list[str]:
+    """TEXT field names referenced by position-requiring (Phrase)
+    leaves only — the scope of the positions capability check."""
+    from frankensearch_spark.query_ast import (
+        TEXT,
+        Boolean,
+        Boost,
+        Phrase,
+    )
+
+    out: list[str] = []
+
+    def collect(node) -> None:
+        if isinstance(node, Phrase):
+            for f in node.fields:
+                if f.kind == TEXT and f.name not in out:
+                    out.append(f.name)
+        elif isinstance(node, Boolean):
+            for c in node.clauses:
+                collect(c.query)
+        elif isinstance(node, Boost):
+            collect(node.query)
+
+    collect(ast)
+    return out
 
 
 def serving_score_ast(
@@ -166,8 +214,12 @@ def serving_score_ast(
 
     qfields = [f for f in walk_text_fields(ast) if f in fidx]
     if phrase_terms:
-        for f in qfields:
-            if not fidx[f].has_positions:
+        # capability check scoped to the fields of PHRASE leaves only:
+        # a non-phrase field persisted without positions must not block
+        # a query whose phrases never touch it (query.rs:699-752 checks
+        # per-field capability, not query-wide)
+        for f in _phrase_fields(ast):
+            if f in fidx and not fidx[f].has_positions:
                 raise ValueError(
                     f"phrase queries need positions; field {f!r} was "
                     "persisted without the pos_bytes sidecar "
@@ -274,6 +326,13 @@ def serving_score_ast(
             pivot = pivot.join(ppivot, "docid", "left")
         base = pivot if base is None else base.join(pivot, "docid", "full_outer")
 
+    if base is None and not has_all:
+        # every text leaf references a field absent from this index (or
+        # the query has no text leaves at all): nothing can score —
+        # return empty instead of crashing, matching the pruned path's
+        # [] for the same shapes
+        return empty
+
     extra_meta = [c for c in meta_fields if c not in ("docid", "doclen")]
     needs_doclen = "doclen" in meta_fields
     docmeta = primary.docmeta
@@ -365,8 +424,6 @@ def ast_to_queryspec_fields(ast):
     path.  The conversion is score-exact: QuerySpec clause order (Must
     then Should) matches the kernel's aggregation order, and both paths
     score f32 ``weight * tf / (tf + norm)`` per (clause, field)."""
-    import numpy as np
-
     from frankensearch_spark.operators.query import QuerySpec
     from frankensearch_spark.query_ast import (
         MUST,
@@ -448,8 +505,6 @@ def ast_to_queryspec(ast):
     """Single-field (content) form of :func:`ast_to_queryspec_fields`:
     the flat QuerySpec alone, or None when the shape is unprunable or
     spans fields other than bare ``content``."""
-    import numpy as np
-
     out = ast_to_queryspec_fields(ast)
     if out is None:
         return None

@@ -78,7 +78,7 @@ class ServingIndex:
     # preload_bucket_coverage() planning stats (long-lived serving)
     _bucket_cov: dict | None = None  # term -> (n_buckets, bound flatness)
     _total_buckets: int | None = None
-    _phrase_wl_cache: dict | None = None  # rare-slot docid whitelists (LRU)
+    _phrase_wl_cache: dict | None = None  # rare-slot docid whitelists (FIFO)
 
     def stats(self) -> tuple[int, int]:
         if self._cached_stats is None:
@@ -111,8 +111,6 @@ class ServingIndex:
         the bound distribution provably flat.  The reference reads the
         same signals for free from its mmap'd block-max section; one
         cached job is the Spark-native analogue."""
-        from frankensearch_spark.contract import block_max_score
-
         doc_count, total_tokens = self.stats()
         avgdl = float(compute_avgdl(total_tokens, doc_count))
 
@@ -348,8 +346,13 @@ def _bucket_bound_kernel(scored_terms: list[str], must_set: set[str],
     bucket-granular required-clause rule).  The bound is
     ``conservative_bound_sum`` over each scored (field, term)'s best
     block bound with that field's avgdl: safe for ANY f32 accumulation
-    order (argus.rs:3918-3973)."""
-    uniq_scored = list(dict.fromkeys(scored_terms))
+    order (argus.rs:3918-3973).
+
+    ``scored_terms`` keeps CLAUSE MULTIPLICITY: the exact scorers
+    accumulate a term once per scored clause (e.g. '+foo foo' adds
+    foo's contribution twice, matching kernel._eval_boolean), so the
+    bound must too — deduplicating here would halve the bound for such
+    queries and let θ-pruning skip buckets holding true top-k docs."""
 
     def bound_one(pdf: pd.DataFrame) -> pd.DataFrame:
         present = {
@@ -366,7 +369,7 @@ def _bucket_bound_kernel(scored_terms: list[str], must_set: set[str],
         bs = [
             float(block_max_score(present[(f, t)][0], present[(f, t)][1],
                                   avgdls[f], weights[(f, t)]))
-            for t in uniq_scored
+            for t in scored_terms
             for f in term_fields.get(t, ())
             if (f, t) in present and (f, t) in weights
         ]

@@ -195,3 +195,49 @@ def test_serving_random_query_fuzz_parity(serving, oracle):
         ]
         got = serving_search_bits(serving, text, k=10)
         assert got == exp, repr(text)
+
+
+def test_unknown_text_field_returns_empty_not_crash(serving):
+    """A query whose every text leaf targets a field absent from the
+    index must return empty (matching the pruned path's []), not die
+    with AttributeError on a None candidate frame."""
+    from frankensearch_spark.query_ast import (
+        TEXT,
+        ParserSchema,
+        QueryField,
+    )
+    from frankensearch_spark.operators.serving_exec import serving_score_ast
+
+    schema = ParserSchema(
+        fields=(
+            QueryField("content", 1.0, TEXT),
+            QueryField("title", 2.0, TEXT),
+        ),
+        default_names=("content",),
+    )
+    out = serving_score_ast(serving, "title:foo", schema)
+    assert out.count() == 0
+    assert serving_search_bits(serving, "title:foo", k=5, schema=schema) == []
+
+
+def test_phrase_capability_scoped_to_phrase_fields():
+    """The positions capability check covers only fields of PHRASE
+    leaves: a positions-less secondary field queried by a bare term
+    must not block a phrase scoped to a positions-bearing field."""
+    from frankensearch_spark.operators.serving_exec import _phrase_fields
+    from frankensearch_spark.query_ast import (
+        TEXT,
+        ParserSchema,
+        QueryField,
+        parse_lenient,
+    )
+
+    schema = ParserSchema(
+        fields=(
+            QueryField("content", 1.0, TEXT),
+            QueryField("prefixf", 1.0, TEXT),
+        ),
+        default_names=("content",),
+    )
+    ast = parse_lenient('prefixf:fo AND "foo bar"', schema).query
+    assert _phrase_fields(ast) == ["content"]

@@ -241,3 +241,61 @@ def test_coverage_gate_routes_uniform_queries_exhaustive(spark):
     spec2 = QuerySpec.from_text("fn")
     gap2 = _coverage_gap({"content": srv2}, spec2, {"fn": ("content",)})
     assert gap2 is not None and gap2 >= COVERAGE_GAP_MIN, gap2
+
+
+def test_wand_duplicate_clause_term_bound_not_halved(serving):
+    """A term scored in TWO clauses ('+foo foo', or 'foo foo') gets 2x
+    contribution in every exact scorer, so the bucket bound must count
+    it per clause occurrence — deduplicating the bound halves it and
+    lets theta-pruning skip buckets holding true top-k docs."""
+    specs = [
+        QuerySpec(must=["fn"], should=["fn"]),           # +fn fn
+        QuerySpec(should=["fn", "fn"]),                  # fn fn
+        QuerySpec(should=["term00001", "term00001", "term00002"]),
+    ]
+    for spec in specs:
+        a = wand_topk(serving, spec, k=20, prune=True, min_cost=0)
+        b = wand_topk(serving, spec, k=20, prune=False)
+        assert [(d, np.float32(s).view(np.uint32)) for d, s in a] == [
+            (d, np.float32(s).view(np.uint32)) for d, s in b
+        ], spec
+
+
+def test_wand_duplicate_term_bound_skips_true_winner(spark):
+    """Adversarial corpus where the OLD deduplicating bound provably
+    θ-prunes the true top-1 doc.
+
+    Bucket 0 (the seed bait): docs scoring ``2·w·c(tf=1) + w·c(tf=8)``
+    for the spec should=[aaa, aaa, bbb].  A later bucket holds a SHORT
+    doc with tf(aaa)=8 whose true score ``2·w·c(8, short)`` beats every
+    seed doc, but whose deduplicated bound ``w·c(8, short)`` sits below
+    θ — BM25 tf-saturation makes ``c(8, short) > 2·c(1, avg)`` only for
+    short docs, which is exactly the shape dedup loses."""
+    rows = []
+    # bucket 0: 32 'bait' docs — aaa once, bbb eight times, padded long
+    filler = " ".join(f"pad{i:03d}" for i in range(31))
+    for i in range(32):
+        rows.append(("r", f"a{i:03d}", "c", "x",
+                     "aaa " + "bbb " * 8 + filler))
+    # later buckets: filler docs (no aaa/bbb) keep avgdl high
+    for i in range(32, 72):
+        rows.append(("r", f"f{i:03d}", "c", "x",
+                     " ".join(f"w{j:02d}" for j in range(40))))
+    # the true winner: short doc, aaa x8 — lands in the last bucket
+    rows.append(("r", "zwinner", "c", "x", "aaa " * 8 + "tail"))
+    corpus = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    built = build_index(corpus, CORPUS_KEY, docid_mode="global")
+    serving = serving_from_built(built, bucket_shift=5, n_term_partitions=8)
+    spec = QuerySpec(should=["aaa", "aaa", "bbb"])
+    kw = dict(k=1, prune=True, min_cost=0, seed_buckets=1, seed_scan_cap=4)
+    a = wand_topk(serving, spec, **kw)
+    b = wand_topk(serving, spec, k=1, prune=False)
+    assert [(d, np.float32(s).view(np.uint32)) for d, s in a] == [
+        (d, np.float32(s).view(np.uint32)) for d, s in b
+    ]
+    # and the winner really is the short high-tf doc, proving the branch
+    docmeta = {r["docid"]: r["path"] for r in built.docmeta.collect()}
+    assert docmeta[b[0][0]] == "zwinner"
