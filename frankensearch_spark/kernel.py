@@ -309,7 +309,8 @@ def phrase_freqs(
                 cell_rows.append(i)
             if not cells:
                 continue
-            if isinstance(cells[0], (bytes, bytearray)):
+            is_vb = [isinstance(c, (bytes, bytearray)) for c in cells]
+            if all(is_vb):
                 # pre-encoded LEB128 position buffers (the fused build's
                 # vbyte pos_format): ONE vectorized decode for all
                 # candidate cells
@@ -319,12 +320,32 @@ def phrase_freqs(
 
                 flat_u32, lens = vbyte_decode_concat(cells)
                 flat = flat_u32.astype(np.int64)
-            else:
+            elif not any(is_vb):
                 lens = np.fromiter(
                     (len(c) for c in cells), dtype=np.int64, count=len(cells)
                 )
                 flat = np.concatenate(
                     [np.asarray(c, dtype=np.int64) for c in cells]
+                )
+            else:
+                # mixed formats in ONE candidate batch (vbyte-built and
+                # array-built segments merged): dispatch per cell — the
+                # format is a per-cell property, never a batch property
+                from frankensearch_spark.functions.vbyte import vbyte_decode
+
+                arrs = [
+                    vbyte_decode(bytes(c)).astype(np.int64)
+                    if vb
+                    else np.asarray(c, dtype=np.int64)
+                    for c, vb in zip(cells, is_vb)
+                ]
+                lens = np.fromiter(
+                    (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+                )
+                flat = (
+                    np.concatenate(arrs)
+                    if arrs
+                    else np.empty(0, dtype=np.int64)
                 )
             rep_rows = np.repeat(
                 np.asarray(cell_rows, dtype=np.int64), lens

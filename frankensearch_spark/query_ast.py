@@ -29,6 +29,7 @@ Limits: ``MAX_QUERY_LENGTH`` 10,000 scalars (truncate + flag),
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from frankensearch_spark.analyze import analyze_default
@@ -230,9 +231,13 @@ class _Tok:
     prefix: bool = False
 
 
+_FIELD_QUOTE_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_.\-]*):(?=[\"])")
+
+
 def _lex(text: str, diagnostics: list[str]) -> list[_Tok]:
     toks: list[_Tok] = []
     i, n = 0, len(text)
+    open_groups = 0
     while i < n:
         ch = text[i]
         if ch.isspace():
@@ -240,28 +245,56 @@ def _lex(text: str, diagnostics: list[str]) -> list[_Tok]:
             continue
         if ch == "(":
             toks.append(_Tok("LPAREN"))
+            open_groups += 1
             i += 1
             continue
         if ch == ")":
+            if open_groups == 0:
+                # the reference stops lexing at an unmatched top-level
+                # ')' and discards the remainder, WITH a diagnostic
+                # (query.rs lex: "unmatched closing parenthesis dropped")
+                diagnostics.append(
+                    "unmatched closing parenthesis; remainder dropped"
+                )
+                break
+            open_groups -= 1
             tok = _Tok("RPAREN")
             i += 1
             i = _suffixes(text, i, tok)
             toks.append(tok)
             continue
         occur = None
-        if ch in "+-" and i + 1 < n and not text[i + 1].isspace() and text[i + 1] not in "()":
+        if ch in "+-" and i + 1 < n and not text[i + 1].isspace() and text[i + 1] != ")":
             occur = MUST if ch == "+" else MUST_NOT
             i += 1
             ch = text[i] if i < n else ""
+        if ch == "(":
+            # occur marker applies to the group ('-(a b)' excludes the
+            # group — the reference lexes Plus/Minus as standalone
+            # tokens that unary applies to the next primary incl. groups)
+            toks.append(_Tok("LPAREN", occur=occur))
+            open_groups += 1
+            i += 1
+            continue
+        # field:"quoted phrase" — the field scope rides the quote token
+        # (reference lex() hands the field into lex_quoted)
+        fm = _FIELD_QUOTE_RE.match(text, i) if ch not in "\"'" else None
+        fieldname = None
+        if fm is not None:
+            fieldname = fm.group(1)
+            i = fm.end()  # now AT the opening quote (lookahead unconsumed)
+            ch = '"'
         if ch == '"':
             end = text.find('"', i + 1)
             if end == -1:
                 diagnostics.append("unterminated quote recovered as terms")
-                tok = _Tok("QUOTE", text[i + 1 :], occur=occur)
+                tok = _Tok("QUOTE", text[i + 1 :], occur=occur,
+                           fieldname=fieldname)
                 toks.append(tok)
                 i = n
                 continue
-            tok = _Tok("QUOTE", text[i + 1 : end], occur=occur)
+            tok = _Tok("QUOTE", text[i + 1 : end], occur=occur,
+                       fieldname=fieldname)
             i = _suffixes(text, end + 1, tok)
             toks.append(tok)
             continue
@@ -358,6 +391,7 @@ class _Parser:
     # or_expr := and_expr ((OR | juxtaposition) and_expr)*
     def or_expr(self, depth: int, scope: QueryField | None):
         clauses: list[Clause] = []
+        seen: set[Clause] = set()  # O(1) dedup (frozen dataclasses hash)
         operator: str | None = None
         attempted = 0
         deduped = False
@@ -375,9 +409,10 @@ class _Parser:
                 continue
             occur, q = got
             clause = Clause(occur, q)
-            if clause in clauses:
+            if clause in seen:
                 deduped = True  # stable dedup of exact raw siblings
                 continue
+            seen.add(clause)
             clauses.append(clause)
         return clauses, operator, attempted, deduped
 
@@ -407,29 +442,58 @@ class _Parser:
         occur, q = first
         return (SHOULD if occur is None else occur), q
 
-    # unary := [NOT] primary
+    # unary := NOT* primary — ITERATIVE prefix consumption (a recursive
+    # formulation stack-overflows on 'NOT '*2000 inputs, breaking the
+    # never-erroring contract)
     def unary(self, depth: int, scope) -> tuple[str | None, Query] | None:
-        tok = self.peek()
-        if tok is None or tok.kind == "RPAREN":
-            return None
-        if tok.kind == "NOT":
-            self.next()
-            inner = self.unary(depth, scope)
-            if inner is None:
-                self.diagnostics.append("dangling NOT dropped")
+        not_count = 0
+        while True:
+            tok = self.peek()
+            if tok is None or tok.kind == "RPAREN":
+                if not_count:
+                    self.diagnostics.append("dangling NOT dropped")
                 return None
-            _, q = inner
-            return MUST_NOT, q
-        if tok.kind in ("AND", "OR"):
-            self.next()
-            self.diagnostics.append(f"dangling {tok.kind} dropped")
-            return self.unary(depth, scope)
-        return self.primary(depth, scope)
+            if tok.kind == "NOT":
+                self.next()
+                not_count += 1
+                continue
+            if tok.kind in ("AND", "OR"):
+                self.next()
+                self.diagnostics.append(f"dangling {tok.kind} dropped")
+                continue
+            break
+        got = self.primary(depth, scope)
+        if got is None:
+            if not_count:
+                self.diagnostics.append("dangling NOT dropped")
+            return None
+        occur, q = got
+        if not_count:
+            # reference NOT-stacking law (query.rs:2375-2393): each NOT
+            # past the first wraps one MustNot boolean (so NOT NOT x
+            # composes as a double negation), the outermost NOT sets the
+            # clause occur, and a NOT stacked on an explicit +/- prefix
+            # collapses to ONE exclusion.  Nesting is capped at
+            # MAX_QUERY_DEPTH parity-preserving (a 2000-NOT chain must
+            # not build a 2000-deep tree — hashing/canon would blow the
+            # Python stack, breaking the never-erroring contract).
+            wraps = not_count - 1
+            if wraps > MAX_QUERY_DEPTH:
+                capped = MAX_QUERY_DEPTH - ((MAX_QUERY_DEPTH - wraps) % 2)
+                self.diagnostics.append(
+                    "NOT chain deeper than the depth limit collapsed "
+                    "parity-preserving"
+                )
+                wraps = capped
+            for _ in range(wraps):
+                q = Boolean((Clause(MUST_NOT, q),), None)
+            occur = MUST_NOT
+        return occur, q
 
     def primary(self, depth: int, scope) -> tuple[str | None, Query] | None:
         tok = self.next()
         if tok.kind == "LPAREN":
-            return self._group(depth, scope, occur=None)
+            return self._group(depth, scope, occur=tok.occur)
         if tok.kind == "QUOTE":
             q = self._text_leaf(tok, scope)
             if q is None:
@@ -453,7 +517,9 @@ class _Parser:
             rp = self.next()
             boost = rp.boost
         q: Query = _boolean_of(clauses, operator, attempted, deduped)
-        if isinstance(q, Empty) and attempted:
+        if isinstance(q, Empty):
+            if attempted == 0:
+                self.diagnostics.append("empty group dropped")
             return None
         if boost is not None:
             q = Boost(q, boost)
@@ -534,6 +600,25 @@ class _Parser:
 
     def _set_of(self, raw: str, f: QueryField, occur):
         body = raw[1:-1] if raw[-1:] in "]}" else raw[1:]
+        if f.kind == NUMERIC:
+            # numeric fields compare int64 — string values can never
+            # match (the reference parses bare terms on I64 fields
+            # numerically, query.rs:2759; unparseable values drop)
+            ivals: list[int] = []
+            for v in body.split():
+                try:
+                    iv = int(v)
+                except ValueError:
+                    self.diagnostics.append(
+                        f"non-numeric set value {v!r} on field "
+                        f"{f.name} dropped"
+                    )
+                    continue
+                if iv not in ivals:
+                    ivals.append(iv)
+            if not ivals:
+                return None
+            return occur, SetStr(f.name, tuple(ivals))
         values: list[str] = []
         for v in body.split():
             vv = v if f.kind == KEYWORD else v.lower()
@@ -606,7 +691,10 @@ class _Parser:
         if not raw:
             return None
         if tok.kind == "WORD" and any(c in raw for c in "*?"):
-            return Glob(fields, raw.lower())
+            # keyword fields match raw text (schema.rs:39-74) — their
+            # globs must not lowercase, or 'repo:Foo*' can never match
+            keep_raw = len(fields) == 1 and fields[0].kind == KEYWORD
+            return Glob(fields, raw if keep_raw else raw.lower())
         if len(fields) == 1 and fields[0].kind == KEYWORD:
             # Keyword fields match raw text, no analysis (schema.rs:39-74)
             return Term(fields, raw)
@@ -659,6 +747,7 @@ def _canon(q: Query) -> Query:
     if not isinstance(q, Boolean):
         return q
     out: list[Clause] = []
+    out_seen: set[Clause] = set()  # mirrors out for O(1) membership
     seen_not: set = set()
     for c in q.clauses:
         cq = _canon(c.query)
@@ -671,14 +760,17 @@ def _canon(q: Query) -> Query:
         if c.occur == SHOULD and isinstance(cq, Boolean) and cq.operator is None \
                 and all(cc.occur == SHOULD for cc in cq.clauses):
             for cc in cq.clauses:
-                if cc not in out:
+                if cc not in out_seen:
+                    out_seen.add(cc)
                     out.append(cc)
             continue
         if c.occur == MUST_NOT:
             if cq in seen_not:
                 continue  # dedup MustNot
             seen_not.add(cq)
-        out.append(Clause(c.occur, cq))
+        cl = Clause(c.occur, cq)
+        out_seen.add(cl)
+        out.append(cl)
     if not out:
         return Empty()
     return Boolean(tuple(out), q.operator)

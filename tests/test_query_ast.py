@@ -28,7 +28,10 @@ from frankensearch_spark.query_ast import (
     Term,
     canonicalize,
     parse_lenient,
+    walk_leaf_terms,
 )
+
+from frankensearch_spark.query_ast import ENGINE_SCHEMA, Glob
 
 FIXTURE = "/root/reference/tests/fixtures/quill_language_contract.json"
 
@@ -153,3 +156,73 @@ def test_empty_input():
     assert parse_lenient("", REFERENCE_SCHEMA).query == Empty()
     assert parse_lenient("   ", REFERENCE_SCHEMA).query == Empty()
     assert parse_lenient('""', REFERENCE_SCHEMA).query == Empty()
+
+
+class TestLenientEdgeRecovery:
+    """Unpinned-by-fixture edge behaviors aligned with the reference
+    parser (query.rs lex/unary), found by review round 2."""
+
+    def test_deep_not_and_or_chains_never_error(self):
+        for q in ("NOT " * 2000 + "rust", "AND " * 2000 + "rust",
+                  "OR " * 3000 + "x", "NOT " * 2001 + "rust"):
+            parse_lenient(q, ENGINE_SCHEMA)  # must not raise
+
+    def test_negated_group(self):
+        r = parse_lenient("-(deprecated legacy) rust", ENGINE_SCHEMA)
+        q = r.query
+        assert isinstance(q, Boolean)
+        occurs = [c.occur for c in q.clauses]
+        assert occurs == ["MustNot", "Should"]
+        inner = q.clauses[0].query
+        assert isinstance(inner, Boolean)
+        assert {c.query.text for c in inner.clauses} == {
+            "deprecated", "legacy"
+        }
+
+    def test_unmatched_rparen_drops_remainder_with_diagnostic(self):
+        r = parse_lenient("rust) ownership", ENGINE_SCHEMA)
+        assert isinstance(r.query, Term) and r.query.text == "rust"
+        assert any("unmatched closing parenthesis" in d
+                   for d in r.diagnostics)
+
+    def test_numeric_in_set_parses_ints(self):
+        r = parse_lenient("doclen: IN [5 10 xx]", ENGINE_SCHEMA)
+        assert isinstance(r.query, SetStr)
+        assert r.query.values == (5, 10)
+        assert any("non-numeric" in d for d in r.diagnostics)
+
+    def test_field_scoped_quoted_phrase(self):
+        r = parse_lenient('title:"error handling"', REFERENCE_SCHEMA)
+        q = r.query
+        assert isinstance(q, Phrase)
+        assert [f.name for f in q.fields] == ["title"]
+        assert [t.text for t in q.terms] == ["error", "handling"]
+
+    def test_empty_group_under_and_does_not_poison(self):
+        r = parse_lenient("rust AND ()", ENGINE_SCHEMA)
+        terms = [t for t, _ in walk_leaf_terms(r.query)]
+        assert terms == ["rust"]
+        assert any("empty group" in d for d in r.diagnostics)
+
+    def test_double_not_composes(self):
+        # reference NOT-stacking law: NOT NOT x nests a MustNot boolean
+        # under the outer MustNot — matching docs CONTAIN x after the
+        # all-negative repair, never the complement
+        r = parse_lenient("NOT NOT rust", ENGINE_SCHEMA)
+        q = r.query
+        assert isinstance(q, Boolean)
+        outer = [c for c in q.clauses if c.occur == "MustNot"]
+        assert len(outer) == 1 and isinstance(outer[0].query, Boolean)
+
+    def test_keyword_glob_keeps_case(self):
+        r = parse_lenient("repo:Foo*", ENGINE_SCHEMA)
+        assert isinstance(r.query, Glob) and r.query.pattern == "Foo*"
+        r = parse_lenient("Fo*", ENGINE_SCHEMA)
+        assert isinstance(r.query, Glob) and r.query.pattern == "fo*"
+
+    def test_quadratic_dedup_is_gone(self):
+        import time
+        text = " ".join(f"t{i:05d}" for i in range(2400))
+        t0 = time.perf_counter()
+        parse_lenient(text, ENGINE_SCHEMA)
+        assert time.perf_counter() - t0 < 2.0
