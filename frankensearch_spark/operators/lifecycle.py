@@ -68,7 +68,12 @@ def delete_documents(index, docids):
     if isinstance(index, MultiFieldIndex):
         fields = dict(index.fields)
         fields[index.primary_name] = delete_documents(index.primary, docids)
-        return MultiFieldIndex(fields, index.primary_name)
+        # field_cols must survive: upsert ends in delete_documents, and
+        # the NEXT upsert needs the field->source-column map
+        return MultiFieldIndex(
+            fields, index.primary_name,
+            field_cols=getattr(index, "field_cols", None),
+        )
     if isinstance(index, ServingMultiIndex):
         fields = dict(index.fields)
         fields[index.primary_name] = delete_documents(index.primary, docids)
@@ -84,17 +89,9 @@ def delete_documents(index, docids):
     ts = _tombstone_df(index, docids)
     if index.tombstones is not None:
         ts = index.tombstones.unionByName(ts).distinct()
-    return BuiltIndex(
-        postings=index.postings,
-        docmeta=index.docmeta,
-        termstats=index.termstats,
-        fieldstats=index.fieldstats,
-        positions=index.positions,
-        tombstones=ts,
-        postings_full=getattr(index, "postings_full", None),
-        bucket_aligned_shift=getattr(index, "bucket_aligned_shift", None),
-        _cached_stats=index._cached_stats,
-    )
+    # replace() keeps every other field incl. the preload_termstats()
+    # warm planning cache — tombstones only change result filtering
+    return dataclasses.replace(index, tombstones=ts)
 
 
 def delete_by_key(index: BuiltIndex, key_predicate) -> BuiltIndex:
@@ -114,9 +111,19 @@ def _shift_union(old: BuiltIndex, delta: BuiltIndex, shift: int,
     shifted_docmeta = delta.docmeta.withColumn(
         "docid", F.col("docid") + F.lit(shift)
     )
+    if (delta.positions is None) != (old.positions is None):
+        # silently dropping one side's positions would leave a PARTIAL
+        # positions table: phrase queries then silently miss the docs of
+        # the positionless side — fail loudly instead
+        missing = "delta" if delta.positions is None else "existing index"
+        raise ValueError(
+            "positions present on only one side of the upsert (the "
+            f"{missing} lacks them); rebuild/upsert with matching "
+            "with_positions"
+        )
     shifted_positions = (
         delta.positions.withColumn("docid", F.col("docid") + F.lit(shift))
-        if delta.positions is not None and old.positions is not None
+        if delta.positions is not None
         else None
     )
     old_positions = old.positions

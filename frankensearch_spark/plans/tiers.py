@@ -114,23 +114,22 @@ def plan_tier_merge(
 ) -> list[SegmentInfo] | None:
     """First same-tier bound-consecutive run of ``fanout`` segments whose
     hole ratio passes the gate; None when nothing merges."""
-    segs = sorted(segments, key=lambda s: s.lease_lo)
-    for start in range(len(segs) - fanout + 1):
-        run = [segs[start]]
-        for nxt in segs[start + 1 :]:
-            if nxt.tier() != run[0].tier():
-                break
-            if nxt.lease_lo != run[-1].lease_hi:
-                break  # not bound-consecutive
-            run.append(nxt)
-            if len(run) == fanout:
-                break
-        if len(run) < fanout:
-            continue
-        span = run[-1].lease_hi - run[0].lease_lo
-        covered = sum(s.width for s in run)
-        if span > 0 and 1.0 - covered / span <= max_hole_ratio:
-            return run
+    by_tier: dict[str, list[SegmentInfo]] = {}
+    for seg in sorted(segments, key=lambda s: s.lease_lo):
+        by_tier.setdefault(seg.tier(), []).append(seg)
+    # per-tier runs with the HOLE gate doing the adjacency filtering
+    # (keeper.rs plan_tier_merge): requiring exact lease adjacency made
+    # the gate dead code and permanently stranded same-tier segments on
+    # both sides of an interleaved bigger segment — lease intervals are
+    # disjoint by construction, so bridging a gap never duplicates docs,
+    # and the hole ratio bounds how sparse a bridged run may be.
+    for segs in by_tier.values():
+        for start in range(len(segs) - fanout + 1):
+            run = segs[start : start + fanout]
+            span = run[-1].lease_hi - run[0].lease_lo
+            covered = sum(s.width for s in run)
+            if span > 0 and 1.0 - covered / span <= max_hole_ratio:
+                return run
     return None
 
 
@@ -162,8 +161,11 @@ def merge_segments(spark, out_dir: str, run: list[SegmentInfo]) -> SegmentInfo:
                 *[os.path.join(d, table) for d in src_dirs]
             )
         # fanout inputs -> ONE file per table per merge output: this is
-        # the small-files compaction the tier policy exists for
-        df.coalesce(1).write.mode("overwrite").parquet(
+        # the small-files compaction the tier policy exists for.
+        # repartition (a shuffle), NOT coalesce: coalesce(1) is a narrow
+        # dependency that would collapse the whole member read +
+        # position normalization into one single-core task
+        df.repartition(1).write.mode("overwrite").parquet(
             os.path.join(dest, table)
         )
     info = SegmentInfo(
@@ -175,7 +177,16 @@ def merge_segments(spark, out_dir: str, run: list[SegmentInfo]) -> SegmentInfo:
     )
     write_segment_meta(dest, info)  # commit point
     for d in src_dirs:
-        shutil.rmtree(d, ignore_errors=True)  # crash-safe: replaces covers us
+        # retire the member's COMMIT MARKER first: if the tree delete
+        # then fails (busy NFS handle, permissions), the survivor is an
+        # uncommitted dir that readers skip — without this, a failed
+        # rmtree could resurrect the member once its replacer (the only
+        # record naming it dead) is itself merged away
+        try:
+            os.remove(os.path.join(d, "segmeta.json"))
+        except OSError:
+            pass
+        shutil.rmtree(d, ignore_errors=True)
     return info
 
 

@@ -56,21 +56,30 @@ def index_microbatch(
     w = F.row_number().over(Window.orderBy(*[F.col(c) for c in key_cols]))
     lease_idx = STREAM_LEASE_BASE + int(batch_id)
     lease = lease_idx * DOC_ORDS_PER_LEASE
+    # persist pins the row_number docid assignment to ONE evaluation:
+    # without it the postings write and the docmeta build re-run the
+    # window (and the tokenizer) independently, and key ties could
+    # receive OPPOSITE docids in the two jobs — a silently corrupt
+    # segment (the bulk path guards the same hazard, build.py persist)
     with_docid = batch_df.withColumn(
         "docid", (w.cast("long") - 1 + F.lit(lease))
-    )
+    ).persist()
     # positions ride along in the mini-segment (quill's delta segment
     # indexes positions too, delta.rs:782-830) so streamed indexes can
     # serve phrase queries; read_incremental_index splits them back out
     postings = build_postings_fused(with_docid, content_col)
-    docmeta = build_docmeta(
-        with_docid, key_cols, postings.drop("positions"), content_col
-    )
     seg_id = f"s{lease_idx:08d}"
     seg_dir = os.path.join(segments_dir(out_dir), seg_id)
     postings.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
-    docmeta.write.mode("overwrite").parquet(os.path.join(seg_dir, "docmeta"))
     spark = batch_df.sparkSession
+    # docmeta reads the SEALED postings back from disk: tokenization
+    # runs exactly once per micro-batch (build_docmeta's contract)
+    sealed = spark.read.parquet(os.path.join(seg_dir, "postings"))
+    docmeta = build_docmeta(
+        with_docid, key_cols, sealed.drop("positions"), content_col
+    )
+    docmeta.write.mode("overwrite").parquet(os.path.join(seg_dir, "docmeta"))
+    with_docid.unpersist()
     n_docs = spark.read.parquet(os.path.join(seg_dir, "docmeta")).count()
     write_segment_meta(
         seg_dir,

@@ -100,11 +100,25 @@ def sessionize_stream(
 
     One hash exchange on user_id (the state-store partitioning); the
     per-key call is a single pandas pass, so a skewed power-user costs
-    one task, not a shuffle straggler."""
+    one task, not a shuffle straggler.
+
+    CLOSED sessions only, in batch mode too: each user's final
+    still-open session is held back (in streaming it lives in the state
+    store awaiting the gap/timeout).  Batch callers who need every
+    session must append a flush sentinel row (event_id < 0, ts past the
+    gap) per user — or use ``driver_queries.q_events_sessionize``, the
+    all-sessions batch oracle.  Rows with null/unparseable ts or null
+    user_id are dropped before sessionization."""
     prepared = events.select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_id").cast("long").alias("event_id"),
         F.unix_timestamp(F.col("ts")).alias("ts_s"),
+    ).filter(
+        # one null/unparseable ts (unix_timestamp -> null -> pandas NaN)
+        # would make int(ts) in the stateful body raise and kill the
+        # whole streaming query; drop bad event times before the state
+        # store, keys stay intact
+        F.col("ts_s").isNotNull() & F.col("user_id").isNotNull()
     )
 
     if not prepared.isStreaming:

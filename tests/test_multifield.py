@@ -171,6 +171,22 @@ def test_multifield_lifecycle(built, oracle, spark):
     all_hits = search_ast_bits(up, ast, k=200, schema=REFERENCE_SCHEMA)
     assert old_id not in {d for d, _ in all_hits}
 
+    # a SECOND upsert on the returned index must work: upsert ends in
+    # delete_documents, whose multi-field reconstruction must keep the
+    # field_cols mapping (regression: it was dropped, so the next
+    # upsert raised ValueError)
+    assert up.field_cols == built.field_cols
+    nc2 = spark.createDataFrame(
+        [(10_001, "yyfresh title", "yyfresh body")],
+        "docid long, title string, content string",
+    )
+    up2 = upsert_documents(up, nc2, ["docid"])
+    hits2 = search_ast_bits(
+        up2, parse_lenient("yyfresh", REFERENCE_SCHEMA).query,
+        k=5, schema=REFERENCE_SCHEMA,
+    )
+    assert len(hits2) == 1
+
 
 def test_multifield_wand_pruned_equals_oracle(built, oracle, spark, tmp_path_factory):
     """Round-2 closure of the "multi-field ASTs decode-and-score" gap:

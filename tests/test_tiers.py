@@ -16,8 +16,11 @@ def test_picks_first_consecutive_same_tier_run():
     assert [s.seg_id for s in run] == ["s0", "s1", "s2", "s3"]
 
 
-def test_tier_boundary_splits_runs():
-    # a large segment interrupts the small run
+def test_interleaved_bigger_segment_is_bridged():
+    # a large segment interrupting a small run must NOT strand the
+    # smalls on both sides (keeper.rs merges around stragglers; the
+    # hole-ratio gate bounds how sparse a bridged run may be) — the
+    # planner merges the smalls ACROSS the large segment's lease gap
     segs = [
         seg(0, 0, 1, 100),
         seg(1, 1, 2, 100),
@@ -27,14 +30,22 @@ def test_tier_boundary_splits_runs():
         seg(5, 5, 6, 100),
     ]
     run = plan_tier_merge(segs, fanout=3)
-    assert [s.seg_id for s in run] == ["s3", "s4", "s5"]
+    assert [s.seg_id for s in run] == ["s0", "s1", "s3"]
 
 
-def test_non_consecutive_bounds_break_run():
+def test_hole_gate_breaks_sparse_runs():
+    # small hole (0.25 of span) merges; a run sparser than the gate
+    # (hole > 0.5) is rejected
     segs = [seg(0, 0, 1, 10), seg(1, 2, 3, 10), seg(2, 3, 4, 10)]
-    # s0 -> s1 has a lease hole (1..2): not bound-consecutive
-    assert plan_tier_merge(segs, fanout=3) is None
-    assert [s.seg_id for s in plan_tier_merge(segs, fanout=2)] == ["s1", "s2"]
+    assert [s.seg_id for s in plan_tier_merge(segs, fanout=3)] == [
+        "s0", "s1", "s2"
+    ]
+    sparse = [seg(0, 0, 1, 10), seg(1, 8, 9, 10), seg(2, 9, 10, 10)]
+    # span 10, covered 3 -> hole 0.7 > 0.5: no plan at fanout 3
+    assert plan_tier_merge(sparse, fanout=3) is None
+    assert [s.seg_id for s in plan_tier_merge(sparse, fanout=2)] == [
+        "s1", "s2"
+    ]
 
 
 def test_hole_ratio_gate():
