@@ -24,6 +24,32 @@ from frankensearch_spark.operators.build import BuiltIndex, build_index
 from frankensearch_spark.query_ast import ENGINE_SCHEMA, ParserSchema, parse_lenient
 
 
+QUERY_CACHE_MAX = 1024  # E14 cache entries per snapshot (FIFO evict)
+
+
+def _schema_to_dict(schema: ParserSchema) -> dict:
+    return {
+        "fields": [
+            {"name": f.name, "boost": f.boost, "kind": f.kind,
+             "basic": f.basic}
+            for f in schema.fields
+        ],
+        "default_names": list(schema.default_names),
+    }
+
+
+def _schema_from_dict(d: dict) -> ParserSchema:
+    from frankensearch_spark.query_ast import QueryField
+
+    return ParserSchema(
+        fields=tuple(
+            QueryField(f["name"], f["boost"], f["kind"], f.get("basic", False))
+            for f in d["fields"]
+        ),
+        default_names=tuple(d["default_names"]),
+    )
+
+
 class FrankensearchSpark:
     """One built index + its query surface."""
 
@@ -37,7 +63,9 @@ class FrankensearchSpark:
         # E14 ranked-query cache (index.rs:7406-7460): keyed by
         # (query, limit, offset) within ONE immutable snapshot — every
         # mutating operation returns a NEW engine object, so the epoch
-        # key is the object itself and invalidation is structural
+        # key is the object itself and invalidation is structural.
+        # FIFO-bounded: a long-lived serving process answering a stream
+        # of distinct queries must not grow driver memory forever
         self._query_cache: dict = {}
 
     # --- write path -------------------------------------------------------
@@ -86,9 +114,18 @@ class FrankensearchSpark:
         streamed mini-segments)."""
         from frankensearch_spark.operators.lifecycle import upsert_documents
 
+        corpus = self.corpus
+        if corpus is not None:
+            # keep the snippet corpus in sync: replaced keys take the
+            # NEW text (stale rows would render snippets from superseded
+            # content), inserted keys join in (missing columns -> null)
+            corpus = corpus.join(
+                new_corpus.select(*self.key_cols).distinct(),
+                self.key_cols, "left_anti",
+            ).unionByName(new_corpus, allowMissingColumns=True)
         return FrankensearchSpark(
             upsert_documents(self._as_built(), new_corpus, self.key_cols),
-            self.key_cols, self.corpus, self.schema,
+            self.key_cols, corpus, self.schema,
         )
 
     def compact(self, force: bool = True) -> "FrankensearchSpark":
@@ -180,6 +217,8 @@ class FrankensearchSpark:
                 self.index, query, limit, offset, self.schema
             )
         self._query_cache[key] = list(out)
+        while len(self._query_cache) > QUERY_CACHE_MAX:
+            self._query_cache.pop(next(iter(self._query_cache)))
         return out
 
     def search(self, query: str, limit: int = 10, offset: int = 0):
@@ -188,6 +227,11 @@ class FrankensearchSpark:
         hits = self.search_docids(query, limit, offset)
         if not hits:
             return []
+        if not self.key_cols:
+            # pre-key_cols durable indexes load with key_cols == []:
+            # the docid IS the external id (joining zero columns would
+            # label every hit with the empty string)
+            return [(str(int(d)), np.float32(s)) for d, s in hits]
         ids = {int(d) for d, _ in hits}
         rows = self.index.docmeta.filter(F.col("docid").isin(list(ids))).select(
             "docid", *self.key_cols
@@ -311,12 +355,16 @@ class FrankensearchSpark:
                 write_serving_index,
             )
 
-            return write_serving_index(
+            out = write_serving_index(
                 self.index, path, key_cols=self.key_cols, **kw
             )
+            self._save_schema(path)
+            return out
         from frankensearch_spark.plans.manifest import write_index
 
-        return write_index(self.index, path, key_cols=self.key_cols, **kw)
+        out = write_index(self.index, path, key_cols=self.key_cols, **kw)
+        self._save_schema(path)
+        return out
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "FrankensearchSpark":
@@ -325,12 +373,34 @@ class FrankensearchSpark:
         materialization uses the key_cols recorded in the manifest
         (IDMAP analogue — traits.rs LexicalRead over a committed
         snapshot)."""
+        import json as _json
+        import os as _os
+
         from frankensearch_spark.plans.manifest import (
             read_index,
             read_key_cols,
         )
 
-        return cls(read_index(spark, path), read_key_cols(path))
+        # parser schema round-trips via the engine.json side file: a
+        # custom schema (field boosts, extra fields) must survive
+        # save/load or rankings silently change after a reopen
+        schema = ENGINE_SCHEMA
+        sp = _os.path.join(path, "engine.json")
+        if _os.path.exists(sp):
+            with open(sp) as fh:
+                schema = _schema_from_dict(_json.load(fh)["schema"])
+        return cls(read_index(spark, path), read_key_cols(path),
+                   schema=schema)
+
+    def _save_schema(self, path: str) -> None:
+        import os
+
+        from frankensearch_spark.plans.manifest import _atomic_json
+
+        _atomic_json(
+            os.path.join(path, "engine.json"),
+            {"schema": _schema_to_dict(self.schema)},
+        )
 
     @staticmethod
     def load_serving(spark: SparkSession, path: str):

@@ -52,6 +52,14 @@ class BuildManifest:
     # external-key column names (IDMAP analogue) — lets a reopened index
     # materialize external ids without the builder process
     key_cols: list[str] = field(default_factory=list)
+    # deterministic fingerprint of the docid assignment (count + sum of
+    # xxhash64 over (docid, key_cols)): a crash-resume recomputes the
+    # corpus in a NEW session, and lease-mode docids are only stable if
+    # the assignment reproduced exactly — a mismatch means the committed
+    # groups and the about-to-be-written remainder would mix TWO docid
+    # mappings in one index (silent corruption), so resume verifies this
+    # before writing anything
+    docid_fingerprint: str | None = None
     # posting block codec: "vint" (LEB128 everywhere) or "for"
     # (FrameOfReference bitpacked full blocks, LEB128 tails) — the block
     # rows are self-describing via their codec column; recorded here for
@@ -116,6 +124,18 @@ def load_manifest(path: str) -> BuildManifest | None:
     return m
 
 
+def _docid_fingerprint(built) -> str:
+    """Deterministic digest of the docid assignment (order-free; XOR
+    cannot overflow under ANSI mode and rows are docid-unique)."""
+    cols = [c for c in built.docmeta.columns if c != "content_sha256"]
+    row = built.docmeta.select(
+        F.xxhash64(*[F.col(c) for c in cols]).alias("h")
+    ).agg(
+        F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x")
+    ).collect()[0]
+    return f"{int(row['n'])}:{int(row['x'] or 0)}"
+
+
 def write_index(
     built,
     path: str,
@@ -140,9 +160,10 @@ def write_index(
         )
     os.makedirs(path, exist_ok=True)
     manifest = load_manifest(path)
-    if manifest is None or manifest.completed:
-        if manifest is not None and manifest.completed:
-            return manifest
+    if manifest is not None and manifest.completed:
+        return manifest
+    fp = _docid_fingerprint(built)
+    if manifest is None:
         manifest = BuildManifest(
             bucket_shift=bucket_shift,
             n_term_partitions=n_term_partitions,
@@ -151,8 +172,19 @@ def write_index(
             with_positions=getattr(built, "positions", None) is not None,
             key_cols=list(key_cols or []),
             codec=codec,
+            docid_fingerprint=fp,
         )
         _publish(path, manifest)
+    elif manifest.committed_groups or manifest.tables:
+        # RESUME of a partial write: refuse to mix docid assignments
+        if manifest.docid_fingerprint not in (None, fp):
+            raise ValueError(
+                "resume fingerprint mismatch: the recomputed corpus "
+                "produced a different docid assignment than the "
+                "committed groups were written under (different "
+                "parallelism/session can shift lease boundaries) — "
+                "delete the partial index and rebuild"
+            )
     bucket_shift = manifest.bucket_shift
     n_term_partitions = manifest.n_term_partitions
     n_groups = manifest.n_groups
@@ -292,14 +324,28 @@ def gc_orphans(path: str, grace_seconds: float = 300.0) -> list[str]:
 
     manifest = load_manifest(path)
     if manifest is None:
+        fields_dir = os.path.join(path, "fields")
         if os.path.exists(_mf_manifest_path(path)):
             with open(_mf_manifest_path(path)) as f:
                 root = json.load(f)
             out: list[str] = []
             for name in root.get("fields", ()):
                 out += gc_orphans(
-                    os.path.join(path, "fields", name), grace_seconds
+                    os.path.join(fields_dir, name), grace_seconds
                 )
+            return out
+        if os.path.isdir(fields_dir):
+            # crashed multifield build: per-field partials exist but the
+            # root manifest never landed — sweep each field dir anyway
+            out = []
+            for name in sorted(os.listdir(fields_dir)):
+                out += gc_orphans(
+                    os.path.join(fields_dir, name), grace_seconds
+                )
+            mtmp = _mf_manifest_path(path) + ".tmp"
+            if os.path.exists(mtmp):
+                out.append(mtmp)
+                os.unlink(mtmp)
             return out
         return []
     removed: list[str] = []
@@ -374,7 +420,10 @@ def write_serving_index(sidx, path: str, key_cols: list[str] | None = None,
     os.makedirs(path, exist_ok=True)
     if isinstance(sidx, ServingMultiIndex):
         for name, sub in sidx.fields.items():
-            write_serving_index(sub, os.path.join(path, "fields", name))
+            fdir = os.path.join(path, "fields", name)
+            if is_completed_index(fdir):
+                continue  # committed by a crashed earlier attempt
+            write_serving_index(sub, fdir)
         root = {
             "version": MANIFEST_VERSION,
             "multifield": True,
@@ -389,6 +438,10 @@ def write_serving_index(sidx, path: str, key_cols: list[str] | None = None,
         return
     assert isinstance(sidx, ServingIndex)
     spark = sidx.blocks.sparkSession
+    codec = "vint"
+    if "codec" in sidx.blocks.columns:
+        mx = sidx.blocks.agg(F.max("codec").alias("m")).collect()[0]["m"]
+        codec = "for" if (mx or 0) > 0 else "vint"
     manifest = BuildManifest(
         bucket_shift=sidx.bucket_shift,
         n_term_partitions=sidx.n_term_partitions,
@@ -396,6 +449,7 @@ def write_serving_index(sidx, path: str, key_cols: list[str] | None = None,
         source=source,
         with_positions=sidx.has_positions,
         key_cols=list(key_cols or []),
+        codec=codec,
     )
     dest = os.path.join(path, "blocks", "group=0")
     sidx.blocks.write.mode("overwrite").parquet(dest)

@@ -63,6 +63,10 @@ def chunk_text(
     b = text.encode("utf-8")
     n = len(b)
     max_chars = max(max_chars, 1)
+    if overlap_chars < 0:
+        # a negative overlap would SKIP bytes between chunks (silent
+        # data loss in the indexed text) or run past the buffer
+        raise ValueError(f"overlap_chars must be >= 0, got {overlap_chars}")
     overlap_chars = min(overlap_chars, max_chars - 1)
 
     chunks: list[LexicalChunk] = []

@@ -62,11 +62,14 @@ def read_corpus_table(
     elif ref.startswith("parquet:"):
         df = spark.read.parquet(ref[len("parquet:"):])
     elif "/" in ref:
+        # relative path -> resolve against the PYTHON cwd (Spark
+        # resolves relative paths against the JVM cwd, which may
+        # differ); URIs and absolute paths pass through untouched
+        if "://" not in ref and not os.path.isabs(ref):
+            ref = os.path.abspath(ref)
         df = spark.read.parquet(ref)
     elif os.path.exists(ref):
-        # bare existing directory name: resolve against the PYTHON cwd
-        # (Spark resolves relative paths against the JVM cwd, which may
-        # differ) before handing it to the reader
+        # bare existing directory name: same cwd rule
         df = spark.read.parquet(os.path.abspath(ref))
     else:
         # bare dotted name — an Iceberg/catalog table identifier

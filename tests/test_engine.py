@@ -107,3 +107,28 @@ def test_search_hybrid_two_tier(eng, spark):
     assert mm_by_id[lex_ids[0]] == pytest.approx(1.0, rel=1e-12)
     with pytest.raises(ValueError):
         eng.search_hybrid("fn import", sem, strategy="bogus")
+
+
+def test_upsert_refreshes_snippet_corpus(spark):
+    """Snippets after an upsert must render from the NEW content —
+    the engine's snippet corpus replaces rows by key and admits
+    inserted docs."""
+    eng = FrankensearchSpark.build(
+        synthetic_corpus_df(spark, 50, partitions=2), CORPUS_KEY
+    )
+    row = eng.index.docmeta.limit(1).collect()[0]
+    new_rows = [
+        (row["repo"], row["path"], row["commit"], row["lang"],
+         "zzreplaced wholly new body about qqmarker"),
+        ("newrepo", "new.rs", "c9", "rust",
+         "zzinserted fresh doc also qqmarker text"),
+    ]
+    nc = spark.createDataFrame(
+        new_rows,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    up = eng.upsert(nc)
+    hits = up.search_with_snippets("qqmarker", limit=5)
+    assert len(hits) == 2
+    for _ext, _score, snip in hits:
+        assert snip is not None and "qqmarker" in snip.replace("<b>", "").replace("</b>", "")

@@ -2,6 +2,8 @@
 index (traits.rs LexicalRead over a committed snapshot), plus tombstone
 durability through delete -> save -> load (keeper.rs:929)."""
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -225,3 +227,68 @@ def test_multifield_load_round_trip(spark, tmp_path_factory):
     assert victim not in {
         d for d, _ in reopened.search_docids("fn import", limit=3)
     }
+
+
+def test_schema_round_trips_through_save_load(spark, tmp_path):
+    """A custom parser schema (extra field boost) must survive
+    save/load — otherwise the reopened engine silently re-ranks."""
+    from frankensearch_spark.engine import FrankensearchSpark
+    from frankensearch_spark.query_ast import (
+        KEYWORD,
+        TEXT,
+        ParserSchema,
+        QueryField,
+    )
+
+    schema = ParserSchema(
+        fields=(
+            QueryField("content", 1.5, TEXT),
+            QueryField("lang", 1.0, KEYWORD),
+        ),
+        default_names=("content",),
+    )
+    eng = FrankensearchSpark.build(
+        synthetic_corpus_df(spark, 60, partitions=2), CORPUS_KEY
+    )
+    eng.schema = schema
+    p = str(tmp_path / "idx")
+    eng.save(p)
+    ld = FrankensearchSpark.load(spark, p)
+    assert ld.schema == schema
+    assert ld.search_docids("fn import", limit=5) == eng.search_docids(
+        "fn import", limit=5
+    )
+
+
+def test_resume_refuses_mismatched_docid_assignment(spark, tmp_path):
+    """A crash-resume whose recomputed corpus yields a DIFFERENT docid
+    assignment must refuse to continue (mixing two assignments in one
+    index is silent corruption)."""
+    import pytest
+
+    from frankensearch_spark.operators.build import build_index
+    from frankensearch_spark.plans.manifest import load_manifest, write_index
+
+    corpus = synthetic_corpus_df(spark, 80, partitions=2)
+    built = build_index(corpus, CORPUS_KEY, docid_mode="global")
+    p = str(tmp_path / "idx")
+    write_index(built, p, n_groups=2)
+    # simulate the crash: committed groups present, completion cleared
+    m = load_manifest(p)
+    m.completed = False
+    m.tables = {}
+    from frankensearch_spark.plans.manifest import _publish
+
+    _publish(p, m)
+    os.remove(os.path.join(p, "_COMMITTED"))
+    # resume with the SAME assignment works (idempotent skip)
+    write_index(built, p, n_groups=2)
+    # different assignment (one doc dropped) must refuse
+    m = load_manifest(p)
+    m.completed = False
+    m.tables = {}
+    _publish(p, m)
+    os.remove(os.path.join(p, "_COMMITTED"))
+    other = build_index(corpus.limit(70), CORPUS_KEY, docid_mode="global")
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        write_index(other, p, n_groups=2)
