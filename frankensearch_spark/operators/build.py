@@ -144,7 +144,11 @@ def build_docmeta(
     cost and must run exactly once.  Docs with zero admitted tokens get
     doclen 0 via the left join (scribe.rs:1743 zero-fieldnorm rule)."""
     if meta_cols is None:
-        skip = set(key_cols) | {content_col, "docid"}
+        # always exclude the canonical text column too: indexing a
+        # secondary field (content_col="repo") must not sweep the full
+        # document text into docmeta as a "metadata" column (it would be
+        # persisted and shuffled wholesale for no query purpose)
+        skip = set(key_cols) | {content_col, "content", "docid"}
         meta_cols = [c for c in corpus_with_docid.columns if c not in skip]
     lens = postings.groupBy("docid").agg(F.first("doclen").alias("doclen"))
     ids = corpus_with_docid.select(
@@ -956,7 +960,11 @@ def build_index(
         positions = postings_full.select("docid", "term", "positions")
         postings = postings_full.drop("positions")
     else:
-        postings = postings_src
+        # every tokenizer path emits a positions column (null here) —
+        # drop it so the documented 4-column postings schema holds and
+        # format-sniffing consumers never see a no-positions build as
+        # positions-bearing
+        postings = postings_src.drop("positions")
         if cache:
             postings = postings.persist()
     docmeta = build_docmeta(with_docid, key_cols, postings, content_col, meta_cols)
