@@ -97,8 +97,6 @@ def admit(tokens: list[Token]) -> list[Token]:
     for t in tokens:
         if len(t.text) > _MAYBE_OVERSIZED_CHARS and len(t.text.encode("utf-8")) > MAX_TERM_BYTES:
             continue
-        if len(t.text) > MAX_TERM_BYTES:  # pure-ASCII oversized
-            continue
         kept.append(t)
     return kept
 
@@ -112,7 +110,15 @@ def tokenize_fast(text: str) -> list[tuple[str, int]]:
         # lowering first is safe for ASCII (no boundary changes)
         terms = _WORD_RE.findall(text.lower())
     else:
-        terms = [t.lower() for t in _WORD_RE.findall(text)]
+        # str.lower applies Unicode's context-sensitive final-sigma rule
+        # (trailing Σ -> ς); the reference lowers PER CHARACTER (Σ -> σ
+        # always).  Tokens surfacing a 'ς' after the fast lower re-lower
+        # char-wise so index terms match analyze_default/query terms.
+        terms = [
+            "".join(c.lower() for c in t) if "ς" in lt else lt
+            for t in _WORD_RE.findall(text)
+            for lt in (t.lower(),)
+        ]
     out = []
     for pos, t in enumerate(terms):
         if len(t) > _MAYBE_OVERSIZED_CHARS and len(t.encode("utf-8")) > MAX_TERM_BYTES:
@@ -273,6 +279,8 @@ def tokenize_code_aware(text: str) -> list[tuple[str, int]]:
     out: list[tuple[str, int]] = []
     for pos, raw_term in enumerate(_WORD_RE.findall(text)):
         term = raw_term.lower()
+        if "ς" in term:  # per-char lowering rule — see tokenize_fast
+            term = "".join(c.lower() for c in raw_term)
         if (
             len(term) > _MAYBE_OVERSIZED_CHARS
             and len(term.encode("utf-8")) > MAX_TERM_BYTES

@@ -18,25 +18,13 @@ _THRESHOLDS = np.array([1 << 7, 1 << 14, 1 << 21, 1 << 28], dtype=np.uint64)
 
 
 def vbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint32 array to canonical LEB128 bytes."""
+    """Encode a uint32 array to canonical LEB128 bytes (the one-segment
+    form of :func:`vbyte_encode_chunks` — ONE encode kernel)."""
     arr = np.asarray(values, dtype=np.uint64)
     if arr.size == 0:
         return b""
-    nbytes = np.ones(arr.size, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nbytes += arr >= t
-    ends = np.cumsum(nbytes)
-    total = int(ends[-1])
-    starts = ends - nbytes
-    out = np.zeros(total, dtype=np.uint8)
-    # byte j of each value (j < nbytes): 7-bit group, continuation bit unless last
-    byte_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, nbytes)
-    val_rep = np.repeat(arr, nbytes)
-    groups = (val_rep >> (7 * byte_idx.astype(np.uint64))) & np.uint64(0x7F)
-    out[:] = groups.astype(np.uint8)
-    is_last = byte_idx == np.repeat(nbytes - 1, nbytes)
-    out[~is_last] |= 0x80
-    return out.tobytes()
+    data, _bounds = vbyte_encode_chunks(arr, np.array([0], dtype=np.int64))
+    return data.tobytes()
 
 
 def vbyte_encode_chunks(

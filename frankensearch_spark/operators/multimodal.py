@@ -57,7 +57,7 @@ def _decode_stub(payload: bytes, kind: str) -> dict:
     rng = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
     emb = (rng[:16] / np.float32(255.0)).astype(np.float32)
     return {
-        "sha256": hashlib.sha256(payload).hexdigest(),
+        "sha256": digest.hex(),
         "width": int(width),
         "height": int(height),
         "n_frames": int(n_frames),
@@ -79,6 +79,11 @@ def extract_features(media: DataFrame) -> DataFrame:
             for mid, kind, payload, nb in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["n_bytes"]
             ):
+                if payload is None:
+                    # a null source row (e.g. null text upstream) is not
+                    # decodable media — skip it instead of killing the
+                    # whole stage on bytes(None)
+                    continue
                 feat = _decode_stub(bytes(payload), kind)
                 rows.append(
                     {

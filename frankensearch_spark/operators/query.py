@@ -170,7 +170,9 @@ def search_collect(
     elif isinstance(query, str):
         spec = QuerySpec.from_text(query)
         for key, val in spec_kw.items():
-            setattr(spec, key, list(val))
+            # dict kwargs (boosts) pass through; clause lists copy —
+            # list(dict) would silently keep only the KEYS
+            setattr(spec, key, dict(val) if isinstance(val, dict) else list(val))
     else:
         spec = QuerySpec(should=list(query), **spec_kw)
     rows = topk(index, spec, k, offset).collect()

@@ -140,7 +140,7 @@ class OracleIndex:
             matched[rows] = True
 
         if must:
-            ok = must_ok if not should else must_ok  # Should optional under Must
+            ok = must_ok  # Should is optional under Must (min_should 0)
         else:
             ok = matched
         for term in must_not:
@@ -273,10 +273,13 @@ class OracleMultiIndex:
     field over a SHARED docid space (missing field text indexes as the
     empty document so N stays snapshot-global across fields)."""
 
-    def __init__(self, docs, field_names, basic_fields=()):
+    def __init__(self, docs, field_names, basic_fields=(), meta=None):
         """``docs``: iterable of (docid, {field_name: text});
         ``basic_fields``: fields scored with the Basic record option
-        (tf forced to 1 — CASS prefix fields)."""
+        (tf forced to 1 — CASS prefix fields); ``meta``: metadata column
+        -> {docid: value} (keyword/numeric filter leaves, same contract
+        as :class:`OracleIndex` — without it CASS structured filters
+        have no independent oracle)."""
         docs = list(docs)
         self.sub = {
             f: OracleIndex([(d, t.get(f) or "") for d, t in docs])
@@ -287,6 +290,7 @@ class OracleMultiIndex:
         self.doc_count = first.doc_count
         self.excluded: set[int] = set()
         self.basic_fields = set(basic_fields)
+        self.meta = dict(meta or {})
 
     def delete(self, docids) -> None:
         self.excluded.update(int(d) for d in docids)
@@ -328,9 +332,14 @@ class OracleMultiIndex:
         first = next(iter(self.sub.values()))
         # 'doclen' metadata leaves read the PRIMARY field's doclen (the
         # same rule as the Spark executors)
+        meta_cols = {"doclen": first.doclen.astype(np.int64)}
+        for name, per_doc in self.meta.items():
+            meta_cols[name] = np.array(
+                [per_doc.get(int(d)) for d in self.docids], dtype=object
+            )
         return EvalContext(
             n=self.doc_count, views=views, doc_count=self.doc_count,
-            meta={"doclen": first.doclen.astype(np.int64)},
+            meta=meta_cols,
         )
 
     def search_ast(self, ast, k: int = 10, offset: int = 0):

@@ -142,3 +142,17 @@ def test_cass_prefix_skips_hyphen_decompose():
     pre = analyze_cass("BD-Q3FY", hyphen_decompose=False)
     assert [t.text for t in full] == ["bd-q3fy", "bd", "q3fy"]
     assert [t.text for t in pre] == ["bd-q3fy"]
+
+
+def test_final_sigma_lowering_matches_reference():
+    """str.lower applies Unicode's context-sensitive final-sigma rule
+    (trailing Σ -> ς) but the reference lowers per character (Σ -> σ
+    always); the fast tokenizers must match analyze_default exactly, or
+    Greek index terms never match parsed query terms."""
+    for text in ("ΟΔΟΣ", "κείμενο ΤΕΛΟΣ εδώ", "ΣΟΦΙΑ ΟΔΟΣ ς", "mixed ΛΟΓΟΣ tail"):
+        exp = [(t.text, t.position) for t in admit(analyze_default(text))]
+        assert tokenize_fast(text) == exp, text
+        code = tokenize_code_aware(text)
+        # code-aware emits the default stream plus parts — the default
+        # stream must embed exactly
+        assert [p for p in code if p in exp] == exp, text
