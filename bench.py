@@ -45,33 +45,24 @@ BENCH_QUERIES = {
 from frankensearch_spark.corpus import FROZEN_QUERIES  # noqa: E402
 
 
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+)
+
+
 def _corpus_parquet(n_docs: int) -> str:
-    """Synthesize-once corpus parquet (pyarrow, no JVM)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    """Synthesize-once corpus parquet — ONE writer shared with the
+    scaling bench (a drifted copy would silently benchmark a different
+    corpus)."""
+    from scaling_bench import ensure_corpus
 
-    from frankensearch_spark.corpus import make_corpus
+    return ensure_corpus(n_docs, f"/tmp/fsx_bench_corpus_{n_docs}.parquet")
 
-    path = f"/tmp/fsx_bench_corpus_{n_docs}.parquet"
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return path
-    rows = make_corpus(n_docs)
-    os.makedirs(path, exist_ok=True)
-    names = ["repo", "path", "commit", "lang", "content"]
-    n_files = 64
-    chunk = (len(rows) + n_files - 1) // n_files
-    for i in range(n_files):
-        part = rows[i * chunk : (i + 1) * chunk]
-        if not part:
-            break
-        cols = list(zip(*part))
-        pq.write_table(
-            pa.table({n: list(c) for n, c in zip(names, cols)}),
-            os.path.join(path, f"part-{i:05d}.parquet"),
-        )
-    with open(os.path.join(path, "_SUCCESS"), "w") as f:
-        f.write("")
-    return path
+
+def _r(x: float, nd: int):
+    """NaN-safe round: a failed arm emits null, never literal NaN (which
+    is not valid JSON for the driver's parser)."""
+    return None if x != x else round(x, nd)
 
 
 def main() -> None:
@@ -251,15 +242,14 @@ def main() -> None:
     # repeat-1 rebuilds with the SQL cache cleared between (Spark's
     # CacheManager otherwise substitutes the repeat plan with the
     # cached InMemoryRelation — measured 6x inflation).
+    from scaling_bench import make_zip
+
+    zpath = make_zip(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "dist"))
+
     def _submit_arm(tokenizer: str, repeat: int) -> dict:
         import subprocess
 
-        sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "tools"))
-        from scaling_bench import make_zip
-
-        zpath = make_zip(os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "dist"))
         out_dir = f"/tmp/fsx_bench_arm_{tokenizer}"
         cmd = [
             "spark-submit",
@@ -298,16 +288,39 @@ def main() -> None:
     # ASCII docs through the Arrow-C++ kernel, the rest through the
     # contract analyzer — contract-exact everywhere); comparative arms:
     # pure contract analyzer, pure-JVM SQL codegen, forced RE2 vector.
-    arm = _submit_arm("auto", repeat=8)
-    build_secs = arm["build_secs"]
-    build_cold_fresh_secs = arm["build_cold_secs"]
-    build_write_secs = arm["write_secs"]
-    arm_contract = _submit_arm("arrow", repeat=2)
-    build_contract_secs = arm_contract["build_secs"]
-    arm_sql = _submit_arm("sql", repeat=2)
-    build_sql_secs = arm_sql["build_secs"]
-    arm_vec = _submit_arm("vector", repeat=2)
-    build_vec_secs = arm_vec["build_secs"]
+    # each arm degrades independently: a timeout/crash in one late arm
+    # must not discard the latency/serving measurements already taken
+    arm_errors: dict[str, str] = {}
+
+    def _try_arm(tokenizer: str, repeat: int) -> dict | None:
+        try:
+            return _submit_arm(tokenizer, repeat)
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            arm_errors[tokenizer] = repr(e)
+            return None
+
+    arm = _try_arm("auto", repeat=8)
+    if arm is not None:
+        build_secs = arm["build_secs"]
+        build_cold_fresh_secs = arm["build_cold_secs"]
+        build_write_secs = arm["write_secs"]
+    else:
+        # fall back to the in-process cold build + write timed above —
+        # those measured the QUERY corpus (n_docs), so rebase n_build
+        # to keep every derived docs/sec field truthful
+        arm = {}
+        n_build = n_docs
+        build_secs = build_cold_secs
+        build_cold_fresh_secs = build_cold_secs
+        build_write_secs = write_secs
+    # comparative arms: repeat=4 -> median of THREE warm runs (the VM's
+    # ±25% run variance makes a single-run ranking meaningless)
+    arm_contract = _try_arm("arrow", repeat=4)
+    build_contract_secs = (arm_contract or {}).get("build_secs") or float("nan")
+    arm_sql = _try_arm("sql", repeat=4)
+    build_sql_secs = (arm_sql or {}).get("build_secs") or float("nan")
+    arm_vec = _try_arm("vector", repeat=4)
+    build_vec_secs = (arm_vec or {}).get("build_secs") or float("nan")
 
     p50 = statistics.median(lat)
     out = {
@@ -324,14 +337,15 @@ def main() -> None:
         "build_cold_fresh_jvm_secs": round(build_cold_fresh_secs, 3),
         "build_warm_runs": arm.get("build_warm_runs"),
         "build_tokenizer": "auto",
-        "build_contract_tokenizer_secs": round(build_contract_secs, 3),
-        "build_contract_tokenizer_docs_per_sec": round(
+        "build_arm_errors": arm_errors or None,
+        "build_contract_tokenizer_secs": _r(build_contract_secs, 3),
+        "build_contract_tokenizer_docs_per_sec": _r(
             n_build / build_contract_secs, 1
         ),
-        "build_sql_tokenizer_secs": round(build_sql_secs, 3),
-        "build_sql_tokenizer_docs_per_sec": round(n_build / build_sql_secs, 1),
-        "build_vector_tokenizer_secs": round(build_vec_secs, 3),
-        "build_vector_tokenizer_docs_per_sec": round(n_build / build_vec_secs, 1),
+        "build_sql_tokenizer_secs": _r(build_sql_secs, 3),
+        "build_sql_tokenizer_docs_per_sec": _r(n_build / build_sql_secs, 1),
+        "build_vector_tokenizer_secs": _r(build_vec_secs, 3),
+        "build_vector_tokenizer_docs_per_sec": _r(n_build / build_vec_secs, 1),
         "build_write_secs": round(build_write_secs, 3),
         "durable_write_secs": round(write_secs, 3),
         "durable_docs_per_sec": round(

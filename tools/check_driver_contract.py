@@ -25,7 +25,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
     rounded = df.round(6) if len(df) else df
-    return rounded.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # sort by NON-float columns first: a cross-engine 1-ulp difference
+    # at a rounding boundary must not reorder rows (the float columns
+    # are compared under atol afterwards, but row ALIGNMENT has to come
+    # from the stable id-ish columns)
+    import numpy as np
+
+    cols = list(rounded.columns)
+    key = [c for c in cols if not np.issubdtype(rounded[c].dtype, np.floating)]
+    key += [c for c in cols if c not in key]
+    return rounded.sort_values(by=key).reset_index(drop=True)
 
 
 def main(sf_dir: str, only: set[str] | None = None):
@@ -87,6 +96,9 @@ if __name__ == "__main__":
     only = None
     if "--only" in argv:
         i = argv.index("--only")
+        if i + 1 >= len(argv):
+            print("usage: check_driver_contract.py [sf_dir] --only n1,n2")
+            sys.exit(2)
         only = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2 :]
     sys.exit(main(argv[0] if argv else "/root/testdata/sf0.01", only))

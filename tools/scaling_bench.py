@@ -23,6 +23,7 @@ Usage:  python tools/scaling_bench.py [--docs 2000000] [--pairs 2,8 8,32]
 from __future__ import annotations
 
 import argparse
+import shutil
 import json
 import os
 import subprocess
@@ -120,6 +121,7 @@ def main() -> None:
     for n in levels:
         results[n] = run_level(n, corpus, zpath, args.tokenizer)
         print(f"local[{n}]: {json.dumps(results[n])}", flush=True)
+        shutil.rmtree(f"/tmp/fsx_scaling_idx_{n}", ignore_errors=True)
 
     report = {"docs": args.docs, "tokenizer": args.tokenizer, "levels": results,
               "pairs": {}}
@@ -141,6 +143,14 @@ def main() -> None:
     if os.path.exists(record_path):
         with open(record_path) as fh:
             record = json.load(fh)
+    if (
+        record.get("docs") not in (None, report["docs"])
+        or record.get("tokenizer") not in (None, report["tokenizer"])
+    ):
+        # NEVER merge levels/pairs measured under a different corpus
+        # size or tokenizer into one record — the folded BENCH report
+        # would attribute every pair to the latest run's context
+        record = {}
     record.setdefault("levels", {}).update(
         {str(k): v for k, v in report["levels"].items()}
     )

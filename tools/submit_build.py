@@ -5,7 +5,7 @@ Usage (what tools/scaling_bench.py invokes):
     spark-submit --master local[N] \
         --py-files dist/frankensearch_spark.zip \
         tools/submit_build.py --corpus /path/corpus.parquet \
-        --out /path/index --tokenizer arrow [--warm]
+        --out /path/index --tokenizer auto [--no-warm]
 
 Prints ONE JSON line: {"cpus": N, "docs": D, "build_secs": S,
 "docs_per_sec": R, "write_secs": W, ...}.
