@@ -14,6 +14,8 @@ f32 op order.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1152,24 +1154,42 @@ _PAIRS_CACHE: dict[str, "DataFrame"] = {}
 _LABELS_CACHE: dict[str, "DataFrame"] = {}
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Lineage-truncating EAGER materialization for iterative plans.
+
+    Default: ``localCheckpoint()`` — blocks live in executor storage,
+    which is right on local[*] and needs no filesystem.  On a real
+    cluster, executor loss (dynamic allocation, spot preemption)
+    destroys localCheckpoint blocks mid-loop and the truncated lineage
+    cannot recompute them; set ``FSX_CHECKPOINT_DIR`` to an
+    HDFS/S3-visible directory and the RELIABLE ``checkpoint(eager=True)``
+    is used instead (``SparkContext.setCheckpointDir`` is applied
+    per-call — idempotent).  Both paths obey the same truncation law:
+    the returned frame's plan is a leaf, so per-round plan growth in the
+    CC loop stays O(1)."""
+    ckpt_dir = os.environ.get("FSX_CHECKPOINT_DIR")
+    if ckpt_dir:
+        df.sparkSession.sparkContext.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 def _near_dup_pairs_cached(spark, sf_dir):
     """One LSH+verify pipeline per (session, sf_dir): three driver
     queries (near_dup_pairs, dedup_clusters, dedup_keep_list) consume
     the pairs — recomputing the pipeline per query tripled the work and
     leaked a persisted shingle frame each time (the CacheManager
-    plan-substitution hazard CLAUDE.md pins).  localCheckpoint
-    materializes the result and truncates lineage; the shingle cache is
-    released as soon as the pairs land."""
+    plan-substitution hazard CLAUDE.md pins).  ``_ckpt`` materializes
+    the result and truncates lineage; the shingle cache is released as
+    soon as the pairs land."""
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _PAIRS_CACHE:
         sh = _shingle_sets(spark, sf_dir).persist()
         try:
-            # localCheckpoint is EAGER: the pipeline evaluates here,
-            # while the shingle frame is cached, and the persist is
-            # released before returning
-            _PAIRS_CACHE[key] = _near_dup_pairs_over(
-                spark, sh, 0.8
-            ).localCheckpoint()
+            # _ckpt is EAGER: the pipeline evaluates here, while the
+            # shingle frame is cached, and the persist is released
+            # before returning
+            _PAIRS_CACHE[key] = _ckpt(_near_dup_pairs_over(spark, sh, 0.8))
         finally:
             sh.unpersist()
     return _PAIRS_CACHE[key]
@@ -1266,21 +1286,18 @@ def _dedup_labels_df(spark, sf_dir):
     if hit is not None:
         return hit
     pairs = _near_dup_pairs_cached(spark, sf_dir).select("d1", "d2")
-    # localCheckpoint (not persist): each propagation round's plan embeds
-    # the previous round's, so without truncating lineage the logical plan
-    # DOUBLES per round and the planner OOMs past ~5 rounds (caught by the
-    # chain-corpus test).  On a cluster use a reliable checkpoint dir; the
-    # truncation law is the same.
-    edges = (
-        pairs.union(pairs.select(F.col("d2"), F.col("d1")))
-        .toDF("u", "v")
-        .localCheckpoint()
+    # _ckpt (not persist): each propagation round's plan embeds the
+    # previous round's, so without truncating lineage the logical plan
+    # DOUBLES per round and the planner OOMs past ~5 rounds (caught by
+    # the chain-corpus test).  On a cluster set FSX_CHECKPOINT_DIR for
+    # the reliable checkpoint; the truncation law is the same.
+    edges = _ckpt(
+        pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("u", "v")
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("u").alias("docid"))
         .distinct()
         .withColumn("label", F.col("docid"))
-        .localCheckpoint()
     )
     # min-label propagation to fixpoint.  The loop count is the graph
     # diameter (tiny for dedup graphs; capped defensively), and the
@@ -1290,12 +1307,11 @@ def _dedup_labels_df(spark, sf_dir):
             edges.join(labels, edges["u"] == labels["docid"])
             .select(F.col("v").alias("docid"), F.col("label"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.select("docid", "label")
             .union(prop)
             .groupBy("docid")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -116,6 +116,25 @@ def test_dedup_clusters_chain_transitivity(spark, tmp_path):
     ]
 
 
+def test_dedup_clusters_reliable_checkpoint_path(spark, tmp_path):
+    """FSX_CHECKPOINT_DIR routes the CC loop's lineage truncation
+    through the RELIABLE Dataset.checkpoint (cluster-safe) instead of
+    localCheckpoint; same chain corpus, same fixpoint, and the
+    checkpoint dir actually receives RDD snapshots."""
+    sf_dir = _chain_corpus(tmp_path)
+    ckpt = tmp_path / "ckpt"
+    os.environ["FSX_CHECKPOINT_DIR"] = str(ckpt)
+    try:
+        got = _canon(QUERIES["dedup_clusters"](spark, sf_dir).toPandas())
+    finally:
+        del os.environ["FSX_CHECKPOINT_DIR"]
+    assert got.to_dict("records") == [
+        {"cluster_id": 0, "n_docs": 6, "min_docid": 0, "max_docid": 5}
+    ]
+    # the reliable path genuinely wrote checkpoints to the given dir
+    assert any(ckpt.rglob("*")), "no files under FSX_CHECKPOINT_DIR"
+
+
 def test_dedup_keep_list_tie_breaks_to_min_docid(spark, tmp_path):
     """Equal n_chars within a cluster -> lowest docid is canonical
     (deterministic retention, no engine-order dependence)."""
