@@ -24,8 +24,11 @@ import numpy as np
 
 CODEC_VINT = 0
 CODEC_FOR = 1
+CODEC_BITMAP = 2  # quiver.rs:395-430 kind Bitmap: dense 512-bit window
 
 FREQ_ALL_ONE = 0  # leading tf_bytes flag byte
+
+BITMAP_SPAN = 512  # docid window a bitmap block covers (64 bytes)
 
 
 def _bitlen_vec(vals: np.ndarray) -> np.ndarray:
@@ -86,6 +89,39 @@ def for_decode_doc(buf: bytes, n: int) -> np.ndarray:
     if width == 0 or width > 64:
         raise ValueError(f"invalid FOR width {width}")
     return bitunpack(buf[1:], n, width)
+
+
+def bitmap_encode_rows(offs: np.ndarray) -> list[bytes]:
+    """Encode a (k, block_len) uint64 matrix of ABSOLUTE in-bucket
+    offsets as fixed 64-byte dense bitmaps (the reference's third block
+    kind, quiver.rs:395-430 Bitmap): bit i set <=> offset
+    ``first + i`` present.  The first offset itself is recoverable from
+    the block row's (first_doc, bucket) columns — same
+    frame-of-reference rule as the FOR codec — so bit 0 is always set.
+    Caller guarantees every row's span (off[-1] - off[0]) < BITMAP_SPAN.
+    """
+    k, n = offs.shape
+    if k == 0:
+        return []
+    rel = (offs - offs[:, :1]).astype(np.int64)
+    if rel.max() >= BITMAP_SPAN:
+        raise ValueError("bitmap row span exceeds BITMAP_SPAN")
+    bits = np.zeros((k, BITMAP_SPAN), dtype=np.uint8)
+    bits[np.repeat(np.arange(k), n), rel.ravel()] = 1
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    return [packed[i].tobytes() for i in range(k)]
+
+
+def bitmap_decode_doc(buf: bytes, n: int) -> np.ndarray:
+    """Decode a 512-bit bitmap -> uint64[n] offsets RELATIVE to the
+    block's first offset (caller adds it back, like for_decode_doc)."""
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), bitorder="little"
+    )
+    idx = np.nonzero(bits)[0]
+    if idx.size != n:
+        raise ValueError(f"bitmap popcount {idx.size} != block n {n}")
+    return idx.astype(np.uint64)
 
 
 def for_encode_tf_rows(mat: np.ndarray) -> list[bytes]:

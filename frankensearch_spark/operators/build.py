@@ -743,18 +743,27 @@ class BuiltIndex:
             self._cached_stats = (int(row["doc_count"]), int(row["total_tokens"]))
         return self._cached_stats
 
-    def preload_termstats(self) -> int:
-        """Long-lived-serving amortization: collect the whole (term -> df)
+    def preload_termstats(self, max_terms: int = 2_000_000) -> int:
+        """Long-lived-serving amortization: collect the (term -> df)
         dictionary ONCE so per-query planning never runs a Spark job for
         stats (the reference holds TERMDICT mmap'd for the same reason).
-        Fine to ~10^7 vocab terms on a driver; at larger vocabularies,
-        preload the hot head and let misses fall back to the filtered
-        collect path (df_of_terms does exactly that when the cache is
-        marked partial)."""
-        self._term_df_cache = {
-            r["term"]: int(r["df"]) for r in self.termstats.collect()
-        }
-        self._term_df_complete = True
+
+        BOUNDED: at 100-TB code-corpus scale the vocabulary is
+        O(10^8-10^9) distinct terms and a full ``termstats.collect()``
+        is a driver OOM — so the preload takes the top-``max_terms`` by
+        df (the head covers almost all query mass; IDF makes tail terms
+        rare in queries too) and marks the cache PARTIAL, letting
+        ``df_of_terms`` route misses through the filtered collect and
+        fold them into the cache.  When the collect comes back smaller
+        than the cap, the vocabulary fit and the cache is complete —
+        misses then mean "term not in corpus", no job needed."""
+        rows = (
+            self.termstats.orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_terms)
+            .collect()
+        )
+        self._term_df_cache = {r["term"]: int(r["df"]) for r in rows}
+        self._term_df_complete = len(rows) < max_terms
         return len(self._term_df_cache)
 
     def df_of_terms(self, terms: list[str]) -> dict[str, int]:
@@ -766,7 +775,10 @@ class BuiltIndex:
         if cache is not None:
             if getattr(self, "_term_df_complete", False):
                 return {t: cache[t] for t in terms if t in cache}
-            hits = {t: cache[t] for t in terms if t in cache}
+            # partial (bounded) cache: df==0 entries are negative-cached
+            # misses, so a long-lived process asks Spark about any given
+            # absent term at most once
+            hits = {t: cache[t] for t in terms if cache.get(t)}
             missing = [t for t in terms if t not in cache]
             if not missing:
                 return hits
@@ -776,7 +788,8 @@ class BuiltIndex:
                     F.col("term").isin(missing)
                 ).collect()
             }
-            cache.update(fetched)
+            for t in missing:
+                cache[t] = fetched.get(t, 0)
             hits.update(fetched)
             return hits
         return {

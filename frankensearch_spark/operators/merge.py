@@ -78,14 +78,21 @@ def _blockify_arrow(batches, bucket_shift: int, codec: str = "vint"):
     import pyarrow.compute as pc
 
     from frankensearch_spark.functions.bitpack import (
+        BITMAP_SPAN,
+        CODEC_BITMAP,
         CODEC_FOR,
         CODEC_VINT,
+        bitmap_encode_rows,
         for_encode_rows,
         for_encode_tf_rows,
     )
     from frankensearch_spark.functions.vbyte import vbyte_encode_segmented
 
     use_for = codec == "for"
+    # "bitmap" = the reference's full three-kind dispatch: dense full
+    # blocks (span < 512) -> Bitmap, other full blocks -> FOR, tails ->
+    # Vint (quiver.rs:395-430 chooses exactly this way)
+    use_bitmap = codec == "bitmap"
 
     for rb in batches:
         n_rows = rb.num_rows
@@ -125,7 +132,7 @@ def _blockify_arrow(batches, bucket_shift: int, codec: str = "vint"):
         deltas[b_starts] = offs[b_starts]
 
         full_mask = b_sizes == POSTINGS_PER_BLOCK
-        if use_for and full_mask.any():
+        if (use_for or use_bitmap) and full_mask.any():
             # FOR path: gather full blocks into (k, 128) matrices (every
             # full block has identical length, so one fancy-index does
             # it) and bitpack per width group; tails re-segment through
@@ -169,6 +176,16 @@ def _blockify_arrow(batches, bucket_shift: int, codec: str = "vint"):
                 doc_bytes[r] = doc_for[i]
                 tf_bytes[r] = tf_for[i]
             codec_col[f_rows] = CODEC_FOR
+            if use_bitmap:
+                offs_mat = offs[gather]
+                bm_rows = np.nonzero(
+                    (offs_mat[:, -1] - offs_mat[:, 0]) < BITMAP_SPAN
+                )[0]
+                if bm_rows.size:
+                    doc_bm = bitmap_encode_rows(offs_mat[bm_rows])
+                    for i, fi in enumerate(bm_rows):
+                        doc_bytes[f_rows[fi]] = doc_bm[i]
+                    codec_col[f_rows[bm_rows]] = CODEC_BITMAP
             for i, r in enumerate(t_rows):
                 doc_bytes[r] = doc_vint[i]
                 tf_bytes[r] = tf_vint[i]
@@ -383,7 +400,9 @@ def decode_blocks_pdf(
     cost for mega-term phrase queries — is skipped for excluded docs.
     """
     from frankensearch_spark.functions.bitpack import (
+        CODEC_BITMAP,
         CODEC_FOR,
+        bitmap_decode_doc,
         for_decode_doc,
         for_decode_tf,
     )
@@ -399,13 +418,19 @@ def decode_blocks_pdf(
     for i in range(len(pdf)):
         base = int(pdf["bucket"].iat[i]) << bucket_shift
         n = int(pdf["n"].iat[i])
-        if codecs is not None and int(codecs.iat[i]) == CODEC_FOR:
+        ci = int(codecs.iat[i]) if codecs is not None else 0
+        if ci == CODEC_FOR:
             # true frame-of-reference: the packed stream holds only the
             # n-1 gaps; the absolute first in-bucket offset comes from
             # the block's (first_doc, bucket) columns
             first = np.uint64(int(pdf["first_doc"].iat[i]) - base)
             gaps = for_decode_doc(pdf["doc_bytes"].iat[i], n - 1)
             offs = delta_decode(np.concatenate(([first], gaps)))
+            tfs = for_decode_tf(pdf["tf_bytes"].iat[i], n)
+        elif ci == CODEC_BITMAP:
+            # dense 512-bit window: offsets = first + set-bit indexes
+            first = np.uint64(int(pdf["first_doc"].iat[i]) - base)
+            offs = first + bitmap_decode_doc(pdf["doc_bytes"].iat[i], n)
             tfs = for_decode_tf(pdf["tf_bytes"].iat[i], n)
         else:
             offs = delta_decode(vbyte_decode(pdf["doc_bytes"].iat[i], n))

@@ -37,7 +37,7 @@ from frankensearch_spark.query_ast import (
 
 def blocks_to_postings(
     index: ServingIndex, terms: list[str] | None, with_positions: bool = False,
-    docid_whitelist=None,
+    docid_whitelist=None, local_whitelist_terms: list[str] | None = None,
 ) -> DataFrame:
     """Decode the candidate blocks of ``terms`` into posting rows
     (docid, term, tf, fieldnorm_id[, positions]) — parquet-pruned by
@@ -50,7 +50,17 @@ def blocks_to_postings(
 
     ``docid_whitelist``: sorted int64 numpy array shipped to executors
     as a broadcast — only those docids' postings are emitted (and only
-    their positions sliced), the root-phrase candidate restriction."""
+    their positions sliced), the root-phrase candidate restriction.
+
+    ``local_whitelist_terms``: the SCALE form of the same restriction —
+    instead of collecting the rare-slot docids to the driver (a >500k
+    collect+broadcast costs more than it saves, and at 100-TB scale is
+    a driver OOM), the candidate blocks are cogrouped BY BUCKET with the
+    rare-slot terms' blocks, and each bucket task decodes its own local
+    whitelist before decoding anything else.  Valid because bucket =
+    docid >> shift: a doc's rare-slot postings live in exactly the
+    bucket of its other postings.  No driver materialization, no
+    broadcast, one exchange of still-compressed block rows."""
     if terms is None:
         cand = index.blocks
     else:
@@ -72,33 +82,72 @@ def blocks_to_postings(
                 np.unique(np.asarray(docid_whitelist, dtype=np.int64))
             )
 
-    def decode(pdfs):
-        wl = bc.value if bc is not None else None
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            out = decode_blocks_pdf(
-                pdf, shift,
-                with_positions="vbyte" if with_positions else False,
-                docid_whitelist=wl,
-            )
-            docids, tfs, fids, rows = out[:4]
-            cols = {
-                "docid": docids.astype(np.int64),
-                "term": pdf["term"].to_numpy(dtype=object)[rows],
-                "tf": tfs.astype(np.int32),
-                "fieldnorm_id": fids.astype(np.int32),
-            }
-            if with_positions:
-                cols["positions"] = out[4]
-            yield pd.DataFrame(cols)
+    def decode_one(pdf: pd.DataFrame, wl) -> pd.DataFrame | None:
+        if len(pdf) == 0:
+            return None
+        out = decode_blocks_pdf(
+            pdf, shift,
+            with_positions="vbyte" if with_positions else False,
+            docid_whitelist=wl,
+        )
+        docids, tfs, fids, rows = out[:4]
+        cols = {
+            "docid": docids.astype(np.int64),
+            "term": pdf["term"].to_numpy(dtype=object)[rows],
+            "tf": tfs.astype(np.int32),
+            "fieldnorm_id": fids.astype(np.int32),
+        }
+        if with_positions:
+            cols["positions"] = out[4]
+        return pd.DataFrame(cols)
 
     schema = "docid long, term string, tf int, fieldnorm_id int"
     if with_positions:
         schema += ", positions binary"
+    if local_whitelist_terms:
+        # the rare-slot blocks are a SUBSET of the candidate blocks, so
+        # one bucket-grouped pass suffices (no self-cogroup — Spark
+        # cannot disambiguate a dataset cogrouped with itself): each
+        # bucket task first decodes its local rare-slot docids (doc
+        # stream only, positions untouched), then decodes everything
+        # under that whitelist
+        wl_terms = set(local_whitelist_terms)
+
+        def empty_typed() -> pd.DataFrame:
+            cols = {
+                "docid": pd.Series([], dtype=np.int64),
+                "term": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype=np.int32),
+                "fieldnorm_id": pd.Series([], dtype=np.int32),
+            }
+            if with_positions:
+                cols["positions"] = pd.Series([], dtype=object)
+            return pd.DataFrame(cols)
+
+        def decode_grouped(pdf: pd.DataFrame) -> pd.DataFrame:
+            rare_mask = pdf["term"].isin(wl_terms).to_numpy()
+            if not rare_mask.any():
+                # no rare-slot posting in this bucket: no doc here can
+                # match the root phrase — emit nothing
+                return empty_typed()
+            d = decode_blocks_pdf(pdf[rare_mask], shift)[0]
+            out = decode_one(pdf, np.unique(d))
+            return empty_typed() if out is None else out
+
+        return cand.groupBy("bucket").applyInPandas(decode_grouped, schema)
+
+    def decode(pdfs):
+        wl = bc.value if bc is not None else None
+        for pdf in pdfs:
+            out = decode_one(pdf, wl)
+            if out is not None:
+                yield out
+
     return cand.mapInPandas(decode, schema)
 
 
+PHRASE_WL_CAP = 500_000  # rare-slot dfs above this skip the driver
+# collect+broadcast and take the bucket-cogrouped local whitelist
 _WL_CACHE_MAX = 32  # per-index cached rare-slot whitelists (FIFO evict)
 _WL_CACHE_LOCK = threading.Lock()
 
@@ -284,8 +333,10 @@ def serving_score_ast(
             else None
         )
         # cap: past ~500k candidate docids the collect+broadcast costs
-        # more than the position slices it saves — run the plain pivot
-        if rare_df_f is not None and rare_df_f <= 500_000:
+        # more than the position slices it saves (and at 100-TB scale
+        # would be a driver OOM) — switch to the bucket-cogrouped LOCAL
+        # whitelist below instead of the old full pivot
+        if rare_df_f is not None and rare_df_f <= PHRASE_WL_CAP:
             # one cheap tf-only decode of the rarest slot -> its docid
             # set rides to executors as a broadcast whitelist, so the
             # mega-terms' postings (and especially their per-posting
@@ -297,6 +348,15 @@ def serving_score_ast(
             bc = _rare_slot_whitelist(fidx[f], rare_slot_terms, rare_df_f)
             postings = blocks_to_postings(
                 fidx[f], terms, with_positions=True, docid_whitelist=bc
+            )
+        elif rare_df_f is not None:
+            # beyond the whitelist cap: same candidate restriction at
+            # BUCKET granularity, decoded task-locally (no driver
+            # collect, no broadcast — the 100-TB mega-phrase path); a
+            # bucket without the rare slot emits nothing at all
+            postings = blocks_to_postings(
+                fidx[f], terms, with_positions=True,
+                local_whitelist_terms=rare_slot_terms,
             )
         else:
             postings = blocks_to_postings(

@@ -86,31 +86,42 @@ class ServingIndex:
             self._cached_stats = (int(row["doc_count"]), int(row["total_tokens"]))
         return self._cached_stats
 
-    def preload_termstats(self) -> int:
-        """Serving amortization: (term -> df) collected once per process
-        (see BuiltIndex.preload_termstats)."""
-        self._term_df_cache = {
-            r["term"]: int(r["df"]) for r in self.termstats.collect()
-        }
+    def preload_termstats(self, max_terms: int = 2_000_000) -> int:
+        """Serving amortization: (term -> df) collected once per process,
+        BOUNDED at the top-``max_terms`` by df — a 100-TB vocabulary is
+        O(10^8-10^9) terms and a full collect is a driver OOM (see
+        BuiltIndex.preload_termstats for the head/tail routing law)."""
+        rows = (
+            self.termstats.orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_terms)
+            .collect()
+        )
+        self._term_df_cache = {r["term"]: int(r["df"]) for r in rows}
+        self._term_df_complete = len(rows) < max_terms
         return len(self._term_df_cache)
 
     def preload_bucket_coverage(self) -> int:
         """Long-lived-serving planning statistic, one grouped pass over
         the block table per process: per term, (a) docid-bucket coverage
         and (b) bound FLATNESS — the q25/max ratio of the term's
-        per-bucket block-max score shape (weight-independent: computed
+        per-BLOCK block-max score shape (weight-independent: computed
         at weight 1 with the snapshot avgdl, and every real bound is
-        weight × shape).
+        weight × shape).  Flatness is measured at 128-posting BLOCK
+        granularity, not per bucket: since the kernel skips individual
+        blocks under θ (argus.rs:4474-4520 granularity), a df≈N term
+        whose bucket bounds are flat but whose blocks vary in
+        (max_tf, min_fieldnorm) is still prunable, and the gate must
+        not route it to the exhaustive pass.
 
         This is what lets :func:`wand_topk` decide BEFORE paying for the
         distributed bound pass whether pruning can possibly skip work:
         coverage gaps are the buckets the Must rule / θ-bounds can drop,
-        and per-bucket shape variation (doc-length or tf skew) is what
-        lets θ clear a bucket even at full coverage.  Only when every
-        clause term covers ~every bucket WITH near-identical shape is
-        the bound distribution provably flat.  The reference reads the
-        same signals for free from its mmap'd block-max section; one
-        cached job is the Spark-native analogue."""
+        and per-block shape variation (doc-length or tf skew) is what
+        lets θ clear blocks even at full coverage.  Only when every
+        clause term covers ~every bucket WITH near-identical per-block
+        shape is the bound distribution provably flat.  The reference
+        reads the same signals for free from its mmap'd block-max
+        section; one cached job is the Spark-native analogue."""
         doc_count, total_tokens = self.stats()
         avgdl = float(compute_avgdl(total_tokens, doc_count))
 
@@ -125,18 +136,26 @@ class ServingIndex:
                     np.float32(1.0),
                 )
                 yield pd.DataFrame(
-                    {"term": pdf["term"], "shape": s.astype(np.float64)}
+                    {
+                        "term": pdf["term"],
+                        "bucket": pdf["bucket"],
+                        "shape": s.astype(np.float64),
+                    }
                 )
 
-        per_bucket = self.blocks.groupBy("term", "bucket").agg(
-            F.max("max_tf_code").alias("mtc"),
-            F.min("min_fieldnorm_id").alias("mfn"),
+        per_block = self.blocks.select(
+            "term",
+            "bucket",
+            F.col("max_tf_code").alias("mtc"),
+            F.col("min_fieldnorm_id").alias("mfn"),
         )
         rows = (
-            per_bucket.mapInPandas(shape, "term string, shape double")
+            per_block.mapInPandas(
+                shape, "term string, bucket long, shape double"
+            )
             .groupBy("term")
             .agg(
-                F.count(F.lit(1)).alias("nb"),
+                F.countDistinct("bucket").alias("nb"),
                 F.max("shape").alias("mx"),
                 F.expr("percentile_approx(shape, 0.25)").alias("q25"),
             )
@@ -157,12 +176,26 @@ class ServingIndex:
     def df_of_terms(self, terms: list[str]) -> dict[str, int]:
         if not terms:
             return {}
-        if self._term_df_cache is not None:
-            return {
-                t: self._term_df_cache[t]
-                for t in terms
-                if t in self._term_df_cache
+        cache = self._term_df_cache
+        if cache is not None:
+            if getattr(self, "_term_df_complete", True):
+                return {t: cache[t] for t in terms if t in cache}
+            # bounded preload: tail terms fall back to ONE filtered
+            # collect and are folded in (df==0 negative-caches misses)
+            hits = {t: cache[t] for t in terms if cache.get(t)}
+            missing = [t for t in terms if t not in cache]
+            if not missing:
+                return hits
+            fetched = {
+                r["term"]: int(r["df"])
+                for r in self.termstats.filter(
+                    F.col("term").isin(missing)
+                ).collect()
             }
+            for t in missing:
+                cache[t] = fetched.get(t, 0)
+            hits.update(fetched)
+            return hits
         return {
             r["term"]: int(r["df"])
             for r in self.termstats.filter(F.col("term").isin(terms)).collect()
@@ -234,8 +267,97 @@ def serving_from_built(built, bucket_shift: int = DEFAULT_BUCKET_SHIFT,
     )
 
 
+def _clause_mult(spec: QuerySpec) -> dict:
+    """term -> scored-clause multiplicity ('+foo foo' counts foo twice,
+    matching the exact scorers' clause loop and the bucket bound)."""
+    mult: dict = {}
+    for t in spec.clause_terms():
+        mult[t] = mult.get(t, 0) + 1
+    return mult
+
+
+_F32_EPS = float(np.finfo(np.float32).eps)
+
+
+def _block_keep_mask(pdf: pd.DataFrame, theta: float, weights: dict,
+                     avgdls: dict, term_fields: dict, mult: dict,
+                     bucket_shift: int) -> np.ndarray:
+    """BLOCK-granular θ mask over one bucket's block rows — the
+    reference's native Block-Max-WAND granularity (argus.rs:4474-4520,
+    quiver.rs:1719-1930), which bucket-level bounds alone cannot reach:
+    a df≈N term on an i.i.d. corpus has flat BUCKET bounds but its
+    128-posting blocks still vary in (max_tf, min_fieldnorm).
+
+    Within the bucket each (field, term)'s blocks tile contiguous docid
+    sub-ranges ``[first_doc_i, first_doc_{i+1})`` (different segments'
+    docid leases are disjoint intervals, so sorting by first_doc only
+    OVER-covers inter-segment gaps — bound-safe).  The per-doc upper
+    bound is the f64 interval-sum of the covering blocks' conservative
+    bounds with clause multiplicity, inflated by the same ``n·eps``
+    envelope as :func:`contract.conservative_bound_sum` so it dominates
+    every f32 accumulation order.  ANY block — scored or not (must_not,
+    zero-weight) — whose covered region tops out below θ is dropped:
+    every doc it covers is provably below the certified kth score, so
+    losing its contributions (or its exclusions) cannot change the
+    top-k.  A dropped doc may still receive PARTIAL contributions from
+    kept blocks of other terms; its partial f32 score ≤ its true score
+    ≤ its bound < θ, and the final merge already holds k exact scores
+    ≥ θ from the seed phase, so the straggler is cut — rank identity is
+    preserved (pinned by test_wand's pruned ≡ exhaustive ≡ oracle).
+    """
+    m = len(pdf)
+    span = 1 << bucket_shift
+    base = int(pdf["bucket"].iat[0]) << bucket_shift
+    firsts = pdf["first_doc"].to_numpy(dtype=np.int64) - base
+    terms = pdf["term"].to_numpy(dtype=object)
+    fields = pdf["field"].to_numpy(dtype=object)
+    mtc = pdf["max_tf_code"].to_numpy(dtype=np.int64)
+    mfn = pdf["min_fieldnorm_id"].to_numpy(dtype=np.int64)
+
+    groups: dict = {}
+    for i in range(m):
+        groups.setdefault((fields[i], terms[i]), []).append(i)
+
+    diff = np.zeros(span + 1, dtype=np.float64)
+    n_contrib = 0
+    tiled: list = []  # (rows sorted by first, starts) for phase 2
+    for (f, t), rows_l in groups.items():
+        rows_a = np.asarray(rows_l, dtype=np.int64)
+        order = np.argsort(firsts[rows_a], kind="stable")
+        rows_a = rows_a[order]
+        starts = np.clip(firsts[rows_a], 0, span - 1)
+        degenerate = starts.size > 1 and bool(np.any(np.diff(starts) <= 0))
+        w = weights.get((f, t))
+        mm = mult.get(t, 0)
+        if w is not None and mm:
+            b = block_max_score(
+                mtc[rows_a], mfn[rows_a], avgdls[f], w
+            ).astype(np.float64) * mm
+            n_contrib += mm
+            if degenerate:
+                # overlapping first_docs (shouldn't happen for healthy
+                # segments): one flat max bound over the group's span
+                diff[int(starts[0])] += float(b.max())
+            else:
+                ends = np.append(starts[1:], span)
+                np.add.at(diff, starts, b)
+                np.add.at(diff, ends, -b)
+        if not degenerate:
+            tiled.append((rows_a, starts))
+    ub = np.cumsum(diff[:span])
+    # f32 any-order summation envelope (conservative_bound_sum's law)
+    ub += np.abs(ub) * (_F32_EPS * max(n_contrib, 1))
+    keep = np.ones(m, dtype=bool)
+    for rows_a, starts in tiled:
+        seg_max = np.maximum.reduceat(ub, starts)
+        keep[rows_a] = seg_max >= theta
+    return keep
+
+
 def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_caches: dict,
-                          k: int, bucket_shift: int, term_fields: dict):
+                          k: int, bucket_shift: int, term_fields: dict,
+                          theta: float = -math.inf,
+                          avgdls: dict | None = None):
     """Per-bucket scoring kernel -> local top-k rows.
 
     Dense bucket-local accumulation (bucket span is bounded by
@@ -253,10 +375,22 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_caches: dict,
     must_not = list(spec.must_not)
     clause_terms = spec.clause_terms()
     span = 1 << bucket_shift
+    mult = _clause_mult(spec)
 
     def score_one(pdf, tomb=None):
         if len(pdf) == 0:
             return pd.DataFrame({"docid": [], "score": []})
+        if theta != -math.inf:
+            # block-granular θ skip BEFORE any decode: the mask is
+            # metadata-only, so a pruned block costs one bound compare
+            # instead of a vbyte decode + scoring pass
+            keepm = _block_keep_mask(
+                pdf, theta, weights, avgdls, term_fields, mult, bucket_shift
+            )
+            if not keepm.all():
+                pdf = pdf[keepm]
+            if len(pdf) == 0:
+                return pd.DataFrame({"docid": [], "score": []})
         docids, tfs, fids, rows = decode_blocks_pdf(pdf, bucket_shift)
         if docids.size == 0:
             return pd.DataFrame({"docid": [], "score": []})
@@ -286,6 +420,15 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_caches: dict,
             hit[o] = True
             must_ok &= hit
         for term in clause_terms:
+            # EXACT kernel nesting (_eval_boolean -> _eval_term): each
+            # clause's multi-field subtotal accumulates in f32 FIRST,
+            # then the subtotal adds to the clause accumulator.  Folding
+            # fields straight into ``acc`` changes the f32 association —
+            # ((acc+s_content)+s_title) vs (acc+(s_content+s_title)) —
+            # and diverges from the oracle by 1 ULP on real corpora
+            # (caught by fuzz seed 7: 'search ownership' et al.)
+            term_acc = np.zeros(span, dtype=np.float32)
+            term_hit = False
             for fname in term_fields.get(term, ()):
                 w = weights.get((fname, term))
                 if w is None:
@@ -297,9 +440,15 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_caches: dict,
                 f = tfs[sel].astype(np.float32)
                 norm = tf_caches[fname][fids[sel].astype(np.int64)]
                 s = (np.float32(w) * f / (f + norm)).astype(np.float32)
-                acc[o] = (acc[o] + s).astype(np.float32)
+                term_acc[o] = (term_acc[o] + s).astype(np.float32)
+                term_hit = True
                 if term in spec.should:
                     matched[o] = True
+            if term_hit:
+                # dense add: x + 0.0 is exact in IEEE, so untouched docs
+                # keep their bits while matched docs get the kernel's
+                # (acc + term_subtotal) association
+                acc = (acc + term_acc).astype(np.float32)
 
         ok = must_ok if must else matched
         ok = ok & seen
@@ -383,6 +532,58 @@ def _bucket_bound_kernel(scored_terms: list[str], must_set: set[str],
         )
 
     return bound_one
+
+
+def _block_prefilter(blocks_df: DataFrame, theta: float, weights: dict,
+                     avgdls: dict, mult: dict) -> DataFrame:
+    """JVM-visible per-row block-θ prefilter, applied BEFORE the bucket
+    shuffle so skipped blocks never cross the exchange or reach Python.
+
+    A block of scored group g = (field, term) is droppable when
+    ``mult_g·bound(block) + Σ_{g'≠g} mult_{g'}·weight_{g'} < θ``: every
+    doc it covers stays below θ even if every OTHER clause contributes
+    its absolute cap (``block_max_score ≤ weight`` since f/(f+norm)<1).
+    The predicate depends only on (max_tf_code, min_fieldnorm_id), so it
+    compiles to a broadcast lookup: per group a 256-row
+    ``min_fieldnorm_id -> minimal admissible max_tf_code`` table,
+    joined and filtered entirely JVM-side (whole-stage codegen, no UDF).
+    Unscored rows (must_not terms) pass through; the in-kernel interval
+    mask strictly dominates this filter, so receipts computed from the
+    interval mask remain exact decode counts."""
+    spark = blocks_df.sparkSession
+    n_contrib = sum(mult.get(t, 0) for (_f, t) in weights)
+    total_cap = sum(
+        mult.get(t, 0) * float(w) for (f, t), w in weights.items()
+    )
+    infl = 1.0 + _F32_EPS * max(n_contrib, 1)
+    codes = np.repeat(np.arange(256, dtype=np.int64), 256)
+    mfns = np.tile(np.arange(256, dtype=np.int64), 256)
+    rows = []
+    for (f, t), w in weights.items():
+        mm = mult.get(t, 0)
+        if not mm:
+            continue
+        cap_other = total_cap - mm * float(w)
+        b = block_max_score(codes, mfns, avgdls[f], w).astype(np.float64)
+        ok = ((mm * b + cap_other) * infl >= theta).reshape(256, 256)
+        any_ok = ok.any(axis=0)
+        first = np.argmax(ok, axis=0)  # codes are bound-monotone; even
+        # if not, >= first keeps a SUPERSET of admissible codes (safe)
+        mtc_min = np.where(any_ok, first, 256)
+        rows.extend(
+            (f, t, int(m), int(c)) for m, c in enumerate(mtc_min)
+        )
+    if not rows:
+        return blocks_df
+    lut = spark.createDataFrame(
+        rows, "field string, term string, min_fieldnorm_id int, mtc_min int"
+    )
+    out = blocks_df.join(
+        F.broadcast(lut), ["field", "term", "min_fieldnorm_id"], "left"
+    )
+    return out.filter(
+        F.col("mtc_min").isNull() | (F.col("max_tf_code") >= F.col("mtc_min"))
+    ).drop("mtc_min")
 
 
 def _wand_fields(index) -> tuple[dict, "ServingIndex"]:
@@ -484,10 +685,21 @@ class PruningReceipt:
     buckets_scored: int = 0
     buckets_unmatchable: int = 0
     theta: float = float("-inf")
+    # BLOCK-granular receipt (argus.rs:4474-4520 granularity), measured
+    # over the post-θ survivor buckets: rows the bucket tasks received
+    # vs rows that survived the interval mask and were decoded.  The
+    # JVM-side prefilter drops a subset of the same rows earlier, so
+    # these counts are exact decode counts either way.
+    blocks_total: int = 0
+    blocks_decoded: int = 0
 
     @property
     def buckets_skipped(self) -> int:
         return self.buckets_total - self.buckets_scored
+
+    @property
+    def blocks_skipped(self) -> int:
+        return self.blocks_total - self.blocks_decoded
 
 
 WAND_MIN_COST = 16_384  # argus.rs:31 — prune only past this posting volume
@@ -584,12 +796,14 @@ def wand_topk(
         gap = _coverage_gap(fidx, spec, tf_order)
         if gap is not None and gap < COVERAGE_GAP_MIN:
             prune = False
-    score_one, score_cog = _score_buckets_kernel(spec, weights, tf_caches,
-                                                 want, shift, tf_order)
     out_schema = "docid long, score float"
     tomb = index.tombstones
 
-    def run_topk(blocks_df) -> list[tuple[int, np.float32]]:
+    def run_topk(blocks_df, theta: float = -math.inf) -> list[tuple[int, np.float32]]:
+        score_one, score_cog = _score_buckets_kernel(
+            spec, weights, tf_caches, want, shift, tf_order,
+            theta=theta, avgdls=avgdls,
+        )
         if tomb is None:
             scored = blocks_df.groupBy("bucket").applyInPandas(
                 score_one, out_schema
@@ -650,6 +864,26 @@ def wand_topk(
                 and disp["q25"] >= 0.98 * disp["mx"]
             )
         if flat_bounds:
+            # flat BUCKET bounds no longer end the story: the
+            # 128-posting BLOCKS inside those buckets may still vary
+            # (block-max WAND's native granularity — a df≈N term on an
+            # i.i.d. corpus is exactly this shape).  One metadata-only
+            # agg over the scored groups' block stats decides whether
+            # the θ machinery can still skip at block granularity.
+            scored_rows = cand
+            if spec.must_not:
+                scored_rows = cand.filter(
+                    ~F.col("term").isin(list(spec.must_not))
+                )
+            bvar = scored_rows.groupBy("field", "term").agg(
+                F.min("max_tf_code").alias("c0"),
+                F.max("max_tf_code").alias("c1"),
+                F.min("min_fieldnorm_id").alias("n0"),
+                F.max("min_fieldnorm_id").alias("n1"),
+            ).collect()
+            if any(r["c0"] != r["c1"] or r["n0"] != r["n1"] for r in bvar):
+                flat_bounds = False
+        if flat_bounds:
             winners = run_topk(
                 cand.join(bounds.select("bucket"), "bucket", "left_semi")
             )
@@ -691,7 +925,13 @@ def wand_topk(
                 (F.col("bound") >= theta) & ~F.col("bucket").isin(seed)
             ).select("bucket")
             rest = cand.join(survivors, "bucket", "left_semi")
-            winners += run_topk(rest)
+            mult_map = _clause_mult(spec)
+            pruned_rest = rest
+            if theta != -math.inf:
+                pruned_rest = _block_prefilter(
+                    rest, theta, weights, avgdls, mult_map
+                )
+            winners += run_topk(pruned_rest, theta=theta)
             if receipt is not None:
                 # extra counting jobs — only on request (receipts)
                 receipt.buckets_total = bounds.count()
@@ -701,6 +941,31 @@ def wand_topk(
                     - receipt.buckets_total
                 )
                 receipt.theta = theta
+                if theta != -math.inf:
+                    # block-granular receipt: metadata-only replay of
+                    # the SAME interval mask the kernel applied (which
+                    # dominates the JVM prefilter -> exact decode counts)
+                    def count_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+                        keepm = _block_keep_mask(
+                            pdf, theta, weights, avgdls, tf_order,
+                            mult_map, shift,
+                        )
+                        return pd.DataFrame(
+                            {"t": [len(pdf)], "k": [int(keepm.sum())]}
+                        )
+
+                    crow = (
+                        rest.select(
+                            "bucket", "field", "term", "first_doc",
+                            "max_tf_code", "min_fieldnorm_id",
+                        )
+                        .groupBy("bucket")
+                        .applyInPandas(count_blocks, "t long, k long")
+                        .agg(F.sum("t").alias("t"), F.sum("k").alias("k"))
+                        .collect()[0]
+                    )
+                    receipt.blocks_total = int(crow["t"] or 0)
+                    receipt.blocks_decoded = int(crow["k"] or 0)
             bounds.unpersist()
 
     if not winners:

@@ -37,6 +37,13 @@ from frankensearch_spark.operators.wand import ServingIndex
 
 MANIFEST_VERSION = 1
 
+# Durable-write parquet page compression: zstd measured 28% SMALLER and
+# 22% FASTER to write than snappy on the 500k-doc block store (BENCH.md
+# §3d) — the durable write is the bandwidth-bound scaling stage, so
+# fewer bytes directly buy N->4N efficiency.  Read side needs no change
+# (codec is per-page parquet metadata).
+PARQUET_COMPRESSION = "zstd"
+
 
 @dataclass
 class BuildManifest:
@@ -60,10 +67,13 @@ class BuildManifest:
     # mappings in one index (silent corruption), so resume verifies this
     # before writing anything
     docid_fingerprint: str | None = None
-    # posting block codec: "vint" (LEB128 everywhere) or "for"
-    # (FrameOfReference bitpacked full blocks, LEB128 tails) — the block
-    # rows are self-describing via their codec column; recorded here for
-    # observability and so resumed builds keep one codec per index
+    # posting block codec: "vint" (LEB128 everywhere), "for"
+    # (FrameOfReference bitpacked full blocks, LEB128 tails), or
+    # "bitmap" (the reference's full three-kind dispatch: dense full
+    # blocks -> 512-bit Bitmap, other full -> FOR, tails -> Vint) — the
+    # block rows are self-describing via their codec column; recorded
+    # here for observability and so resumed builds keep one codec per
+    # index
     codec: str = "vint"
 
 
@@ -219,7 +229,9 @@ def write_index(
         # query-time term->tpart filters prune via parquet statistics
         # (TERMDICT block-first-key analogue) without the dynamic-
         # partition writer's per-directory fan-out
-        part.write.mode("overwrite").parquet(dest)
+        part.write.mode("overwrite").option(
+        "compression", PARQUET_COMPRESSION
+    ).parquet(dest)
         manifest.committed_groups[key] = {
             # row count from parquet footers — metadata-only, no recompute
             "rows": spark.read.parquet(dest).count(),
@@ -241,7 +253,9 @@ def write_index(
         if name in manifest.tables:
             continue
         dest = os.path.join(path, name)
-        df.write.mode("overwrite").parquet(dest)
+        df.write.mode("overwrite").option(
+        "compression", PARQUET_COMPRESSION
+    ).parquet(dest)
         manifest.tables[name] = {"rows": spark.read.parquet(dest).count()}
         _publish(path, manifest)
 
@@ -452,7 +466,9 @@ def write_serving_index(sidx, path: str, key_cols: list[str] | None = None,
         codec=codec,
     )
     dest = os.path.join(path, "blocks", "group=0")
-    sidx.blocks.write.mode("overwrite").parquet(dest)
+    sidx.blocks.write.mode("overwrite").option(
+        "compression", PARQUET_COMPRESSION
+    ).parquet(dest)
     manifest.committed_groups["0"] = {
         "rows": spark.read.parquet(dest).count(), "seconds": 0.0,
     }
@@ -465,7 +481,9 @@ def write_serving_index(sidx, path: str, key_cols: list[str] | None = None,
         tables.append(("tombstones", sidx.tombstones))
     for name, df in tables:
         tdest = os.path.join(path, name)
-        df.write.mode("overwrite").parquet(tdest)
+        df.write.mode("overwrite").option(
+        "compression", PARQUET_COMPRESSION
+    ).parquet(tdest)
         manifest.tables[name] = {"rows": spark.read.parquet(tdest).count()}
     manifest.completed = True
     _publish(path, manifest)

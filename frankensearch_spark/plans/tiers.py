@@ -28,6 +28,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+
+from frankensearch_spark.plans.manifest import PARQUET_COMPRESSION
 from dataclasses import dataclass
 
 TIER_SMALL_MAX = 1 << 16        # keeper.rs tier boundary (docs)
@@ -165,7 +167,9 @@ def merge_segments(spark, out_dir: str, run: list[SegmentInfo]) -> SegmentInfo:
         # repartition (a shuffle), NOT coalesce: coalesce(1) is a narrow
         # dependency that would collapse the whole member read +
         # position normalization into one single-core task
-        df.repartition(1).write.mode("overwrite").parquet(
+        df.repartition(1).write.mode("overwrite").option(
+        "compression", PARQUET_COMPRESSION
+    ).parquet(
             os.path.join(dest, table)
         )
     info = SegmentInfo(

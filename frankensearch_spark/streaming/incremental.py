@@ -21,6 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from frankensearch_spark.plans.manifest import PARQUET_COMPRESSION
 from frankensearch_spark.operators.build import (
     DOC_ORDS_PER_LEASE,
     BuiltIndex,
@@ -70,7 +71,9 @@ def index_microbatch(
     postings = build_postings_fused(with_docid, content_col)
     seg_id = f"s{lease_idx:08d}"
     seg_dir = os.path.join(segments_dir(out_dir), seg_id)
-    postings.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
+    postings.write.mode("overwrite").option(
+        "compression", PARQUET_COMPRESSION
+    ).parquet(os.path.join(seg_dir, "postings"))
     spark = batch_df.sparkSession
     # docmeta reads the SEALED postings back from disk: tokenization
     # runs exactly once per micro-batch (build_docmeta's contract)
@@ -78,7 +81,9 @@ def index_microbatch(
     docmeta = build_docmeta(
         with_docid, key_cols, sealed.drop("positions"), content_col
     )
-    docmeta.write.mode("overwrite").parquet(os.path.join(seg_dir, "docmeta"))
+    docmeta.write.mode("overwrite").option(
+        "compression", PARQUET_COMPRESSION
+    ).parquet(os.path.join(seg_dir, "docmeta"))
     with_docid.unpersist()
     n_docs = spark.read.parquet(os.path.join(seg_dir, "docmeta")).count()
     write_segment_meta(

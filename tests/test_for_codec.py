@@ -130,3 +130,105 @@ def test_for_wand_pruned_parity(pair, oracle):
         for d, s in oracle.search("fn term00001 term00002", k=10)
     ]
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Bitmap block kind (quiver.rs:395-430 kind Bitmap): codec="bitmap" is
+# the reference's full three-kind dispatch — dense full blocks (docid
+# span < 512) store a fixed 64-byte bitmap, other full blocks FOR, tails
+# Vint.  Same law as FOR: bytes change, bits never do.
+
+
+@pytest.fixture(scope="module")
+def bitmap_srv(pair):
+    built, _vint, _fo = pair
+    return serving_from_built(built, cache=True, codec="bitmap")
+
+
+def test_bitmap_roundtrip_unit():
+    """Pure-numpy encode/decode law, incl. the frame-of-reference rule
+    (bit 0 always set; first offset rides the block columns)."""
+    import numpy as np
+
+    from frankensearch_spark.functions.bitpack import (
+        bitmap_decode_doc,
+        bitmap_encode_rows,
+    )
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for _ in range(20):
+        offs = np.sort(rng.choice(511, size=128, replace=False)) + rng.integers(0, 7000)
+        rows.append(offs.astype(np.uint64))
+    mat = np.stack(rows)
+    bufs = bitmap_encode_rows(mat)
+    assert all(len(b) == 64 for b in bufs)
+    for i, b in enumerate(bufs):
+        rel = bitmap_decode_doc(b, 128)
+        assert rel[0] == 0  # first offset is frame-of-reference
+        assert (mat[i][0] + rel == mat[i]).all()
+
+
+def test_bitmap_blocks_mark_and_equal(pair, bitmap_srv):
+    """Dense mega-term blocks mark CODEC_BITMAP (fn/import appear in
+    every doc, so a full block spans 127 docids < 512); posting streams
+    stay identical to vint."""
+    import numpy as np
+
+    from frankensearch_spark.functions.bitpack import CODEC_BITMAP
+    from frankensearch_spark.operators.merge import decode_blocks_pdf
+
+    _built, vint, _fo = pair
+    vb = vint.blocks.toPandas()
+    bb = bitmap_srv.blocks.toPandas()
+    n_bm = int((bb["codec"].to_numpy() == CODEC_BITMAP).sum())
+    assert n_bm > 0, "no bitmap blocks on a corpus with df=N mega terms"
+    # a bitmap block's doc stream is exactly 64 bytes
+    assert (bb.loc[bb["codec"] == CODEC_BITMAP, "doc_bytes"].map(len) == 64).all()
+    d1, t1, f1, r1 = decode_blocks_pdf(vb)
+    d2, t2, f2, r2 = decode_blocks_pdf(bb)
+    assert sorted(zip(vb["term"].to_numpy()[r1], d1, t1, f1)) == sorted(
+        zip(bb["term"].to_numpy()[r2], d2, t2, f2)
+    )
+
+
+@pytest.mark.parametrize("text", QUERIES)
+def test_bitmap_serving_bit_parity(bitmap_srv, oracle, text):
+    ast = parse_lenient(text, ENGINE_SCHEMA).query
+    exp = [
+        (d, int(np.float32(s).view(np.uint32)))
+        for d, s in oracle.search_ast(ast, 10)
+    ]
+    assert serving_search_bits(bitmap_srv, text, k=10) == exp, text
+
+
+def test_bitmap_durable_roundtrip(spark, pair, oracle):
+    built, _vint, _fo = pair
+    path = tempfile.mkdtemp(prefix="fsx_bm_")
+    try:
+        m = write_index(built, path, n_groups=2, source="test", codec="bitmap")
+        assert m.codec == "bitmap"
+        sidx = read_index(spark, path)
+        for text in QUERIES:
+            ast = parse_lenient(text, ENGINE_SCHEMA).query
+            exp = [
+                (d, int(np.float32(s).view(np.uint32)))
+                for d, s in oracle.search_ast(ast, 10)
+            ]
+            assert serving_search_bits(sidx, text, k=10) == exp, text
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_bitmap_wand_pruned_parity(bitmap_srv, oracle):
+    from frankensearch_spark.operators.query import QuerySpec
+    from frankensearch_spark.operators.wand import wand_topk
+
+    spec = QuerySpec(should=["fn", "term00001", "term00002"])
+    got = [(d, int(np.float32(s).view(np.uint32)))
+           for d, s in wand_topk(bitmap_srv, spec, k=10, min_cost=0)]
+    exp = [
+        (d, int(np.float32(s).view(np.uint32)))
+        for d, s in oracle.search("fn term00001 term00002", k=10)
+    ]
+    assert got == exp

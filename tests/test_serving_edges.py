@@ -51,3 +51,33 @@ def test_garbage_queries_consistent_across_paths(built, srv):
         exp = oracle.search_ast_bits(ast, k=5)
         assert search_ast_bits(built, q, k=5) == exp, q
         assert serving_search_bits(srv, q, k=5) == exp, q
+
+
+def test_bounded_termstats_preload_warm_equals_cold(built, srv):
+    """A 100-TB vocabulary cannot be fully collected to the driver: the
+    preload caps at top-df max_terms and marks the cache PARTIAL; tail
+    terms route through ONE filtered collect (then negative/positive
+    cached).  Warm (capped preload) must emit bit-identical results to
+    cold (no preload) — including queries whose terms live entirely in
+    the un-preloaded tail."""
+    import copy
+
+    cold = serving_search_bits(srv, "term00001 fn term00042", k=10)
+    cold_tail = serving_search_bits(srv, "term00042 term00077", k=10)
+
+    warm = copy.copy(srv)
+    warm._term_df_cache = None
+    n = warm.preload_termstats(max_terms=3)  # far below the vocabulary
+    assert n == 3
+    assert getattr(warm, "_term_df_complete") is False
+    assert serving_search_bits(warm, "term00001 fn term00042", k=10) == cold
+    assert serving_search_bits(warm, "term00042 term00077", k=10) == cold_tail
+    # tail terms were folded into the cache (positive), misses negative
+    assert warm._term_df_cache.get("term00042", 0) > 0
+    assert warm.df_of_terms(["zzzmissing"]) == {}
+    assert warm._term_df_cache.get("zzzmissing") == 0  # negative-cached
+    # an uncapped preload on this small vocab still reports complete
+    full = copy.copy(srv)
+    full._term_df_cache = None
+    full.preload_termstats()
+    assert getattr(full, "_term_df_complete") is True

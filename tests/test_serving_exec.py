@@ -241,3 +241,25 @@ def test_phrase_capability_scoped_to_phrase_fields():
     )
     ast = parse_lenient('prefixf:fo AND "foo bar"', schema).query
     assert _phrase_fields(ast) == ["content"]
+
+
+@pytest.mark.parametrize("text", PHRASE_QUERIES)
+def test_phrase_local_whitelist_beyond_cap(serving, oracle, text, monkeypatch):
+    """Mega-term phrase path: when the rare slot's df exceeds
+    PHRASE_WL_CAP, the candidate restriction switches from the driver
+    collect+broadcast to the bucket-COGROUPED local whitelist (each
+    bucket task decodes the rare slot's docids itself; buckets without
+    the rare slot emit nothing).  Forcing the cap to 0 routes EVERY
+    phrase through that path — bits must stay oracle-identical."""
+    import numpy as np
+
+    from frankensearch_spark.operators import serving_exec as se
+
+    monkeypatch.setattr(se, "PHRASE_WL_CAP", 0)
+    ast = parse_lenient(text, ENGINE_SCHEMA).query
+    exp = [
+        (d, int(np.float32(s).view(np.uint32)))
+        for d, s in oracle.search_ast(ast, 10)
+    ]
+    got = serving_search_bits(serving, text, k=10)
+    assert got == exp, text

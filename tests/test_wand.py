@@ -299,3 +299,48 @@ def test_wand_duplicate_term_bound_skips_true_winner(spark):
     # and the winner really is the short high-tf doc, proving the branch
     docmeta = {r["docid"]: r["path"] for r in built.docmeta.collect()}
     assert docmeta[b[0][0]] == "zwinner"
+
+
+def test_wand_block_granular_skip_on_flat_buckets(spark):
+    """Flat BUCKET bounds, varying BLOCKS — the i.i.d./mega-term shape
+    bucket-granular pruning can never skip (round-2 receipts honestly
+    reported 0%).  Every 256-doc bucket holds one all-tf=1 block of
+    'needle' and one block containing tf=8 docs, so all bucket bounds
+    are equal; the 128-posting block mask (argus.rs:4474-4520
+    granularity) must skip the tf=1 blocks in every survivor bucket.
+
+    Pinned: pruned ≡ exhaustive (f32 bits), blocks_skipped > 0 on the
+    forced path (min_cost=0), AND the dispersion gate (min_cost=1) no
+    longer surrenders to the exhaustive pass when bucket bounds are
+    flat but block stats vary."""
+    from frankensearch_spark.operators.wand import PruningReceipt
+
+    low = "needle " + " ".join(f"pad{j:02d}" for j in range(7))
+    high = ("needle " * 8).strip()
+    rows = []
+    for i in range(1024):
+        text = high if (i % 256) >= 240 else low  # tf=8 at the bucket tail
+        rows.append(("r", f"{i:05d}", "c", "x", text))
+    corpus = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    built = build_index(corpus, CORPUS_KEY, docid_mode="global")
+    srv = serving_from_built(built, bucket_shift=8, n_term_partitions=8,
+                             with_positions=False)
+    spec = QuerySpec.from_text("needle")
+    exh = wand_topk(srv, spec, k=5, prune=False)
+
+    for mc in (0, 1):  # forced θ path AND the dispersion-gate path
+        r = PruningReceipt()
+        got = wand_topk(srv, spec, k=5, prune=True, seed_buckets=1,
+                        receipt=r, min_cost=mc)
+        assert [(d, np.float32(s).view(np.uint32)) for d, s in got] == [
+            (d, np.float32(s).view(np.uint32)) for d, s in exh
+        ], mc
+        assert r.theta > float("-inf"), mc
+        assert r.blocks_total > 0 and r.blocks_skipped > 0, (
+            mc, r.blocks_total, r.blocks_decoded,
+        )
+    # winners are tf=8 docs (proving θ certified the right class)
+    assert all((d % 256) >= 240 for d, _ in exh)

@@ -34,7 +34,8 @@ def _run(srv, queries: dict) -> None:
     from frankensearch_spark.operators.wand import PruningReceipt, wand_topk
 
     print(f"{'query':<18} {'total':>7} {'unmatch':>8} {'scored':>7} "
-          f"{'skipped':>8} {'skip%':>6} {'pruned(s)':>10} {'exhaust(s)':>11}")
+          f"{'skipped':>8} {'skip%':>6} {'blk_tot':>8} {'blk_skip':>8} "
+          f"{'blk%':>6} {'pruned(s)':>10} {'exhaust(s)':>11}")
     for name, spec in queries.items():
         wand_topk(srv, spec, k=10)  # warm (plan + caches)
         r = PruningReceipt()
@@ -53,9 +54,13 @@ def _run(srv, queries: dict) -> None:
             if all_b
             else 0.0
         )
+        blk_pct = (
+            100.0 * r.blocks_skipped / r.blocks_total if r.blocks_total else 0.0
+        )
         print(f"{name:<18} {all_b:>7} {r.buckets_unmatchable:>8} "
               f"{r.buckets_scored:>7} {r.buckets_skipped:>8} "
-              f"{skip_pct:>5.1f}% {t_pruned:>10.3f} {t_exh:>11.3f}")
+              f"{skip_pct:>5.1f}% {r.blocks_total:>8} {r.blocks_skipped:>8} "
+              f"{blk_pct:>5.1f}% {t_pruned:>10.3f} {t_exh:>11.3f}")
 
 
 def clustered(n_docs: int) -> None:
