@@ -157,15 +157,16 @@ class ServingIndex:
             .agg(
                 F.countDistinct("bucket").alias("nb"),
                 F.max("shape").alias("mx"),
-                F.expr("percentile_approx(shape, 0.25)").alias("q25"),
+                F.expr(
+                    "percentile_approx(shape, "
+                    "array(0.1, 0.25, 0.5, 0.75, 0.9))"
+                ).alias("qs"),
             )
             .collect()
         )
+        # per term: (bucket coverage, estimated block-skippable fraction)
         self._bucket_cov = {
-            r["term"]: (
-                int(r["nb"]),
-                (float(r["q25"]) / float(r["mx"])) if r["mx"] else 1.0,
-            )
+            r["term"]: (int(r["nb"]), _frac_low(r["qs"], r["mx"]))
             for r in rows
         }
         self._total_buckets = int(
@@ -534,6 +535,46 @@ def _bucket_bound_kernel(scored_terms: list[str], must_set: set[str],
     return bound_one
 
 
+def _single_term_stream_topk(cand: DataFrame, weight, tf_cache,
+                             bucket_shift: int, want: int):
+    """Exhaustive single-clause top-k WITHOUT the bucket exchange:
+    decode + score each candidate block inside its scan partition, emit
+    a partition-local top-``want``, merge via orderBy().limit() (a
+    TakeOrderedAndProject — no full sort).  Valid only when one scored
+    (field, term) clause exists, no MustNot, and no tombstones: then a
+    doc's score is exactly its single posting's ``w·tf/(tf+norm)``
+    (the kernel's one-clause reduction) and no accumulation across
+    blocks can occur."""
+    w = np.float32(weight)
+    tfc = tf_cache
+
+    def score_stream(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            docids, tfs, fids, _rows = decode_blocks_pdf(pdf, bucket_shift)
+            if docids.size == 0:
+                continue
+            f = tfs.astype(np.float32)
+            norm = tfc[fids.astype(np.int64)]
+            s = (w * f / (f + norm)).astype(np.float32)
+            order = score_total_order_key(s, docids)[:want]
+            yield pd.DataFrame(
+                {
+                    "docid": docids[order].astype(np.int64),
+                    "score": s[order],
+                }
+            )
+
+    rows = (
+        cand.mapInPandas(score_stream, "docid long, score float")
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(want)
+        .collect()
+    )
+    return [(int(r["docid"]), np.float32(r["score"])) for r in rows]
+
+
 def _block_prefilter(blocks_df: DataFrame, theta: float, weights: dict,
                      avgdls: dict, mult: dict) -> DataFrame:
     """JVM-visible per-row block-θ prefilter, applied BEFORE the bucket
@@ -704,6 +745,28 @@ class PruningReceipt:
 
 WAND_MIN_COST = 16_384  # argus.rs:31 — prune only past this posting volume
 COVERAGE_GAP_MIN = 0.05  # prune only if ≥5% of buckets lack some clause term
+# Block-granular θ-pruning engages only when the estimated skippable
+# block fraction clears this: the θ ceremony costs ~2 extra jobs, and
+# skipping b% of blocks saves ~b% of ONE decode job — measured on the
+# 2M i.i.d. index, a real mega-term θ skips just 6% of blocks (θ lands
+# within ~10% of the max block bound for small k), where the single
+# exhaustive job is 2.5x faster than the ceremony.  Clustered/skewed
+# corpora clear this easily (bimodal doc lengths → ~50%).
+BLOCK_PRUNE_MIN_FRAC = 0.3
+SHAPE_LOW_C = 0.85  # "skippable" proxy: bound < 0.85 × group max bound
+
+
+def _frac_low(qs, mx) -> float:
+    """Largest sampled quantile of a group's per-block bound shape that
+    sits below ``SHAPE_LOW_C × max`` — a θ-free estimate of the
+    block-skippable volume (θ for small k lands near the max bound)."""
+    if not mx:
+        return 0.0
+    frac = 0.0
+    for p, v in zip((0.1, 0.25, 0.5, 0.75, 0.9), qs or ()):
+        if v is not None and float(v) < SHAPE_LOW_C * float(mx):
+            frac = p
+    return frac
 
 
 def _coverage_gap(fidx: dict, spec: QuerySpec, tf_order: dict) -> float | None:
@@ -711,12 +774,15 @@ def _coverage_gap(fidx: dict, spec: QuerySpec, tf_order: dict) -> float | None:
     preloaded per-term planning stats — or None when any queried field
     hasn't preloaded them (gate inactive).
 
-    Per (term, field) the signal is ``max(coverage gap, bound
-    non-flatness)``: skipping a bucket needs its bound to sit below θ,
-    which needs some clause term to be absent there (Must rule /
-    missing contribution) OR its per-bucket bound shape to vary
-    (doc-length or tf skew).  A query whose every term covers every
-    bucket with near-identical shape has provably near-uniform bounds,
+    Per (term, field) the signal is ``max(coverage gap, block-skippable
+    fraction)``: skipping a bucket needs some clause term to be absent
+    there (Must rule / missing contribution), and skipping a BLOCK needs
+    its bound below θ — estimated by the fraction of the term's blocks
+    whose bound shape sits under ``SHAPE_LOW_C × max`` (only actionable
+    past ``BLOCK_PRUNE_MIN_FRAC``: below that the θ ceremony's extra
+    jobs cost more than the skipped decode, measured on the 2M i.i.d.
+    index).  A query whose every term covers every bucket with
+    near-identical per-block shape has provably near-uniform bounds,
     and the θ ceremony can only add jobs."""
     worst = 0.0
     any_seen = False
@@ -730,9 +796,10 @@ def _coverage_gap(fidx: dict, spec: QuerySpec, tf_order: dict) -> float | None:
             ent = cov.get(t)
             if ent is None:
                 continue  # term absent from the field: no bound at all
-            nb, flatness = ent
+            nb, frac = ent
             any_seen = True
-            worst = max(worst, 1.0 - nb / total, 1.0 - flatness)
+            block_sig = frac if frac >= BLOCK_PRUNE_MIN_FRAC else 0.0
+            worst = max(worst, 1.0 - nb / total, block_sig)
     return worst if any_seen else None
 
 
@@ -829,7 +896,29 @@ def wand_topk(
         if any((f, t) in weights for f in tf_order.get(t, ()))
     ]
     if not prune or not scored_terms:
-        winners = run_topk(cand)
+        if (
+            tomb is None
+            and len(weights) == 1
+            and not spec.must_not
+            and len(spec.clause_terms()) == 1
+            and set(spec.must) <= set(spec.clause_terms())
+        ):
+            # SHUFFLE-FREE single-term fast path: with one scored
+            # (field, term) clause every doc owns exactly one posting,
+            # so no cross-block accumulation exists — score each block
+            # where it lies (mapInPandas, no bucket exchange), keep a
+            # partition-local top-k, and let TakeOrderedAndProject
+            # merge.  This is the mega-term/short-keyword class the
+            # coverage gate routes exhaustive on i.i.d. corpora; the
+            # bucket groupBy there only paid for an accumulation that
+            # cannot happen.  Bit-exact: the kernel's single-clause
+            # score IS w·tf/(tf+norm) with no additions.
+            (fname, t), w = next(iter(weights.items()))
+            winners = _single_term_stream_topk(
+                cand, w, tf_caches[fname], shift, want
+            )
+        else:
+            winners = run_topk(cand)
     else:
         # Phase A: distributed per-bucket conservative bounds
         meta = cand.groupBy("bucket", "field", "term").agg(
@@ -868,20 +957,55 @@ def wand_topk(
             # 128-posting BLOCKS inside those buckets may still vary
             # (block-max WAND's native granularity — a df≈N term on an
             # i.i.d. corpus is exactly this shape).  One metadata-only
-            # agg over the scored groups' block stats decides whether
-            # the θ machinery can still skip at block granularity.
+            # agg estimates the block-skippable fraction per scored
+            # group; the θ machinery re-engages only when it clears
+            # BLOCK_PRUNE_MIN_FRAC (mere variation isn't enough — the
+            # 2M i.i.d. receipts show θ skipping just 6% of a
+            # mega-term's blocks, where exhaustive is 2.5x faster).
             scored_rows = cand
             if spec.must_not:
                 scored_rows = cand.filter(
                     ~F.col("term").isin(list(spec.must_not))
                 )
-            bvar = scored_rows.groupBy("field", "term").agg(
-                F.min("max_tf_code").alias("c0"),
-                F.max("max_tf_code").alias("c1"),
-                F.min("min_fieldnorm_id").alias("n0"),
-                F.max("min_fieldnorm_id").alias("n1"),
-            ).collect()
-            if any(r["c0"] != r["c1"] or r["n0"] != r["n1"] for r in bvar):
+
+            def gshape(pdfs):
+                for pdf in pdfs:
+                    if len(pdf) == 0:
+                        continue
+                    out = []
+                    for f in pdf["field"].unique():
+                        sub = pdf[pdf["field"] == f]
+                        s = block_max_score(
+                            sub["max_tf_code"].to_numpy(np.int64),
+                            sub["min_fieldnorm_id"].to_numpy(np.int64),
+                            avgdls[f],
+                            np.float32(1.0),
+                        )
+                        out.append(pd.DataFrame({
+                            "field": sub["field"], "term": sub["term"],
+                            "shape": s.astype(np.float64),
+                        }))
+                    yield pd.concat(out)
+
+            grows = (
+                scored_rows.select(
+                    "field", "term", "max_tf_code", "min_fieldnorm_id"
+                )
+                .mapInPandas(gshape, "field string, term string, shape double")
+                .groupBy("field", "term")
+                .agg(
+                    F.max("shape").alias("mx"),
+                    F.expr(
+                        "percentile_approx(shape, "
+                        "array(0.1, 0.25, 0.5, 0.75, 0.9))"
+                    ).alias("qs"),
+                )
+                .collect()
+            )
+            if any(
+                _frac_low(r["qs"], r["mx"]) >= BLOCK_PRUNE_MIN_FRAC
+                for r in grows
+            ):
                 flat_bounds = False
         if flat_bounds:
             winners = run_topk(

@@ -31,7 +31,8 @@ def main() -> None:
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--tokenizer", default="auto", choices=["auto", "arrow", "sql", "vector"])
-    ap.add_argument("--codec", default="vint", choices=["vint", "for"],
+    ap.add_argument("--codec", default="vint",
+                    choices=["vint", "for", "bitmap"],
                     help="posting block codec for the durable write")
     ap.add_argument("--no-warm", action="store_true")
     ap.add_argument("--skip-write", action="store_true",
