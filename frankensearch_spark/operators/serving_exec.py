@@ -70,6 +70,13 @@ def blocks_to_postings(
         cand = index.blocks.filter(
             F.col("tpart").isin(tparts) & F.col("term").isin(terms)
         )
+    if not with_positions:
+        # non-phrase decodes never touch the positions sidecar: prune
+        # pos_bytes (the heaviest block column) so the parquet scan
+        # skips its pages entirely
+        cand = cand.select(
+            *[c for c in cand.columns if c != "pos_bytes"]
+        )
     shift = index.bucket_shift
     bc = None
     if docid_whitelist is not None:

@@ -535,8 +535,8 @@ def _bucket_bound_kernel(scored_terms: list[str], must_set: set[str],
     return bound_one
 
 
-def _single_term_stream_topk(cand: DataFrame, weight, tf_cache,
-                             bucket_shift: int, want: int):
+def _single_term_stream_plan(cand: DataFrame, weight, tf_cache,
+                             bucket_shift: int, want: int) -> DataFrame:
     """Exhaustive single-clause top-k WITHOUT the bucket exchange:
     decode + score each candidate block inside its scan partition, emit
     a partition-local top-``want``, merge via orderBy().limit() (a
@@ -566,12 +566,20 @@ def _single_term_stream_topk(cand: DataFrame, weight, tf_cache,
                 }
             )
 
-    rows = (
+    return (
         cand.mapInPandas(score_stream, "docid long, score float")
         .orderBy(F.desc("score"), F.asc("docid"))
         .limit(want)
-        .collect()
     )
+
+
+def _single_term_stream_topk(cand: DataFrame, weight, tf_cache,
+                             bucket_shift: int, want: int):
+    """Collected form of :func:`_single_term_stream_plan` —
+    [(docid, f32 score)] in the pinned total order."""
+    rows = _single_term_stream_plan(
+        cand, weight, tf_cache, bucket_shift, want
+    ).collect()
     return [(int(r["docid"]), np.float32(r["score"])) for r in rows]
 
 
@@ -706,7 +714,18 @@ def _prepare(index, spec: QuerySpec, term_fields: dict | None = None):
         )
         part = sub.blocks.filter(
             F.col("tpart").isin(tparts) & F.col("term").isin(present)
-        ).withColumn("field", F.lit(f))
+        )
+        # WAND never touches positions: prune pos_bytes (the HEAVIEST
+        # block column) so the parquet scan skips its pages and the
+        # bucket exchange never ships it
+        keep = [
+            c for c in (
+                "term", "bucket", "first_doc", "n", "doc_bytes",
+                "tf_bytes", "norm_bytes", "max_tf_code",
+                "min_fieldnorm_id", "codec",
+            ) if c in part.columns
+        ]
+        part = part.select(*keep).withColumn("field", F.lit(f))
         cand = part if cand is None else cand.unionByName(part)
     if cand is None:
         return None

@@ -109,6 +109,43 @@ def main() -> None:
             "(TakeOrderedAndProject).",
             fmt(meta),
         ))
+
+        # 4b. single-clause shuffle-free fast path (round 3): the ONLY
+        # exchange in the whole plan is the final TakeOrderedAndProject
+        from frankensearch_spark.contract import (
+            compute_avgdl,
+            compute_tf_cache,
+            term_weight,
+        )
+        from frankensearch_spark.operators.merge import term_partition
+        from frankensearch_spark.operators.wand import (
+            _single_term_stream_plan,
+        )
+
+        dc, tt = srv.stats()
+        one = srv.blocks.filter(
+            (F.col("tpart") == term_partition("fn", srv.n_term_partitions))
+            & (F.col("term") == "fn")
+        )
+        fast = _single_term_stream_plan(
+            one,
+            term_weight(srv.df_of_terms(["fn"]).get("fn", 1), dc),
+            compute_tf_cache(compute_avgdl(tt, dc)),
+            srv.bucket_shift,
+            10,
+        )
+        sections.append((
+            "Single-clause fast path (mega-term/short-keyword serving)",
+            "one scored clause means one posting per matching doc — no "
+            "cross-block accumulation exists, so the bucket exchange the "
+            "general kernel needs is pure overhead here.  Blocks decode "
+            "and score inside their scan partitions (MapInPandas over the "
+            "tpart/term-pruned block scan), each partition emits a local "
+            "top-k, and the only exchange in the plan is the final "
+            "TakeOrderedAndProject merge.  2M-doc warm p50: fn "
+            "1.77 -> 1.21 s, term00042 1.50 -> 0.58 s.",
+            fmt(fast),
+        ))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
