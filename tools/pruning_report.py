@@ -38,9 +38,12 @@ def _run(srv, queries: dict) -> None:
           f"{'blk%':>6} {'pruned(s)':>10} {'exhaust(s)':>11}")
     for name, spec in queries.items():
         wand_topk(srv, spec, k=10)  # warm (plan + caches)
+        # receipts add 3-4 counting jobs — take the counts from an
+        # UNTIMED run so t_pruned measures the serving path itself
         r = PruningReceipt()
-        t0 = time.perf_counter()
         pruned = wand_topk(srv, spec, k=10, receipt=r, min_cost=0)
+        t0 = time.perf_counter()
+        assert wand_topk(srv, spec, k=10, min_cost=0) == pruned
         t_pruned = time.perf_counter() - t0
         t0 = time.perf_counter()
         exhaustive = wand_topk(srv, spec, k=10, prune=False)
@@ -95,6 +98,10 @@ def clustered(n_docs: int) -> None:
             must=[marker], should=["term00042", "term00100"]
         ),
         "should_repolocal": QuerySpec(should=[marker, "term00042"]),
+        # mega-term variant: exhaustive must decode 'fn' (df≈N)
+        # everywhere; θ from the marker's high-idf docs clears every
+        # fn-only bucket — the shape where pruning wins wall-clock
+        "repolocal_megaterm": QuerySpec(should=[marker, "fn"]),
     })
     spark.stop()
 
