@@ -49,7 +49,6 @@ from frankensearch_spark.contract import (
     block_max_score,
     compute_avgdl,
     compute_tf_cache,
-    conservative_bound_sum,
     score_total_order_key,
     term_weight,
 )
@@ -486,53 +485,85 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_caches: dict,
     return score_grouped, score_cogrouped
 
 
-def _bucket_bound_kernel(scored_terms: list[str], must_set: set[str],
-                         weights: dict, avgdls: dict, term_fields: dict):
-    """Per-bucket conservative upper bound from block metadata only.
+def _jvm_bucket_bounds(meta: DataFrame, must_set: set, weights: dict,
+                       avgdls: dict, mult: dict) -> DataFrame:
+    """Phase-A per-bucket conservative bounds as pure whole-stage
+    codegen — NO Python stage (round 3; the pandas kernel this replaces
+    cost an ArrowEvalPython round trip on the θ path's critical chain).
 
-    Input: one bucket's (bucket, field, term, mtc, mfn, n_postings)
-    aggregate rows.  Emits nothing for buckets where a Must term is
-    absent from EVERY one of its queried fields (unmatchable — the
-    bucket-granular required-clause rule).  The bound is
-    ``conservative_bound_sum`` over each scored (field, term)'s best
-    block bound with that field's avgdl: safe for ANY f32 accumulation
-    order (argus.rs:3918-3973).
+    Per aggregated (bucket, field, term) metadata row the contribution
+    is ``mult_t · w_{f,t} · fmax(mtc) / (fmax(mtc) + norm_f(mfn))``
+    (contract.rs:335-367 block bound): ``w``/``mult`` ride a per-group
+    broadcast LUT, ``norm`` a 256-row per-field LUT of the f32
+    ``cached_tf_component`` values.  The f64 product is inflated by one
+    f32 ulp so it upper-bounds the kernel's f32 ``block_max_score``
+    (whose rounding can land ON the achievable score); the per-bucket
+    sum then takes the ``n·eps`` any-order envelope
+    (conservative_bound_sum's law, argus.rs:3918-3973) — so every
+    emitted bound dominates every possible f32 accumulation of true
+    scores, and θ-pruning on it stays rank-safe.
 
-    ``scored_terms`` keeps CLAUSE MULTIPLICITY: the exact scorers
-    accumulate a term once per scored clause (e.g. '+foo foo' adds
-    foo's contribution twice, matching kernel._eval_boolean), so the
-    bound must too — deduplicating here would halve the bound for such
-    queries and let θ-pruning skip buckets holding true top-k docs."""
+    CLAUSE MULTIPLICITY is preserved (``mult``): the exact scorers
+    accumulate a term once per scored clause ('+foo foo' adds foo
+    twice); deduplicating would halve the bound and let θ skip buckets
+    holding true top-k docs (the round-2 adversarial test).
 
-    def bound_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        present = {
-            (f, t): (int(m), int(n))
-            for f, t, m, n in zip(
-                pdf["field"], pdf["term"], pdf["mtc"], pdf["mfn"]
-            )
-        }
-        for t in must_set:
-            if not any((f, t) in present for f in term_fields.get(t, ())):
-                return pd.DataFrame(
-                    {"bucket": [], "bound": [], "n_postings": []}
-                )
-        bs = [
-            float(block_max_score(present[(f, t)][0], present[(f, t)][1],
-                                  avgdls[f], weights[(f, t)]))
-            for t in scored_terms
-            for f in term_fields.get(t, ())
-            if (f, t) in present and (f, t) in weights
-        ]
-        bound = float(conservative_bound_sum(np.array(bs, np.float32)))
-        return pd.DataFrame(
-            {
-                "bucket": [int(pdf["bucket"].iat[0])],
-                "bound": [bound],
-                "n_postings": [int(pdf["n_postings"].sum())],
-            }
+    Buckets missing any Must term (absent from EVERY queried field)
+    drop via the distinct-present-must-terms count — the
+    bucket-granular required-clause rule.  Emits
+    (bucket, bound, n_postings), same contract as the old kernel."""
+    from frankensearch_spark.contract import (
+        cached_tf_component,
+        id_to_fieldnorm,
+    )
+
+    spark = meta.sparkSession
+    wrows = [
+        (f, t, float(w), int(mult.get(t, 0)), t in must_set)
+        for (f, t), w in weights.items()
+    ]
+    wlut = spark.createDataFrame(
+        wrows,
+        "field string, term string, w double, mult int, is_must boolean",
+    )
+    nrows = []
+    for f, avgdl in avgdls.items():
+        norms = cached_tf_component(
+            id_to_fieldnorm(np.arange(256, dtype=np.int64)), avgdl
         )
-
-    return bound_one
+        nrows.extend((f, int(i), float(norms[i])) for i in range(256))
+    nlut = spark.createDataFrame(nrows, "field string, mfn int, norm double")
+    j = (
+        meta.join(F.broadcast(wlut), ["field", "term"], "left")
+        .join(F.broadcast(nlut), ["field", "mfn"], "left")
+    )
+    fmax = (
+        F.when(F.col("mtc") >= 255, F.lit(4294967295.0))
+        .otherwise(F.col("mtc").cast("double"))
+    )
+    b = F.when(F.col("mtc") <= 0, F.lit(0.0)).otherwise(
+        F.col("w") * fmax / (fmax + F.col("norm"))
+    )
+    contrib = F.coalesce(
+        b * F.col("mult") * F.lit(1.0 + 2.0 * _F32_EPS), F.lit(0.0)
+    )
+    agg = j.groupBy("bucket").agg(
+        F.sum(contrib).alias("b0"),
+        F.coalesce(F.sum("mult"), F.lit(0)).alias("ncon"),
+        F.count_distinct(
+            F.when(F.col("is_must"), F.col("term"))
+        ).alias("nmust"),
+        F.sum("n_postings").alias("n_postings"),
+    )
+    if must_set:
+        agg = agg.filter(F.col("nmust") == len(must_set))
+    return agg.select(
+        "bucket",
+        (
+            F.col("b0") * (F.lit(1.0) + F.lit(_F32_EPS) * F.col("ncon"))
+        ).alias("bound"),
+        "n_postings",
+    )
 
 
 def _single_term_stream_plan(cand: DataFrame, weight, tf_cache,
@@ -945,11 +976,8 @@ def wand_topk(
             F.min("min_fieldnorm_id").alias("mfn"),
             F.sum("n").alias("n_postings"),
         )
-        bound_fn = _bucket_bound_kernel(
-            scored_terms, set(spec.must), weights, avgdls, tf_order
-        )
-        bounds = meta.groupBy("bucket").applyInPandas(
-            bound_fn, "bucket long, bound double, n_postings long"
+        bounds = _jvm_bucket_bounds(
+            meta, set(spec.must), weights, avgdls, _clause_mult(spec)
         ).persist()
         # Dispersion gate: θ can only clear a bucket whose bound sits
         # BELOW the best achievable score, so when the bound distribution
