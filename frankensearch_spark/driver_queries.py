@@ -412,6 +412,82 @@ def q_content_witness(spark, sf_dir):
     return idx.docmeta.select("docid", "content_sha256")
 
 
+def q_doc_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition quality signal: the fraction of DUPLICATE
+    word 3-grams per document (1 - distinct/total; 0 when < 3 tokens).
+    The standard boilerplate/spam filter for training-data curation —
+    one whole-stage-codegen projection per doc, no shuffle beyond the
+    scan, so it runs at corpus scan speed at 100 TB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^0-9a-z]+"),
+        lambda x: x != F.lit(""),
+    )
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(F.col("doc_id").alias("docid"), grams.alias("grams"))
+    n = F.size("grams")
+    ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct("grams")).cast("double") / n.cast("double")
+    )
+    return g.select(
+        "docid",
+        n.cast("long").alias("n_grams"),
+        F.round(ratio, 6).alias("rep_ratio_r"),
+    )
+
+
+def q_embedding_int8_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization + reconstruction RMSE —
+    the ANN memory-scale path (4x smaller vectors for the IVF/LSH
+    indexes).  Quantize (clip(floor(x/scale + 0.5), ±127); floor, not
+    round, so both engines share one well-defined rule), dequantize,
+    and error stats all inside ONE JVM projection over the embedding
+    array — no UDF, no shuffle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    absmax = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+    )
+    e = emb.select("vec_id", "embedding", absmax.alias("absmax"))
+    scale = F.col("absmax") / F.lit(127.0)
+    dequant = lambda x: (  # noqa: E731 — local expression builder
+        F.least(
+            F.greatest(
+                F.floor(x.cast("double") / scale + F.lit(0.5)),
+                F.lit(-127.0),
+            ),
+            F.lit(127.0),
+        )
+        * scale
+    )
+    se = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda a, x: a + F.pow(x.cast("double") - dequant(x), F.lit(2.0)),
+    )
+    rmse = F.when(F.col("absmax") == 0.0, F.lit(0.0)).otherwise(
+        F.sqrt(se / F.size("embedding"))
+    )
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale_r"),
+        F.round(rmse, 6).alias("rmse_r"),
+    )
+
+
 def q_bm25_phrase(spark, sf_dir):
     """Exact-adjacency phrase BM25 (E7), f64 oracle-comparable shape:
     weight = (idf(a)+idf(b)) * 2.2, score = weight * pf/(pf + norm)."""
@@ -1497,6 +1573,8 @@ QUERIES = {
     "dedup_keep_list": q_dedup_keep_list,
     "doclen_percentiles": q_doclen_percentiles,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "doc_repetition_ratio": q_doc_repetition_ratio,
+    "embedding_int8_quantize": q_embedding_int8_quantize,
     "events_asof_join": q_events_asof_join,
     "multimodal_frames": q_multimodal_frames,
     "stratified_sample": q_stratified_sample,
@@ -2220,6 +2298,48 @@ ORACLE_SQL = {
         )
         SELECT lang, term, cnt, langs_with, tfidf_r, rn
         FROM ranked WHERE rn <= 5 ORDER BY lang, rn
+    """,
+    "doc_repetition_ratio": """
+        WITH toks AS (
+          SELECT doc_id AS docid,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT docid,
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(generate_series(1, len(t) - 2),
+                                          i -> t[i] || ' ' || t[i+1] || ' '
+                                               || t[i+2])
+                      ELSE []::VARCHAR[] END AS grams
+          FROM toks
+        )
+        SELECT docid,
+               len(grams)::BIGINT AS n_grams,
+               round(CASE WHEN len(grams) = 0 THEN 0.0
+                     ELSE 1.0 - len(list_distinct(grams))::DOUBLE
+                                / len(grams)::DOUBLE END, 6) AS rep_ratio_r
+        FROM g
+    """,
+    "embedding_int8_quantize": """
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                                         x -> abs(x::DOUBLE))) AS absmax
+          FROM embeddings
+        )
+        SELECT vec_id,
+               round(absmax / 127.0, 6) AS scale_r,
+               round(CASE WHEN absmax = 0 THEN 0.0 ELSE
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> pow(x::DOUBLE
+                            - least(greatest(floor(x::DOUBLE
+                                                   / (absmax / 127.0) + 0.5),
+                                             -127.0), 127.0)
+                              * (absmax / 127.0), 2)))
+                      / len(embedding)) END, 6) AS rmse_r
+        FROM s
     """,
     "events_asof_join": """
         SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,

@@ -34,6 +34,8 @@ PIPELINE_QUERIES = [
     "hybrid_rrf_fusion",
     "doclen_percentiles",
     "tfidf_top_terms",
+    "doc_repetition_ratio",
+    "embedding_int8_quantize",
 ]
 
 
