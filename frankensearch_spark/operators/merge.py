@@ -287,6 +287,67 @@ def _blockify_arrow(batches, bucket_shift: int, codec: str = "vint"):
         )
 
 
+def _blockify_presort_arrow(
+    batches,
+    bucket_shift: int,
+    n_term_partitions: int,
+    codec: str = "vint",
+):
+    """Sort-then-blockify kernel for the kernel-sort write path.
+
+    The partition arrives range-partitioned by the composed ``rkey``
+    (term-partition-major) but UNSORTED: Spark's comparator-based row
+    sorter on (int, long, string, long, long) keys measured ~34 s of the
+    89 s write phase at 2M docs / local[8], while a numpy ``lexsort``
+    over dictionary-encoded term codes does the identical grouping in
+    low single seconds.  Steps, all vectorized:
+
+      1. concat the partition's record batches into one table
+      2. ``dictionary_encode`` the term column -> int32 codes + the
+         partition's (small) unique-term dictionary
+      3. tpart per UNIQUE term via zlib.crc32 (engine-identical to the
+         JVM ``F.crc32`` the old path used), gathered per row
+      4. ``np.lexsort`` by (tpart, code, docid) — term-contiguous,
+         docid-sorted groups; term ORDER within a tpart is the
+         dictionary-code order, which no consumer depends on (blocks
+         are grouped by (term, bucket) at read time)
+      5. one Arrow ``take`` per column, then delegate to the pinned
+         :func:`_blockify_arrow` encode kernel on the sorted batch —
+         byte-identity of the encode stays guaranteed by its own tests
+    """
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    batches = [rb for rb in batches if rb.num_rows]
+    if not batches:
+        return
+    tbl = pa.Table.from_batches(batches).combine_chunks()
+    term = tbl.column("term").chunk(0)
+    dict_arr = pc.dictionary_encode(term)
+    codes = dict_arr.indices.to_numpy().astype(np.int64)
+    uniq = dict_arr.dictionary.to_pylist()
+    tparts_u = np.fromiter(
+        (zlib.crc32(u.encode("utf-8")) % n_term_partitions for u in uniq),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    tpart_row = tparts_u[codes]
+    docids = tbl.column("docid").chunk(0).to_numpy()
+    order = np.lexsort((docids, codes, tpart_row))
+    idx = pa.array(order)
+    names = ["term", "docid", "tf", "doclen"]
+    has_pos = "positions" in tbl.schema.names
+    if has_pos:
+        names.append("positions")
+    cols = [pc.take(tbl.column(n).chunk(0), idx) for n in names]
+    cols.append(pa.array(tpart_row[order].astype(np.int32), type=pa.int32()))
+    rb = pa.RecordBatch.from_arrays(cols, names=names + ["tpart"])
+    del tbl, cols, dict_arr, codes, tpart_row, docids, order, idx
+    yield from _blockify_arrow([rb], bucket_shift, codec)
+
+
 def build_blocks(
     postings: DataFrame,
     bucket_shift: int = DEFAULT_BUCKET_SHIFT,
@@ -295,6 +356,7 @@ def build_blocks(
     positions: DataFrame | None = None,
     aligned_shift: int | None = None,
     codec: str = "vint",
+    presort: str = "kernel",
 ) -> DataFrame:
     """postings -> compressed block table.
 
@@ -334,20 +396,21 @@ def build_blocks(
             src = src.join(positions.select("docid", "term", "positions"),
                            ["docid", "term"], "left")
             joined = True
-    src = (
-        src
-        .withColumn("bucket", F.shiftright(F.col("docid"), bucket_shift))
-        .withColumn(
-            "tpart",
-            (F.crc32(F.col("term").cast("binary")) % n_term_partitions).cast("int"),
-        )
-        # 64-bit hash sort prefix: the big partition-local sort runs on a
-        # radix-friendly long almost everywhere; the string key only breaks
-        # the rare hash ties.  Grouping correctness needs term-contiguity,
-        # which (thash, term) preserves.
-        .withColumn("thash", F.xxhash64(F.col("term")))
-    )
     if aligned_shift == bucket_shift and not joined:
+        src = (
+            src
+            .withColumn("bucket", F.shiftright(F.col("docid"), bucket_shift))
+            .withColumn(
+                "tpart",
+                (F.crc32(F.col("term").cast("binary")) % n_term_partitions)
+                .cast("int"),
+            )
+            # 64-bit hash sort prefix: the partition-local sort runs on a
+            # radix-friendly long almost everywhere; the string key only
+            # breaks the rare hash ties.  Grouping correctness needs
+            # term-contiguity, which (thash, term) preserves.
+            .withColumn("thash", F.xxhash64(F.col("term")))
+        )
         arranged = src.sortWithinPartitions(
             "tpart", "thash", "term", "bucket", "docid"
         ).drop("thash")
@@ -362,12 +425,71 @@ def build_blocks(
         return blocks.repartition(
             max(n_shuffle, n_term_partitions), "tpart"
         ).sortWithinPartitions("tpart", "term", "bucket", "first_doc")
-    # RANGE partition on (tpart, thash, ..., docid): contiguous global
-    # term partitions on disk (plain parquet files carry narrow tpart
-    # min/max -> row-group pruning at query time), while the sampling
-    # range partitioner splits a skewed mega-term ('fn'/'import') across
-    # partitions at bucket boundaries — the explicit skew salt the
-    # north-rule demands, with balance chosen by data, not by guess.
+    if presort == "kernel":
+        # ONE composed 8-byte range key instead of the 20 B of
+        # (tpart int, thash long, bucket long) key columns, and NO JVM
+        # sort at all: the blockify kernel numpy-lexsorts its partition
+        # (measured: the comparator-based JVM sort was ~34 s of the 89 s
+        # write at 2M/local[8]; the kernel sort is ~2-4 s).  Key layout,
+        # term-partition-major so parquet files keep narrow tpart spans:
+        #   [63-tp_bits .. 62]  tpart   (crc32(term) % n_term_partitions)
+        #   [20 .. ]            thash top bits (term discriminator)
+        #   [0 .. 19]           bucket & 0xFFFFF (the mega-term skew
+        #                       salt: equal (term, bucket) rows share an
+        #                       identical key -> one partition; a skewed
+        #                       term SPLITS across partitions at bucket
+        #                       boundaries.  mod-2^20 truncation only
+        #                       coarsens salting beyond 8.6 B docs.)
+        # Rows with equal keys always land in one range partition, so
+        # every (term, bucket) group stays whole; thash collisions
+        # merely co-locate two terms.  Bit 63 stays clear (sign-safe).
+        tp_bits = max((n_term_partitions - 1).bit_length(), 1)
+        th_bits = 63 - tp_bits - 20
+        rkey = (
+            F.shiftleft(
+                (F.crc32(F.col("term").cast("binary")) % n_term_partitions),
+                63 - tp_bits,
+            )
+            .bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned(
+                        F.xxhash64(F.col("term")), 64 - th_bits
+                    ),
+                    20,
+                )
+            )
+            .bitwiseOR(
+                F.shiftright(F.col("docid"), bucket_shift)
+                .bitwiseAND(F.lit(0xFFFFF))
+            )
+        )
+        arranged = (
+            src.withColumn("rkey", rkey)
+            .repartitionByRange(n_shuffle, "rkey")
+            .drop("rkey")
+        )
+        return arranged.mapInArrow(
+            lambda it: _blockify_presort_arrow(
+                it, bucket_shift, n_term_partitions, codec
+            ),
+            BLOCKS_SCHEMA,
+        )
+    # presort="jvm": the original shape — RANGE partition on (tpart,
+    # thash, ..., docid): contiguous global term partitions on disk
+    # (plain parquet files carry narrow tpart min/max -> row-group
+    # pruning at query time), while the sampling range partitioner
+    # splits a skewed mega-term ('fn'/'import') across partitions at
+    # bucket boundaries — the explicit skew salt the north-rule
+    # demands, with balance chosen by data, not by guess.
+    src = (
+        src
+        .withColumn("bucket", F.shiftright(F.col("docid"), bucket_shift))
+        .withColumn(
+            "tpart",
+            (F.crc32(F.col("term").cast("binary")) % n_term_partitions).cast("int"),
+        )
+        .withColumn("thash", F.xxhash64(F.col("term")))
+    )
     arranged = src.repartitionByRange(
         n_shuffle, "tpart", "thash", "term", "bucket", "docid"
     ).sortWithinPartitions("tpart", "thash", "term", "bucket", "docid").drop("thash")
