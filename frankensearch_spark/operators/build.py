@@ -249,6 +249,22 @@ POSTINGS_SCHEMA = "docid long, term string, tf int, positions array<int>, doclen
 # because LEB128 is per-value (concat of per-posting encodes == one
 # segmented encode of the flat stream).
 POSTINGS_VB_SCHEMA = "docid long, term string, tf int, positions binary, doclen int"
+# grouped layout (the durable build's wire format): ONE row per
+# (tokenize-batch, term) with array payloads instead of one row per
+# posting.  At 2M docs this is ~1.6M rows instead of ~102M through
+# every Arrow boundary and the merge shuffle — per-row conversion
+# overhead was the measured write-phase wall (see merge.build_blocks_grouped).
+# Within a row, postings are docid-ascending; across rows of the same
+# term the docid spans are DISJOINT by construction (the grouped build
+# range-partitions + locally sorts by docid before tokenize), so the
+# reduce side is pure concatenation in first-docid order.
+POSTINGS_GROUPED_SCHEMA = (
+    "term string, docids array<long>, tfs array<int>, "
+    "doclens array<int>, positions array<binary>"
+)
+POSTINGS_GROUPED_NOPOS_SCHEMA = (
+    "term string, docids array<long>, tfs array<int>, doclens array<int>"
+)
 
 
 def _contract_batch(rb, tok_fn, with_positions: bool, vbyte: bool):
@@ -377,6 +393,154 @@ def build_postings_fused(
     return corpus_with_docid.select("docid", content_col).mapInArrow(
         gen, POSTINGS_VB_SCHEMA if vbyte else POSTINGS_SCHEMA
     )
+
+
+def _grouped_batch(rb, tok_fn, with_positions: bool):
+    """Grouped-layout twin of :func:`_contract_batch`: same analyzer,
+    same per-posting aggregation, then a second lexsort regroups the
+    batch's postings TERM-major (docid-ascending within term) and emits
+    ONE row per (batch, term) with list payloads.  Positions are the
+    same pre-encoded per-posting LEB128 buffers, carried as
+    ``array<binary>`` — flattening on the reduce side is zero-copy."""
+    import numpy as np
+    import pyarrow as pa
+
+    from frankensearch_spark.functions.vbyte import vbyte_encode_chunks
+
+    docid_in = rb.column(0).to_numpy(zero_copy_only=False)
+    contents = rb.column(1).to_pylist()
+    term_col: list[str] = []
+    pos_col: list[int] = []
+    doc_idx: list[int] = []
+    dls = np.zeros(len(contents), dtype=np.int32)
+    for i, content in enumerate(contents):
+        if content is None:
+            continue
+        toks = tok_fn(content)
+        n = len(toks)
+        if n == 0:
+            continue
+        dls[i] = n
+        for t, p in toks:
+            term_col.append(t)
+            pos_col.append(p)
+        doc_idx.extend([i] * n)
+    if not term_col:
+        return None
+    rows = np.asarray(doc_idx, dtype=np.int64)
+    poss = np.asarray(pos_col, dtype=np.int32)
+    codes, uniq_terms = pd.factorize(np.asarray(term_col, dtype=object))
+    order = np.lexsort((codes, rows))
+    r_s, c_s, p_s = rows[order], codes[order], poss[order]
+    change = np.empty(len(r_s), dtype=bool)
+    change[0] = True
+    change[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+    starts = np.nonzero(change)[0]
+    tf = np.diff(np.append(starts, len(r_s))).astype(np.int32)
+    head_rows = r_s[starts]
+    pcodes = c_s[starts]
+    pdocs = docid_in[head_rows]
+    pdls = dls[head_rows]
+    n_post = len(starts)
+    # regroup postings term-major; docids ascend within a term because
+    # the batch rows arrive docid-sorted (grouped build contract)
+    ord2 = np.lexsort((pdocs, pcodes))
+    pc_o = pcodes[ord2]
+    chg = np.empty(n_post, dtype=bool)
+    chg[0] = True
+    chg[1:] = pc_o[1:] != pc_o[:-1]
+    g_starts = np.nonzero(chg)[0]
+    offsets = pa.array(
+        np.append(g_starts, n_post).astype(np.int32), type=pa.int32()
+    )
+    term_arr = pa.array(uniq_terms, type=pa.string()).take(
+        pa.array(pc_o[g_starts], type=pa.int64())
+    )
+    arrays = [
+        term_arr,
+        pa.ListArray.from_arrays(
+            offsets, pa.array(pdocs[ord2].astype(np.int64), type=pa.int64())
+        ),
+        pa.ListArray.from_arrays(
+            offsets, pa.array(tf[ord2], type=pa.int32())
+        ),
+        pa.ListArray.from_arrays(
+            offsets, pa.array(pdls[ord2], type=pa.int32())
+        ),
+    ]
+    names = ["term", "docids", "tfs", "doclens"]
+    if with_positions:
+        data, bounds = vbyte_encode_chunks(p_s.astype(np.uint64), starts)
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(),
+            n_post,
+            [
+                None,
+                pa.py_buffer(bounds.astype(np.int32).tobytes()),
+                pa.py_buffer(data.tobytes()),
+            ],
+        )
+        arrays.append(
+            pa.ListArray.from_arrays(
+                offsets, pos_arr.take(pa.array(ord2, type=pa.int64()))
+            )
+        )
+        names.append("positions")
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def build_postings_grouped(
+    corpus_with_docid: DataFrame,
+    content_col: str = "content",
+    code_aware: bool = False,
+    with_positions: bool = True,
+) -> DataFrame:
+    """Fused tokenize→aggregate→GROUP: one mapInArrow pass emitting the
+    grouped postings layout (one row per (batch, term), array payloads).
+
+    CONTRACT: the input must be docid-RANGE-partitioned and locally
+    docid-sorted (the grouped build arranges this) so every emitted
+    row's docid span is disjoint from every other row of the same term —
+    the downstream block writer then merges by concatenation in
+    first-docid order, never by decode (keeper.rs:4166-4206 theorem,
+    carried to the map side)."""
+    from frankensearch_spark.analyze import tokenize_code_aware, tokenize_fast
+
+    tok_fn = tokenize_code_aware if code_aware else tokenize_fast
+
+    def gen(batches):
+        for rb in batches:
+            out = _grouped_batch(rb, tok_fn, with_positions)
+            if out is not None:
+                yield out
+
+    return corpus_with_docid.select("docid", content_col).mapInArrow(
+        gen,
+        POSTINGS_GROUPED_SCHEMA if with_positions
+        else POSTINGS_GROUPED_NOPOS_SCHEMA,
+    )
+
+
+def explode_grouped_postings(grouped: DataFrame) -> DataFrame:
+    """Grouped layout -> the standard per-posting view (lazy, pure JVM
+    generate — no Python stage).  Column order matches
+    POSTINGS_VB_SCHEMA so every rows-layout consumer works unchanged."""
+    with_pos = "positions" in grouped.columns
+    zip_cols = ["docids", "tfs", "doclens"] + (
+        ["positions"] if with_pos else []
+    )
+    z = grouped.select(
+        "term", F.explode(F.arrays_zip(*zip_cols)).alias("p")
+    )
+    cols = [
+        F.col("p.docids").alias("docid"),
+        F.col("term"),
+        F.col("p.tfs").alias("tf"),
+    ]
+    if with_pos:
+        cols.append(F.col("p.positions").alias("positions"))
+    cols.append(F.col("p.doclens").alias("doclen"))
+    return z.select(*cols)
 
 
 def build_postings_fused_vec(
@@ -734,6 +898,9 @@ class BuiltIndex:
     bucket_aligned_shift: int | None = None  # postings physically
     # co-partitioned by docid >> shift (build repartition) — enables the
     # local-sort blockify fast path in merge.build_blocks
+    postings_grouped: DataFrame | None = None  # grouped layout (one row
+    # per (batch, term), array payloads, disjoint docid spans per term) —
+    # when present the durable writer takes merge.build_blocks_grouped
     _cached_stats: tuple[int, int] | None = None
     _term_df_cache: dict | None = None
 
@@ -866,6 +1033,59 @@ def build_multifield_index(
     return MultiFieldIndex(out, primary, field_cols=dict(field_cols))
 
 
+def _build_index_grouped(
+    with_docid: DataFrame,
+    key_cols: list[str],
+    content_col: str,
+    with_positions: bool,
+    code_aware: bool,
+    cache: bool,
+    n_build_partitions: int,
+    meta_cols: list[str] | None,
+) -> BuiltIndex:
+    """Grouped-layout build (the durable fast path).
+
+    Arrangement: persist the docid assignment FIRST (range sampling
+    re-evaluates its child; lease docids must be frozen before any
+    sampling pass — the round-1 AQE docid-collision pitfall), then
+    range-partition by docid and locally sort — every tokenize batch
+    then covers a contiguous docid span, which is what licenses the
+    grouped layout's concat-only merge.  The per-posting ``postings``
+    view is a lazy JVM explode of the cached grouped frame; docmeta /
+    termstats / the in-memory query path consume it unchanged."""
+    if cache:
+        with_docid = with_docid.persist()
+    spans = with_docid.repartitionByRange(
+        n_build_partitions, "docid"
+    ).sortWithinPartitions("docid")
+    grouped = build_postings_grouped(
+        spans, content_col, code_aware, with_positions
+    )
+    if cache:
+        grouped = grouped.persist()
+    postings_src = explode_grouped_postings(grouped)
+    positions = None
+    postings_full = None
+    if with_positions:
+        postings_full = postings_src
+        positions = postings_full.select("docid", "term", "positions")
+        postings = postings_full.drop("positions")
+    else:
+        postings = postings_src
+    docmeta = build_docmeta(
+        with_docid, key_cols, postings, content_col, meta_cols
+    )
+    if cache:
+        docmeta = docmeta.persist()
+    termstats = build_termstats(postings)
+    fieldstats = build_fieldstats(docmeta)
+    return BuiltIndex(
+        postings, docmeta, termstats, fieldstats, positions,
+        postings_full=postings_full,
+        postings_grouped=grouped,
+    )
+
+
 def build_index(
     corpus: DataFrame,
     key_cols: list[str],
@@ -878,6 +1098,7 @@ def build_index(
     n_build_partitions: int | None = None,
     meta_cols: list[str] | None = None,
     bucket_aligned: bool = False,
+    layout: str = "rows",
 ) -> BuiltIndex:
     """Full batch build: corpus -> postings/docmeta/termstats/fieldstats.
 
@@ -898,6 +1119,15 @@ def build_index(
         with_docid = corpus
     else:
         with_docid = assign_docids(corpus, key_cols, docid_mode)
+    if layout == "grouped":
+        if tokenizer != "arrow":
+            raise ValueError("layout='grouped' requires tokenizer='arrow'")
+        return _build_index_grouped(
+            with_docid, key_cols, content_col, with_positions, code_aware,
+            cache, n_build_partitions, meta_cols,
+        )
+    if layout != "rows":
+        raise ValueError(f"unknown layout {layout!r}")
     # Explicit repartition before tokenization: AQE coalesces the upstream
     # scan/join partitions by SIZE (a few hundred MB of text -> ~5 tasks),
     # which would leave most cores idle through the CPU-heavy tokenize

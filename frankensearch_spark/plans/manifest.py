@@ -201,14 +201,22 @@ def write_index(
     codec = manifest.codec
 
     spark = built.postings.sparkSession
-    full = getattr(built, "postings_full", None)
-    blocks = build_blocks(
-        built.postings if full is None else full,
-        bucket_shift, n_term_partitions,
-        positions=getattr(built, "positions", None),
-        aligned_shift=getattr(built, "bucket_aligned_shift", None),
-        codec=codec,
-    )
+    grouped = getattr(built, "postings_grouped", None)
+    if grouped is not None:
+        from frankensearch_spark.operators.merge import build_blocks_grouped
+
+        blocks = build_blocks_grouped(
+            grouped, bucket_shift, n_term_partitions, codec=codec
+        )
+    else:
+        full = getattr(built, "postings_full", None)
+        blocks = build_blocks(
+            built.postings if full is None else full,
+            bucket_shift, n_term_partitions,
+            positions=getattr(built, "positions", None),
+            aligned_shift=getattr(built, "bucket_aligned_shift", None),
+            codec=codec,
+        )
     # with one group the block stream writes straight through (no second
     # pass, no cache); staged builds pay one persist for the group filters
     if n_groups > 1:

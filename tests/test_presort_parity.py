@@ -54,6 +54,56 @@ def test_kernel_presort_matches_jvm_sort(built):
     assert ta == tb  # crc32 tpart computed in-kernel == JVM F.crc32
 
 
+def test_grouped_layout_matches_rows_layout(spark, built):
+    """layout='grouped' (batch-term array rows, concat-only merge) must
+    reproduce the rows layout bit-for-bit: exploded postings, decoded
+    blocks (incl. positions), docmeta and termstats."""
+    corpus = synthetic_corpus_df(spark, 3000)
+    bg = build_index(
+        corpus, CORPUS_KEY, docid_mode="lease", tokenizer="arrow",
+        layout="grouped",
+    )
+    from frankensearch_spark.operators.merge import build_blocks_grouped
+
+    # exploded postings parity
+    def norm(df):
+        pdf = df.toPandas()
+        pdf["positions"] = pdf["positions"].map(
+            lambda b: bytes(b) if b is not None else None
+        )
+        return (
+            pdf.sort_values(["term", "docid"]).reset_index(drop=True)
+            [["docid", "term", "tf", "positions", "doclen"]]
+        )
+
+    assert norm(built.postings_full).equals(norm(bg.postings_full))
+
+    # block decode parity
+    a, _ = _decoded(built, "kernel")
+    pdf = build_blocks_grouped(bg.postings_grouped).toPandas()
+    b = {}
+    for (t, bk), grp in pdf.groupby(["term", "bucket"], sort=True):
+        docs, tfs, fids, _r, pos = decode_blocks_pdf(
+            grp.sort_values("first_doc"), with_positions=True
+        )
+        b[(t, bk)] = (
+            docs.tolist(), tfs.tolist(), fids.tolist(),
+            [None if p is None else list(p) for p in pos],
+        )
+    assert set(a) == set(b)
+    assert [k for k in a if a[k] != b[k]] == []
+
+    # stats parity
+    assert (
+        built.docmeta.orderBy("docid").toPandas()
+        .equals(bg.docmeta.orderBy("docid").toPandas())
+    )
+    assert (
+        built.termstats.orderBy("term").toPandas()
+        .equals(bg.termstats.orderBy("term").toPandas())
+    )
+
+
 def test_kernel_presort_no_positions(built):
     blocks = build_blocks(built.postings, presort="kernel").toPandas()
     assert blocks.pos_bytes.isna().all()

@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--codec", default="vint",
                     choices=["vint", "for", "bitmap"],
                     help="posting block codec for the durable write")
+    ap.add_argument("--layout", default="rows", choices=["rows", "grouped"],
+                    help="postings layout: 'grouped' = one row per "
+                         "(batch, term) with array payloads (the durable "
+                         "fast path; requires tokenizer=arrow)")
     ap.add_argument("--no-warm", action="store_true")
     ap.add_argument("--skip-write", action="store_true",
                     help="stop after in-memory index materialization")
@@ -77,7 +81,8 @@ def main() -> None:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         b = build_index(
-            corpus, CORPUS_KEY, docid_mode="lease", tokenizer=args.tokenizer
+            corpus, CORPUS_KEY, docid_mode="lease", tokenizer=args.tokenizer,
+            layout=args.layout,
         )
         b.postings.count()
         b.docmeta.count()
@@ -117,6 +122,7 @@ def main() -> None:
                 "docs": n_docs,
                 "total_tokens": total_tokens,
                 "tokenizer": args.tokenizer,
+                "layout": args.layout,
                 "build_cold_secs": round(cold_secs, 2),
                 "build_warm_runs": [round(s, 2) for s in warm],
                 "build_secs": round(build_secs, 2),
