@@ -395,94 +395,57 @@ def build_postings_fused(
     )
 
 
-def _grouped_batch(rb, tok_fn, with_positions: bool):
-    """Grouped-layout twin of :func:`_contract_batch`: same analyzer,
-    same per-posting aggregation, then a second lexsort regroups the
-    batch's postings TERM-major (docid-ascending within term) and emits
-    ONE row per (batch, term) with list payloads.  Positions are the
-    same pre-encoded per-posting LEB128 buffers, carried as
-    ``array<binary>`` — flattening on the reduce side is zero-copy."""
+def _regroup_posting_batch(rbs: list, with_positions: bool):
+    """Posting-layout RecordBatch(es) (docid, term, tf, positions binary,
+    doclen) -> ONE grouped-layout RecordBatch (one row per term, list
+    payloads, docid-ascending within term).
+
+    ``rbs`` is the full output of one tokenizer input batch (the auto
+    router can yield two sub-batches — ascii + contract — over the SAME
+    docid span, so regrouping must see them TOGETHER to keep the grouped
+    layout's disjoint-span invariant).  All vectorized: dictionary
+    encode + one lexsort + Arrow takes."""
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    from frankensearch_spark.functions.vbyte import vbyte_encode_chunks
-
-    docid_in = rb.column(0).to_numpy(zero_copy_only=False)
-    contents = rb.column(1).to_pylist()
-    term_col: list[str] = []
-    pos_col: list[int] = []
-    doc_idx: list[int] = []
-    dls = np.zeros(len(contents), dtype=np.int32)
-    for i, content in enumerate(contents):
-        if content is None:
-            continue
-        toks = tok_fn(content)
-        n = len(toks)
-        if n == 0:
-            continue
-        dls[i] = n
-        for t, p in toks:
-            term_col.append(t)
-            pos_col.append(p)
-        doc_idx.extend([i] * n)
-    if not term_col:
-        return None
-    rows = np.asarray(doc_idx, dtype=np.int64)
-    poss = np.asarray(pos_col, dtype=np.int32)
-    codes, uniq_terms = pd.factorize(np.asarray(term_col, dtype=object))
-    order = np.lexsort((codes, rows))
-    r_s, c_s, p_s = rows[order], codes[order], poss[order]
-    change = np.empty(len(r_s), dtype=bool)
-    change[0] = True
-    change[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
-    starts = np.nonzero(change)[0]
-    tf = np.diff(np.append(starts, len(r_s))).astype(np.int32)
-    head_rows = r_s[starts]
-    pcodes = c_s[starts]
-    pdocs = docid_in[head_rows]
-    pdls = dls[head_rows]
-    n_post = len(starts)
-    # regroup postings term-major; docids ascend within a term because
-    # the batch rows arrive docid-sorted (grouped build contract)
-    ord2 = np.lexsort((pdocs, pcodes))
-    pc_o = pcodes[ord2]
+    tbl = pa.Table.from_batches(rbs).combine_chunks()
+    n_post = tbl.num_rows
+    docids = tbl.column("docid").chunk(0).to_numpy()
+    denc = pc.dictionary_encode(tbl.column("term").chunk(0))
+    codes = denc.indices.to_numpy().astype(np.int64)
+    ord2 = np.lexsort((docids, codes))
+    c_o = codes[ord2]
     chg = np.empty(n_post, dtype=bool)
     chg[0] = True
-    chg[1:] = pc_o[1:] != pc_o[:-1]
+    chg[1:] = c_o[1:] != c_o[:-1]
     g_starts = np.nonzero(chg)[0]
     offsets = pa.array(
         np.append(g_starts, n_post).astype(np.int32), type=pa.int32()
     )
-    term_arr = pa.array(uniq_terms, type=pa.string()).take(
-        pa.array(pc_o[g_starts], type=pa.int64())
+    idx = pa.array(ord2, type=pa.int64())
+    term_arr = denc.dictionary.take(
+        pa.array(c_o[g_starts], type=pa.int64())
     )
+    tfs = tbl.column("tf").chunk(0).to_numpy()
+    dls = tbl.column("doclen").chunk(0).to_numpy()
     arrays = [
         term_arr,
         pa.ListArray.from_arrays(
-            offsets, pa.array(pdocs[ord2].astype(np.int64), type=pa.int64())
+            offsets, pa.array(docids[ord2].astype(np.int64), type=pa.int64())
         ),
         pa.ListArray.from_arrays(
-            offsets, pa.array(tf[ord2], type=pa.int32())
+            offsets, pa.array(tfs[ord2].astype(np.int32), type=pa.int32())
         ),
         pa.ListArray.from_arrays(
-            offsets, pa.array(pdls[ord2], type=pa.int32())
+            offsets, pa.array(dls[ord2].astype(np.int32), type=pa.int32())
         ),
     ]
     names = ["term", "docids", "tfs", "doclens"]
     if with_positions:
-        data, bounds = vbyte_encode_chunks(p_s.astype(np.uint64), starts)
-        pos_arr = pa.Array.from_buffers(
-            pa.binary(),
-            n_post,
-            [
-                None,
-                pa.py_buffer(bounds.astype(np.int32).tobytes()),
-                pa.py_buffer(data.tobytes()),
-            ],
-        )
         arrays.append(
             pa.ListArray.from_arrays(
-                offsets, pos_arr.take(pa.array(ord2, type=pa.int64()))
+                offsets, pc.take(tbl.column("positions").chunk(0), idx)
             )
         )
         names.append("positions")
@@ -494,9 +457,13 @@ def build_postings_grouped(
     content_col: str = "content",
     code_aware: bool = False,
     with_positions: bool = True,
+    tokenizer: str = "arrow",
 ) -> DataFrame:
     """Fused tokenize→aggregate→GROUP: one mapInArrow pass emitting the
     grouped postings layout (one row per (batch, term), array payloads).
+    Every posting batch kernel (contract / RE2 vector / auto hybrid)
+    runs unchanged; a per-batch regroup adapter folds its output into
+    grouped rows, so the bit-parity of the kernels carries over.
 
     CONTRACT: the input must be docid-RANGE-partitioned and locally
     docid-sorted (the grouped build arranges this) so every emitted
@@ -508,11 +475,48 @@ def build_postings_grouped(
 
     tok_fn = tokenize_code_aware if code_aware else tokenize_fast
 
+    if tokenizer == "arrow" or code_aware:
+        def kernel(rb):
+            out = _contract_batch(rb, tok_fn, with_positions, True)
+            return [out] if out is not None else []
+    elif tokenizer == "vector":
+        def kernel(rb):
+            out = _vector_batch(rb, with_positions)
+            return [out] if out is not None else []
+    elif tokenizer == "auto":
+        def kernel(rb):
+            import pyarrow.compute as pc
+
+            mask = pc.fill_null(pc.string_is_ascii(rb.column(1)), True)
+            n_ascii = pc.sum(mask).as_py() or 0
+            if n_ascii == rb.num_rows:
+                out = _vector_batch(rb, with_positions)
+                return [out] if out is not None else []
+            outs = []
+            if n_ascii:
+                out = _vector_batch(rb.filter(mask), with_positions)
+                if out is not None:
+                    outs.append(out)
+            other_rb = rb.filter(pc.invert(mask))
+            if other_rb.num_rows:
+                out = _contract_batch(
+                    other_rb, tokenize_fast, with_positions, True
+                )
+                if out is not None:
+                    outs.append(out)
+            return outs
+    else:
+        raise ValueError(
+            f"grouped layout has no {tokenizer!r} tokenizer (arrow/vector/auto)"
+        )
+
     def gen(batches):
         for rb in batches:
-            out = _grouped_batch(rb, tok_fn, with_positions)
-            if out is not None:
-                yield out
+            if rb.num_rows == 0:
+                continue
+            outs = kernel(rb)
+            if outs:
+                yield _regroup_posting_batch(outs, with_positions)
 
     return corpus_with_docid.select("docid", content_col).mapInArrow(
         gen,
@@ -1042,6 +1046,7 @@ def _build_index_grouped(
     cache: bool,
     n_build_partitions: int,
     meta_cols: list[str] | None,
+    tokenizer: str = "arrow",
 ) -> BuiltIndex:
     """Grouped-layout build (the durable fast path).
 
@@ -1053,13 +1058,16 @@ def _build_index_grouped(
     grouped layout's concat-only merge.  The per-posting ``postings``
     view is a lazy JVM explode of the cached grouped frame; docmeta /
     termstats / the in-memory query path consume it unchanged."""
-    if cache:
-        with_docid = with_docid.persist()
+    # ALWAYS persist the docid assignment here, even under cache=False:
+    # the span exchange's range-sampling pass is an extra evaluation of
+    # the child, and lease docids must be frozen before ANY second
+    # evaluation (the round-1 AQE docid-collision pitfall class)
+    with_docid = with_docid.persist()
     spans = with_docid.repartitionByRange(
         n_build_partitions, "docid"
     ).sortWithinPartitions("docid")
     grouped = build_postings_grouped(
-        spans, content_col, code_aware, with_positions
+        spans, content_col, code_aware, with_positions, tokenizer=tokenizer
     )
     if cache:
         grouped = grouped.persist()
@@ -1120,11 +1128,13 @@ def build_index(
     else:
         with_docid = assign_docids(corpus, key_cols, docid_mode)
     if layout == "grouped":
-        if tokenizer != "arrow":
-            raise ValueError("layout='grouped' requires tokenizer='arrow'")
+        if tokenizer not in ("arrow", "vector", "auto"):
+            raise ValueError(
+                "layout='grouped' requires tokenizer arrow/vector/auto"
+            )
         return _build_index_grouped(
             with_docid, key_cols, content_col, with_positions, code_aware,
-            cache, n_build_partitions, meta_cols,
+            cache, n_build_partitions, meta_cols, tokenizer,
         )
     if layout != "rows":
         raise ValueError(f"unknown layout {layout!r}")

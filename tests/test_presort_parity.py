@@ -104,6 +104,58 @@ def test_grouped_layout_matches_rows_layout(spark, built):
     )
 
 
+def test_grouped_auto_vector_match_rows_on_mixed_corpus(spark):
+    """Grouped layout under the auto and vector tokenizers: the regroup
+    adapter must preserve each kernel's posting table bit-for-bit, with
+    the auto router's two sub-batches (ascii + contract over the SAME
+    docid span) regrouped together.  Mixed ASCII/Unicode corpus so both
+    routes actually run."""
+    from frankensearch_spark.operators.build import (
+        assign_docids,
+        build_postings_fused_auto,
+        build_postings_fused_vec,
+        build_postings_grouped,
+        explode_grouped_postings,
+    )
+
+    base = synthetic_corpus_df(spark, 60, partitions=2)
+    extra = spark.createDataFrame(
+        [
+            ("u", "h.txt", "c0", "txt", "héllo wörld héllo"),
+            ("u", "j.txt", "c0", "txt", "日本語 テスト 2024"),
+            ("u", "n.txt", "c0", "txt", None),
+            ("u", "x.txt", "c0", "txt", "①②③ enclosed ¼ vulgar"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    corpus = assign_docids(base.unionByName(extra), CORPUS_KEY).persist()
+    spans = corpus.repartitionByRange(4, "docid").sortWithinPartitions(
+        "docid"
+    )
+
+    def canon(df):
+        pdf = df.toPandas()
+        pdf["positions"] = pdf["positions"].map(
+            lambda b: bytes(b) if b is not None else None
+        )
+        return sorted(
+            map(tuple, pdf[["docid", "term", "tf", "positions", "doclen"]]
+                .itertuples(index=False))
+        )
+
+    rows_auto = canon(build_postings_fused_auto(corpus))
+    grp_auto = canon(explode_grouped_postings(
+        build_postings_grouped(spans, tokenizer="auto")
+    ))
+    assert grp_auto == rows_auto
+    rows_vec = canon(build_postings_fused_vec(corpus))
+    grp_vec = canon(explode_grouped_postings(
+        build_postings_grouped(spans, tokenizer="vector")
+    ))
+    assert grp_vec == rows_vec
+    corpus.unpersist()
+
+
 def test_kernel_presort_no_positions(built):
     blocks = build_blocks(built.postings, presort="kernel").toPandas()
     assert blocks.pos_bytes.isna().all()

@@ -76,7 +76,7 @@ def ensure_corpus(n_docs: int, path: str) -> str:
     return path
 
 
-def run_level(ncpu: int, corpus: str, zpath: str, tokenizer: str) -> dict:
+def run_level(ncpu: int, corpus: str, zpath: str, tokenizer: str, layout: str = "rows") -> dict:
     out = f"/tmp/fsx_scaling_idx_{ncpu}"
     cmd = [
         "spark-submit",
@@ -90,6 +90,7 @@ def run_level(ncpu: int, corpus: str, zpath: str, tokenizer: str) -> dict:
         "--py-files", zpath,
         os.path.join(REPO, "tools", "submit_build.py"),
         "--corpus", corpus, "--out", out, "--tokenizer", tokenizer,
+        "--layout", layout,
     ]
     proc = subprocess.run(
         cmd, capture_output=True, text=True, timeout=3600, check=False
@@ -108,6 +109,7 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--pairs", nargs="*", default=["2,8", "8,32"])
     ap.add_argument("--tokenizer", default="arrow")
+    ap.add_argument("--layout", default="rows", choices=["rows", "grouped"])
     ap.add_argument("--corpus", default=None)
     args = ap.parse_args()
 
@@ -119,11 +121,12 @@ def main() -> None:
     levels = sorted({int(x) for p in args.pairs for x in p.split(",")})
     results = {}
     for n in levels:
-        results[n] = run_level(n, corpus, zpath, args.tokenizer)
+        results[n] = run_level(n, corpus, zpath, args.tokenizer, args.layout)
         print(f"local[{n}]: {json.dumps(results[n])}", flush=True)
         shutil.rmtree(f"/tmp/fsx_scaling_idx_{n}", ignore_errors=True)
 
-    report = {"docs": args.docs, "tokenizer": args.tokenizer, "levels": results,
+    report = {"docs": args.docs, "tokenizer": args.tokenizer,
+              "layout": args.layout, "levels": results,
               "pairs": {}}
     for p in args.pairs:
         a, b = (int(x) for x in p.split(","))
@@ -137,26 +140,36 @@ def main() -> None:
     print("SCALING " + json.dumps(report), flush=True)
 
     # merge into the repo-root scaling record (bench.py folds this into
-    # its one-line JSON so the driver's BENCH_r{N}.json carries it)
+    # its one-line JSON so the driver's BENCH_r{N}.json carries it).
+    # The record is LAYOUT-KEYED: each postings layout keeps its own
+    # levels/pairs sub-record, so measuring one layout never destroys
+    # the other's evidence (the north-rule pair lives under whichever
+    # layout currently meets it; see top-level "met_by").
     record_path = os.path.join(REPO, "BENCH_SCALING.json")
     record = {}
     if os.path.exists(record_path):
         with open(record_path) as fh:
             record = json.load(fh)
+    layouts = record.setdefault("layouts", {})
+    sub = layouts.setdefault(report["layout"], {})
     if (
-        record.get("docs") not in (None, report["docs"])
-        or record.get("tokenizer") not in (None, report["tokenizer"])
+        sub.get("docs") not in (None, report["docs"])
+        or sub.get("tokenizer") not in (None, report["tokenizer"])
     ):
         # NEVER merge levels/pairs measured under a different corpus
-        # size or tokenizer into one record — the folded BENCH report
-        # would attribute every pair to the latest run's context
-        record = {}
-    record.setdefault("levels", {}).update(
+        # size or tokenizer into one sub-record — the folded BENCH
+        # report would attribute every pair to the latest run's context
+        sub = layouts[report["layout"]] = {}
+    sub.setdefault("levels", {}).update(
         {str(k): v for k, v in report["levels"].items()}
     )
-    record.setdefault("pairs", {}).update(report["pairs"])
-    record["docs"] = report["docs"]
-    record["tokenizer"] = report["tokenizer"]
+    sub.setdefault("pairs", {}).update(report["pairs"])
+    sub["docs"] = report["docs"]
+    sub["tokenizer"] = report["tokenizer"]
+    record.setdefault(
+        "criterion",
+        "throughput scaling efficiency >= 0.8 between N and 4N parallelism",
+    )
     with open(record_path, "w") as fh:
         json.dump(record, fh, indent=1)
 
