@@ -156,10 +156,7 @@ class ServingIndex:
             .agg(
                 F.countDistinct("bucket").alias("nb"),
                 F.max("shape").alias("mx"),
-                F.expr(
-                    "percentile_approx(shape, "
-                    "array(0.1, 0.25, 0.5, 0.75, 0.9))"
-                ).alias("qs"),
+                F.expr(SHAPE_QUANTILE_SQL).alias("qs"),
             )
             .collect()
         )
@@ -804,6 +801,19 @@ COVERAGE_GAP_MIN = 0.05  # prune only if ≥5% of buckets lack some clause term
 # corpora clear this easily (bimodal doc lengths → ~50%).
 BLOCK_PRUNE_MIN_FRAC = 0.3
 SHAPE_LOW_C = 0.85  # "skippable" proxy: bound < 0.85 × group max bound
+# Quantile grid for the shape-flatness estimate.  _frac_low
+# floor-quantizes the true low-shape fraction to the largest grid point
+# it exceeds, so the grid must RESOLVE the BLOCK_PRUNE_MIN_FRAC=0.3
+# decision boundary: points at 0.2/0.3/0.4 do that.  (A coarser
+# 0.1/0.25/0.5 grid reported 0.25 for a bimodal doc-length corpus whose
+# true skippable fraction was 0.47 — under the gate — and wrongly routed
+# it to the exhaustive pass.)
+SHAPE_QUANTILE_GRID = (0.1, 0.2, 0.3, 0.4, 0.5, 0.75, 0.9)
+SHAPE_QUANTILE_SQL = (
+    "percentile_approx(shape, array("
+    + ", ".join(str(p) for p in SHAPE_QUANTILE_GRID)
+    + "))"
+)
 
 
 def _frac_low(qs, mx) -> float:
@@ -813,7 +823,7 @@ def _frac_low(qs, mx) -> float:
     if not mx:
         return 0.0
     frac = 0.0
-    for p, v in zip((0.1, 0.25, 0.5, 0.75, 0.9), qs or ()):
+    for p, v in zip(SHAPE_QUANTILE_GRID, qs or ()):
         if v is not None and float(v) < SHAPE_LOW_C * float(mx):
             frac = p
     return frac
@@ -1042,10 +1052,7 @@ def wand_topk(
                 .groupBy("field", "term")
                 .agg(
                     F.max("shape").alias("mx"),
-                    F.expr(
-                        "percentile_approx(shape, "
-                        "array(0.1, 0.25, 0.5, 0.75, 0.9))"
-                    ).alias("qs"),
+                    F.expr(SHAPE_QUANTILE_SQL).alias("qs"),
                 )
                 .collect()
             )
