@@ -70,21 +70,27 @@ def assign_docids(
     sharing one docid across rows."""
     keys = corpus.select(*[F.col(c) for c in key_cols])
     if assert_unique:
-        dup = (
+        # ONE skinny aggregation serves both the uniqueness check and the
+        # distinct-keys input to the ordering pass (persisted: the
+        # dup-check collect materializes it, the range sampling and the
+        # window then rescan the cache instead of re-aggregating)
+        kc = (
             keys.groupBy(*[F.col(c) for c in key_cols])
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
+            .agg(F.count(F.lit(1)).alias("__kn"))
+            .persist()
         )
+        dup = kc.filter(F.col("__kn") > 1).limit(1).collect()
         if dup:
+            kc.unpersist()
             raise ValueError(
                 "duplicate external key "
                 f"{tuple(dup[0][c] for c in key_cols)!r}: the reference's "
                 "external-id contract requires unique keys (upsert replaces "
                 "by id) — deduplicate or upsert instead"
             )
-    keys = keys.distinct()
+        keys = kc.drop("__kn")
+    else:
+        keys = keys.distinct()
     if mode == "global":
         w = Window.orderBy(*[F.col(c) for c in key_cols])
         mapdf = keys.withColumn(
@@ -131,6 +137,7 @@ def build_docmeta(
     postings: DataFrame,
     content_col: str = "content",
     meta_cols: list[str] | None = None,
+    lens: DataFrame | None = None,
 ) -> DataFrame:
     """IDMAP + DOCLEN analogue (B10/B11): one row per document with the
     external key, the per-row content witness sha256 (quiver.rs:5824-5850
@@ -150,7 +157,13 @@ def build_docmeta(
         # persisted and shuffled wholesale for no query purpose)
         skip = set(key_cols) | {content_col, "content", "docid"}
         meta_cols = [c for c in corpus_with_docid.columns if c not in skip]
-    lens = postings.groupBy("docid").agg(F.first("doclen").alias("doclen"))
+    if lens is None:
+        # recover per-doc doclen from the per-posting view (first() per
+        # docid); layouts that carry a cheaper per-doc doclen source
+        # (grouped DOCLEN pseudo-rows) pass it via ``lens`` instead
+        lens = postings.groupBy("docid").agg(
+            F.first("doclen").alias("doclen")
+        )
     ids = corpus_with_docid.select(
         "docid",
         *key_cols,
@@ -517,11 +530,68 @@ def build_postings_grouped(
             outs = kernel(rb)
             if outs:
                 yield _regroup_posting_batch(outs, with_positions)
+            # one DOCLEN pseudo-row per input batch (term NULL): every
+            # batch docid with its admitted doclen (0 for token-free
+            # docs) — docmeta reads these ~n_docs pairs instead of
+            # first()-aggregating the 80x larger exploded posting view
+            yield _doclen_pseudo_batch(rb, outs, with_positions)
 
     return corpus_with_docid.select("docid", content_col).mapInArrow(
         gen,
         POSTINGS_GROUPED_SCHEMA if with_positions
         else POSTINGS_GROUPED_NOPOS_SCHEMA,
+    )
+
+
+def _doclen_pseudo_batch(rb, outs: list, with_positions: bool):
+    """One grouped-layout row with ``term = NULL`` carrying (docids,
+    doclens) for EVERY document of the input batch — including docs
+    that admitted zero tokens (doclen 0, scribe.rs:1743 zero-fieldnorm
+    rule).  tfs are zeros and positions empty; every posting consumer
+    filters ``term IS NOT NULL``."""
+    import numpy as np
+    import pyarrow as pa
+
+    all_ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(all_ids)
+    dl = np.zeros(n, dtype=np.int32)
+    if outs:
+        tbl = pa.Table.from_batches(outs)
+        p_ids = tbl.column("docid").to_numpy()
+        p_dls = tbl.column("doclen").to_numpy()
+        order = np.argsort(all_ids, kind="stable")
+        dl[order[np.searchsorted(all_ids[order], p_ids)]] = p_dls
+    offsets = pa.array(np.array([0, n], dtype=np.int32), type=pa.int32())
+    arrays = [
+        pa.array([None], type=pa.string()),
+        pa.ListArray.from_arrays(
+            offsets, pa.array(all_ids, type=pa.int64())
+        ),
+        pa.ListArray.from_arrays(
+            offsets, pa.array(np.zeros(n, np.int32), type=pa.int32())
+        ),
+        pa.ListArray.from_arrays(offsets, pa.array(dl, type=pa.int32())),
+    ]
+    names = ["term", "docids", "tfs", "doclens"]
+    if with_positions:
+        arrays.append(
+            pa.ListArray.from_arrays(
+                offsets, pa.array([b""] * n, type=pa.binary())
+            )
+        )
+        names.append("positions")
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def grouped_doclens(grouped: DataFrame) -> DataFrame:
+    """(docid, doclen) for every document, from the grouped layout's
+    DOCLEN pseudo-rows — ~n_docs pairs, one JVM explode, no agg."""
+    z = grouped.filter(F.col("term").isNull()).select(
+        F.explode(F.arrays_zip("docids", "doclens")).alias("p")
+    )
+    return z.select(
+        F.col("p.docids").alias("docid"),
+        F.col("p.doclens").alias("doclen"),
     )
 
 
@@ -533,7 +603,7 @@ def explode_grouped_postings(grouped: DataFrame) -> DataFrame:
     zip_cols = ["docids", "tfs", "doclens"] + (
         ["positions"] if with_pos else []
     )
-    z = grouped.select(
+    z = grouped.filter(F.col("term").isNotNull()).select(
         "term", F.explode(F.arrays_zip(*zip_cols)).alias("p")
     )
     cols = [
@@ -874,6 +944,28 @@ def build_termstats(postings: DataFrame) -> DataFrame:
     )
 
 
+def build_termstats_grouped(grouped: DataFrame) -> DataFrame:
+    """(term, df, cf) straight from the GROUPED postings layout (B9).
+
+    ``df = Σ size(docids)`` and ``cf = Σ sum(tfs)`` per term: the
+    aggregation input is one row per (batch, term) — orders of magnitude
+    fewer rows than the exploded per-posting view, and the per-row array
+    sums are whole-stage-codegen higher-order functions.  Result is
+    row-identical to ``build_termstats(explode_grouped_postings(g))``."""
+    return (
+        grouped.filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(
+            F.sum(F.size("docids")).alias("df"),
+            F.sum(
+                F.aggregate(
+                    "tfs", F.lit(0).cast("long"), lambda a, x: a + x
+                )
+            ).alias("cf"),
+        )
+    )
+
+
 def build_fieldstats(docmeta: DataFrame) -> DataFrame:
     """(doc_count, total_tokens) — STATS section analogue (B12).
 
@@ -1081,11 +1173,17 @@ def _build_index_grouped(
     else:
         postings = postings_src
     docmeta = build_docmeta(
-        with_docid, key_cols, postings, content_col, meta_cols
+        with_docid, key_cols, postings, content_col, meta_cols,
+        lens=grouped_doclens(grouped),
     )
     if cache:
         docmeta = docmeta.persist()
-    termstats = build_termstats(postings)
+    # termstats from the grouped rows directly (no per-posting explode),
+    # persisted: the durable write re-reads it (a tiny table) instead of
+    # re-running the aggregation
+    termstats = build_termstats_grouped(grouped)
+    if cache:
+        termstats = termstats.persist()
     fieldstats = build_fieldstats(docmeta)
     return BuiltIndex(
         postings, docmeta, termstats, fieldstats, positions,

@@ -505,7 +505,8 @@ def build_blocks_grouped(
         )
     )
     arranged = (
-        grouped.withColumn("rkey", rkey)
+        grouped.filter(F.col("term").isNotNull())  # DOCLEN pseudo-rows out
+        .withColumn("rkey", rkey)
         .repartitionByRange(n_shuffle, "rkey")
         .drop("rkey")
     )

@@ -84,7 +84,12 @@ def main() -> None:
             corpus, CORPUS_KEY, docid_mode="lease", tokenizer=args.tokenizer,
             layout=args.layout,
         )
-        b.postings.count()
+        # materialize the index the way its layout serves it: the grouped
+        # layout's cache IS the grouped frame (every consumer explodes it
+        # lazily), so counting the exploded view would add a 165M-row
+        # generate pass that no real consumer pays at build time
+        g = getattr(b, "postings_grouped", None)
+        (g if g is not None else b.postings).count()
         b.docmeta.count()
         b.termstats.count()
         nd, tt = b.stats()
