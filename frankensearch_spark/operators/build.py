@@ -131,6 +131,95 @@ def assign_docids(
     return corpus.join(renamed, cond).drop(*[f"__k_{c}" for c in key_cols])
 
 
+def assign_docids_fused_spans(
+    corpus: DataFrame, key_cols: list[str], n_parts: int
+) -> DataFrame:
+    """Lease docids assigned INSIDE the span arrangement (the grouped
+    layout's fast path).  ONE range exchange of the corpus by external
+    key both co-locates and orders each lease's rows; the docid column
+    is then computed per partition as ``lease·DOC_ORDS_PER_LEASE +
+    rank`` — the same (lease, rank) law as
+    :func:`assign_docids`(mode="lease") (rank order follows the global
+    key sort, so ranking is parallelism-invariant), with the lease
+    ranges sampled from the corpus itself instead of a separate skinny
+    keys frame.  The separate ordering pass, the window sort, the
+    (key→docid) broadcast map and the second content exchange all
+    disappear from the plan.
+
+    Key uniqueness (the reference's external-id contract,
+    types.rs:39-50) is enforced for FREE by an adjacent-row comparison
+    on the sorted stream: the range partitioner never splits equal keys
+    across partitions, so every duplicate pair is adjacent somewhere.
+
+    Output is docid-range-partitioned and locally docid-sorted — exactly
+    the arrangement :func:`build_postings_grouped` requires — and MUST
+    be persisted by the caller before any consumer runs (the docid
+    values depend on this plan's sampled range bounds; one
+    materialization freezes them — the round-1 double-evaluation
+    pitfall class)."""
+    arranged = corpus.repartitionByRange(
+        n_parts, *[F.col(c) for c in key_cols]
+    ).sortWithinPartitions(*[F.col(c) for c in key_cols])
+    names = list(corpus.columns)
+    key_idx = [names.index(c) for c in key_cols]
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyspark import TaskContext
+
+        base = TaskContext.get().partitionId() * DOC_ORDS_PER_LEASE
+        seen = 0
+        prev_last = None
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            keys = [rb.column(i) for i in key_idx]
+            # adjacent-pair duplicate check (null-safe equality)
+            if n > 1:
+                dup = None
+                for k in keys:
+                    a, b = k.slice(0, n - 1), k.slice(1, n)
+                    eq = pc.or_kleene(
+                        pc.fill_null(pc.equal(a, b), False),
+                        pc.and_(pc.is_null(a), pc.is_null(b)),
+                    )
+                    dup = eq if dup is None else pc.and_(dup, eq)
+                if pc.any(dup).as_py():
+                    i = int(np.nonzero(dup.to_numpy(zero_copy_only=False))[0][0])
+                    raise ValueError(
+                        "duplicate external key "
+                        f"{tuple(k[i].as_py() for k in keys)!r}: the "
+                        "reference's external-id contract requires unique "
+                        "keys (upsert replaces by id) — deduplicate or "
+                        "upsert instead"
+                    )
+            first = tuple(k[0].as_py() for k in keys)
+            if prev_last is not None and first == prev_last:
+                raise ValueError(
+                    f"duplicate external key {first!r}: the reference's "
+                    "external-id contract requires unique keys (upsert "
+                    "replaces by id) — deduplicate or upsert instead"
+                )
+            prev_last = tuple(k[n - 1].as_py() for k in keys)
+            ids = pa.array(
+                np.arange(base + seen, base + seen + n, dtype=np.int64),
+                type=pa.int64(),
+            )
+            seen += n
+            yield pa.RecordBatch.from_arrays(
+                [ids, *rb.columns], ["docid", *names]
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("docid", T.LongType(), False)]
+        + list(corpus.schema.fields)
+    )
+    return arranged.mapInArrow(gen, out_schema)
+
+
 def build_docmeta(
     corpus_with_docid: DataFrame,
     key_cols: list[str],
@@ -1139,6 +1228,7 @@ def _build_index_grouped(
     n_build_partitions: int,
     meta_cols: list[str] | None,
     tokenizer: str = "arrow",
+    pre_arranged: bool = False,
 ) -> BuiltIndex:
     """Grouped-layout build (the durable fast path).
 
@@ -1147,17 +1237,24 @@ def _build_index_grouped(
     sampling pass — the round-1 AQE docid-collision pitfall), then
     range-partition by docid and locally sort — every tokenize batch
     then covers a contiguous docid span, which is what licenses the
-    grouped layout's concat-only merge.  The per-posting ``postings``
-    view is a lazy JVM explode of the cached grouped frame; docmeta /
-    termstats / the in-memory query path consume it unchanged."""
+    grouped layout's concat-only merge.  With ``pre_arranged`` (the
+    fused lease path, :func:`assign_docids_fused_spans`) the input is
+    ALREADY docid-range-partitioned and locally sorted, so the only
+    materialization is the persist that freezes the sampled lease
+    bounds.  The per-posting ``postings`` view is a lazy JVM explode of
+    the cached grouped frame; docmeta / termstats / the in-memory query
+    path consume it unchanged."""
     # ALWAYS persist the docid assignment here, even under cache=False:
     # the span exchange's range-sampling pass is an extra evaluation of
     # the child, and lease docids must be frozen before ANY second
     # evaluation (the round-1 AQE docid-collision pitfall class)
     with_docid = with_docid.persist()
-    spans = with_docid.repartitionByRange(
-        n_build_partitions, "docid"
-    ).sortWithinPartitions("docid")
+    if pre_arranged:
+        spans = with_docid
+    else:
+        spans = with_docid.repartitionByRange(
+            n_build_partitions, "docid"
+        ).sortWithinPartitions("docid")
     grouped = build_postings_grouped(
         spans, content_col, code_aware, with_positions, tokenizer=tokenizer
     )
@@ -1221,19 +1318,33 @@ def build_index(
     spark = corpus.sparkSession
     if n_build_partitions is None:
         n_build_partitions = spark.sparkContext.defaultParallelism
-    if "docid" in corpus.columns:
-        with_docid = corpus
-    else:
-        with_docid = assign_docids(corpus, key_cols, docid_mode)
     if layout == "grouped":
         if tokenizer not in ("arrow", "vector", "auto"):
             raise ValueError(
                 "layout='grouped' requires tokenizer arrow/vector/auto"
             )
+        if "docid" not in corpus.columns and docid_mode == "lease":
+            # fused fast path: the span arrangement IS the assignment
+            spans = assign_docids_fused_spans(
+                corpus, key_cols, n_build_partitions
+            )
+            return _build_index_grouped(
+                spans, key_cols, content_col, with_positions, code_aware,
+                cache, n_build_partitions, meta_cols, tokenizer,
+                pre_arranged=True,
+            )
+        with_docid = (
+            corpus if "docid" in corpus.columns
+            else assign_docids(corpus, key_cols, docid_mode)
+        )
         return _build_index_grouped(
             with_docid, key_cols, content_col, with_positions, code_aware,
             cache, n_build_partitions, meta_cols, tokenizer,
         )
+    if "docid" in corpus.columns:
+        with_docid = corpus
+    else:
+        with_docid = assign_docids(corpus, key_cols, docid_mode)
     if layout != "rows":
         raise ValueError(f"unknown layout {layout!r}")
     # Explicit repartition before tokenization: AQE coalesces the upstream

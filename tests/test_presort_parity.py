@@ -56,8 +56,12 @@ def test_kernel_presort_matches_jvm_sort(built):
 
 def test_grouped_layout_matches_rows_layout(spark, built):
     """layout='grouped' (batch-term array rows, concat-only merge) must
-    reproduce the rows layout bit-for-bit: exploded postings, decoded
-    blocks (incl. positions), docmeta and termstats."""
+    reproduce the rows layout MODULO the lease docid relabeling: the
+    fused span assignment (assign_docids_fused_spans) samples its own
+    lease bounds, so docid VALUES may differ from the map-based path,
+    but the docid ORDER must follow the same global key sort, and the
+    per-key postings (tf, fieldnorm, positions, doclen), decoded blocks
+    and termstats must be identical."""
     corpus = synthetic_corpus_df(spark, 3000)
     bg = build_index(
         corpus, CORPUS_KEY, docid_mode="lease", tokenizer="arrow",
@@ -65,43 +69,102 @@ def test_grouped_layout_matches_rows_layout(spark, built):
     )
     from frankensearch_spark.operators.merge import build_blocks_grouped
 
-    # exploded postings parity
-    def norm(df):
+    key_of_r = {
+        r["docid"]: (r["repo"], r["path"], r["commit"])
+        for r in built.docmeta.collect()
+    }
+    key_of_g = {
+        r["docid"]: (r["repo"], r["path"], r["commit"])
+        for r in bg.docmeta.collect()
+    }
+    # rank invariance: ascending docids visit the keys in the same order
+    assert [key_of_r[d] for d in sorted(key_of_r)] == [
+        key_of_g[d] for d in sorted(key_of_g)
+    ]
+
+    # exploded postings parity (keyed)
+    def norm(df, key_of):
         pdf = df.toPandas()
+        pdf["key"] = pdf["docid"].map(key_of)
         pdf["positions"] = pdf["positions"].map(
             lambda b: bytes(b) if b is not None else None
         )
         return (
-            pdf.sort_values(["term", "docid"]).reset_index(drop=True)
-            [["docid", "term", "tf", "positions", "doclen"]]
+            pdf.sort_values(["term", "key"]).reset_index(drop=True)
+            [["key", "term", "tf", "positions", "doclen"]]
         )
 
-    assert norm(built.postings_full).equals(norm(bg.postings_full))
-
-    # block decode parity
-    a, _ = _decoded(built, "kernel")
-    pdf = build_blocks_grouped(bg.postings_grouped).toPandas()
-    b = {}
-    for (t, bk), grp in pdf.groupby(["term", "bucket"], sort=True):
-        docs, tfs, fids, _r, pos = decode_blocks_pdf(
-            grp.sort_values("first_doc"), with_positions=True
-        )
-        b[(t, bk)] = (
-            docs.tolist(), tfs.tolist(), fids.tolist(),
-            [None if p is None else list(p) for p in pos],
-        )
-    assert set(a) == set(b)
-    assert [k for k in a if a[k] != b[k]] == []
-
-    # stats parity
-    assert (
-        built.docmeta.orderBy("docid").toPandas()
-        .equals(bg.docmeta.orderBy("docid").toPandas())
+    assert norm(built.postings_full, key_of_r).equals(
+        norm(bg.postings_full, key_of_g)
     )
+
+    # block decode parity: per-key posting streams (bucket boundaries
+    # follow the docids, so compare the flattened keyed multiset)
+    def decoded_by_key(pdf_blocks, key_of):
+        rows = []
+        for (t, _bk), grp in pdf_blocks.groupby(["term", "bucket"], sort=True):
+            docs, tfs, fids, _r, pos = decode_blocks_pdf(
+                grp.sort_values("first_doc"), with_positions=True
+            )
+            for d, tf, fid, p in zip(
+                docs.tolist(), tfs.tolist(), fids.tolist(), pos
+            ):
+                rows.append(
+                    (t, key_of[d], tf, fid,
+                     None if p is None else tuple(p))
+                )
+        return sorted(rows)
+
+    a_blocks = build_blocks(
+        built.postings_full, positions=built.positions, presort="kernel"
+    ).toPandas()
+    g_blocks = build_blocks_grouped(bg.postings_grouped).toPandas()
+    assert decoded_by_key(a_blocks, key_of_r) == decoded_by_key(
+        g_blocks, key_of_g
+    )
+
+    # docmeta parity modulo docid; termstats exactly
+    dr = (
+        built.docmeta.toPandas()
+        .sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    )
+    dgm = (
+        bg.docmeta.toPandas()
+        .sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    )
+    assert dr.drop(columns=["docid"]).equals(dgm.drop(columns=["docid"]))
     assert (
         built.termstats.orderBy("term").toPandas()
         .equals(bg.termstats.orderBy("term").toPandas())
     )
+
+
+def test_fused_lease_contract(spark):
+    """assign_docids_fused_spans: duplicate external keys are rejected
+    (adjacent in the sorted stream — incl. across batch boundaries),
+    rebuilds reproduce identical docids, and two parallelism levels
+    yield the same docid RANK order."""
+    from frankensearch_spark.operators.build import (
+        assign_docids_fused_spans,
+    )
+
+    corpus = synthetic_corpus_df(spark, 400, partitions=3)
+    a = assign_docids_fused_spans(corpus, CORPUS_KEY, 4).persist()
+    rows = a.select("docid", *CORPUS_KEY).collect()
+    assert len({r["docid"] for r in rows}) == len(rows)
+    by_docid = [tuple(r[c] for c in CORPUS_KEY)
+                for r in sorted(rows, key=lambda r: r["docid"])]
+    assert by_docid == sorted(by_docid)  # docid order == key order
+    b = assign_docids_fused_spans(corpus, CORPUS_KEY, 2).persist()
+    by_docid2 = [tuple(r[c] for c in CORPUS_KEY)
+                 for r in sorted(b.collect(),
+                                 key=lambda r: r["docid"])]
+    assert by_docid2 == by_docid  # rank invariance across parallelism
+    a.unpersist(); b.unpersist()
+
+    dup = corpus.limit(1).union(corpus.limit(1))
+    with pytest.raises(Exception, match="duplicate external key"):
+        assign_docids_fused_spans(dup, CORPUS_KEY, 2).count()
 
 
 def test_grouped_auto_vector_match_rows_on_mixed_corpus(spark):

@@ -76,7 +76,8 @@ def ensure_corpus(n_docs: int, path: str) -> str:
     return path
 
 
-def run_level(ncpu: int, corpus: str, zpath: str, tokenizer: str, layout: str = "rows") -> dict:
+def run_level(ncpu: int, corpus: str, zpath: str, tokenizer: str,
+              layout: str = "rows", pin: bool = False) -> dict:
     out = f"/tmp/fsx_scaling_idx_{ncpu}"
     cmd = [
         "spark-submit",
@@ -92,6 +93,13 @@ def run_level(ncpu: int, corpus: str, zpath: str, tokenizer: str, layout: str = 
         "--corpus", corpus, "--out", out, "--tokenizer", tokenizer,
         "--layout", layout,
     ]
+    if pin:
+        # cluster-faithful binding: "N executors" means N cores TOTAL.
+        # Unpinned local[1] free-rides on the whole VM for GC threads,
+        # shuffle IO and the separate Python worker process, so the
+        # 1-core baseline runs faster than one executor core ever
+        # could and the N->4N ratio under-measures the real scaling.
+        cmd = ["taskset", "-c", f"0-{ncpu - 1}" if ncpu > 1 else "0"] + cmd
     proc = subprocess.run(
         cmd, capture_output=True, text=True, timeout=3600, check=False
     )
@@ -111,6 +119,10 @@ def main() -> None:
     ap.add_argument("--tokenizer", default="arrow")
     ap.add_argument("--layout", default="rows", choices=["rows", "grouped"])
     ap.add_argument("--corpus", default=None)
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each level to exactly N cores "
+                         "(cluster-faithful: an N-executor cluster has "
+                         "N cores total, incl. GC + Python workers)")
     args = ap.parse_args()
 
     corpus = args.corpus or ensure_corpus(
@@ -121,12 +133,16 @@ def main() -> None:
     levels = sorted({int(x) for p in args.pairs for x in p.split(",")})
     results = {}
     for n in levels:
-        results[n] = run_level(n, corpus, zpath, args.tokenizer, args.layout)
+        results[n] = run_level(n, corpus, zpath, args.tokenizer,
+                               args.layout, pin=args.pin)
+        if args.pin:
+            results[n]["pinned_cores"] = n
         print(f"local[{n}]: {json.dumps(results[n])}", flush=True)
         shutil.rmtree(f"/tmp/fsx_scaling_idx_{n}", ignore_errors=True)
 
     report = {"docs": args.docs, "tokenizer": args.tokenizer,
-              "layout": args.layout, "levels": results,
+              "layout": args.layout + ("+pinned" if args.pin else ""),
+              "levels": results,
               "pairs": {}}
     for p in args.pairs:
         a, b = (int(x) for x in p.split(","))
