@@ -488,6 +488,96 @@ def q_embedding_int8_quantize(spark, sf_dir):
     )
 
 
+def _word_tokens(col: str = "text"):
+    """Lower-cased alnum word tokens as an array column (the pipeline
+    queries' shared cheap tokenizer — NOT the index analyzer)."""
+    return F.filter(
+        F.split(F.lower(F.col(col)), "[^0-9a-z]+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the n-gram-overlap leakage check every
+    training-data pipeline runs before a corpus reaches a model: flag
+    documents whose word 4-grams collide with a held-out benchmark set
+    (here the deterministic ``doc_id % 37 == 0`` slice stands in for the
+    eval suites; production uses K=8..13 over the real benchmarks).
+
+    Scale shape: benchmark gram sets are tiny relative to a 100 TB
+    corpus, so the distinct benchmark grams BROADCAST and the corpus
+    side is one scan + map-side hash join + partial-aggregated count —
+    the big side never shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _word_tokens()
+    grams = F.when(
+        F.size(toks) >= 4,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                    F.element_at(toks, i + 4),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(F.col("doc_id").alias("docid"), grams.alias("g"))
+    bench = (
+        g.filter(F.col("docid") % 37 == 0)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = g.filter(F.col("docid") % 37 != 0).select(
+        "docid", F.explode("g").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram", "left")
+        .groupBy("docid")
+        .agg(
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+
+
+def q_ppl_unigram(spark, sf_dir):
+    """Unigram-LM perplexity filter (the CCNet-style quality signal:
+    score each document by exp(mean −ln p(token)) under the corpus' own
+    unigram model; very-high-perplexity docs are gibberish, very-low
+    are boilerplate — both ends get dropped by curation).
+
+    Scale shape: the vocabulary table (term → cf) is one global
+    map-side-combinable aggregate and is small even at 100 TB (unique
+    terms, not postings), so it BROADCASTS back onto the token stream;
+    the per-doc score is a second partial-aggregated hash agg.  No
+    Python, no all-pairs, nothing quadratic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        F.col("doc_id").alias("docid"), F.explode(_word_tokens()).alias("term")
+    )
+    freq = t.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    total = t.agg(F.count(F.lit(1)).cast("double").alias("tot"))
+    logp = F.ln(F.col("cf").cast("double") / F.col("tot"))
+    vocab = freq.crossJoin(F.broadcast(total)).select(
+        "term", logp.alias("logp")
+    )
+    return (
+        t.join(F.broadcast(vocab), "term")
+        .groupBy("docid")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.exp(F.avg(-F.col("logp"))), 6).alias("ppl_r"),
+        )
+    )
+
+
 def q_bm25_phrase(spark, sf_dir):
     """Exact-adjacency phrase BM25 (E7), f64 oracle-comparable shape:
     weight = (idf(a)+idf(b)) * 2.2, score = weight * pf/(pf + norm)."""
@@ -1575,6 +1665,8 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_repetition_ratio": q_doc_repetition_ratio,
     "embedding_int8_quantize": q_embedding_int8_quantize,
+    "decontaminate": q_decontaminate,
+    "ppl_unigram": q_ppl_unigram,
     "events_asof_join": q_events_asof_join,
     "multimodal_frames": q_multimodal_frames,
     "stratified_sample": q_stratified_sample,
@@ -2321,6 +2413,50 @@ ORACLE_SQL = {
                      ELSE 1.0 - len(list_distinct(grams))::DOUBLE
                                 / len(grams)::DOUBLE END, 6) AS rep_ratio_r
         FROM g
+    """,
+    "decontaminate": """
+        WITH toks AS (
+          SELECT doc_id AS docid,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT docid,
+                 CASE WHEN len(t) >= 4
+                      THEN list_distinct(list_transform(
+                             generate_series(1, len(t) - 3),
+                             i -> array_to_string(t[i:i+3], ' ')))
+                      ELSE []::VARCHAR[] END AS g
+          FROM toks
+        ),
+        bench AS (
+          SELECT DISTINCT unnest(g) AS gram FROM grams WHERE docid % 37 = 0
+        ),
+        corpus AS (
+          SELECT docid, unnest(g) AS gram FROM grams WHERE docid % 37 <> 0
+        )
+        SELECT c.docid,
+               count(b.gram)::BIGINT AS n_contaminated,
+               count(*)::BIGINT AS n_grams
+        FROM corpus c LEFT JOIN bench b USING (gram)
+        GROUP BY c.docid
+    """,
+    "ppl_unigram": """
+        WITH t AS (
+          SELECT doc_id AS docid,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                   x -> x <> '')) AS term
+          FROM documents
+        ),
+        freq AS (SELECT term, count(*) AS cf FROM t GROUP BY term),
+        tot AS (SELECT count(*)::DOUBLE AS tot FROM t)
+        SELECT t.docid,
+               count(*)::BIGINT AS n_toks,
+               round(exp(avg(-ln(f.cf::DOUBLE / tot))), 6) AS ppl_r
+        FROM t JOIN freq f USING (term) CROSS JOIN tot
+        GROUP BY t.docid
     """,
     "embedding_int8_quantize": """
         WITH s AS (

@@ -36,6 +36,8 @@ PIPELINE_QUERIES = [
     "tfidf_top_terms",
     "doc_repetition_ratio",
     "embedding_int8_quantize",
+    "decontaminate",
+    "ppl_unigram",
 ]
 
 
