@@ -428,6 +428,19 @@ def main() -> None:
                 for pair, rec in out["scaling"].get("pairs", {}).items()
             }
 
+    # frozen host-health probe: fixed JVM/IPC/numpy workloads that never
+    # change with repo code, so cross-round absolute-seconds comparisons
+    # can be normalized for host state (2026-08-19: a VM reboot made
+    # Spark-style multicore work 2.5-3x slower while raw numpy scaled
+    # fine — without this field that reads as a code regression)
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.host_probe import run as _host_probe
+
+        out["host_probe"] = _host_probe()
+    except Exception as e:  # noqa: BLE001 — probe must never fail bench
+        out["host_probe"] = {"error": repr(e)}
+
     # The driver captures only the FIRST ~2,000 chars of stdout: the
     # full record goes to BENCH_DETAIL.json and the printed line is a
     # compact headline (every claim in it re-derivable from the detail
@@ -457,6 +470,10 @@ def main() -> None:
         "serving_qps_sequential": out["serving_qps_sequential"],
         "serving_qps_concurrent8": out["serving_qps_concurrent8"],
         "scaling_eff": scaling_pairs,
+        "host": {
+            k: out.get("host_probe", {}).get(k)
+            for k in ("ipc_arrow64m_secs", "numpy_sort2m_per_sec_8p")
+        },
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(headline, separators=(",", ":"))

@@ -182,6 +182,16 @@ def main() -> None:
     sub.setdefault("pairs", {}).update(report["pairs"])
     sub["docs"] = report["docs"]
     sub["tokenizer"] = report["tokenizer"]
+    try:
+        # frozen host-health probe (tools/host_probe.py): records the
+        # host state these levels were measured under, so cross-day
+        # efficiency comparisons can detect "host slow" vs "code slow"
+        sys.path.insert(0, REPO)
+        from tools.host_probe import run as _host_probe
+
+        sub["host_probe"] = _host_probe()
+    except Exception as e:  # noqa: BLE001 — probe must never fail the bench
+        sub["host_probe"] = {"error": repr(e)}
     record.setdefault(
         "criterion",
         "throughput scaling efficiency >= 0.8 between N and 4N parallelism",
