@@ -62,6 +62,30 @@ def main() -> None:
         fmt(fused),
     ))
 
+    # 1b. grouped durable fast path with FUSED lease assignment (round 3)
+    from frankensearch_spark.operators.build import (
+        assign_docids_fused_spans,
+        build_postings_grouped,
+    )
+
+    spans = assign_docids_fused_spans(corpus, CORPUS_KEY, 4)
+    grouped_frame = build_postings_grouped(spans, "content", False, True)
+    sections.append((
+        "Grouped build with fused lease assignment "
+        "(assign_docids_fused_spans → build_postings_grouped)",
+        "The durable fast path's WHOLE pre-write plan: ONE range exchange "
+        "of the corpus by external key both co-locates and orders each "
+        "lease's rows (sampling pass + exchange), docids materialize as "
+        "lease·2^33 + rank inside the same mapInArrow pass that "
+        "tokenizes, and the grouped (batch, term) array rows come out of "
+        "that pass directly.  Compare section 1: the separate skinny "
+        "ordering aggregation, the window sort, the (key→docid) "
+        "broadcast map and the second content exchange are all gone — "
+        "at 2M docs that removed ~180 MB of broadcast state and a full "
+        "extra pass over the corpus.",
+        fmt(grouped_frame),
+    ))
+
     # 2. exhaustive query path
     idx = build_index(corpus, CORPUS_KEY)
     idx.postings.count()
