@@ -363,6 +363,11 @@ class FrankensearchSpark:
         from frankensearch_spark.plans.manifest import write_index
 
         out = write_index(self.index, path, key_cols=self.key_cols, **kw)
+        # the durable write materialized every index frame; transient
+        # build persists (duplicate-key aggregate) are no longer needed
+        release = getattr(self.index, "release_aux_caches", None)
+        if release is not None:
+            release()
         self._save_schema(path)
         return out
 

@@ -53,6 +53,7 @@ def fieldnorm_id_udf(doclen: pd.Series) -> pd.Series:
 def assign_docids(
     corpus: DataFrame, key_cols: list[str], mode: str = "lease",
     broadcast_map: bool = True, assert_unique: bool = True,
+    aux_caches: list | None = None,
 ) -> DataFrame:
     """Deterministic, parallelism-invariant global docid (SURVEY.md B3).
 
@@ -74,11 +75,18 @@ def assign_docids(
         # distinct-keys input to the ordering pass (persisted: the
         # dup-check collect materializes it, the range sampling and the
         # window then rescan the cache instead of re-aggregating)
-        kc = (
-            keys.groupBy(*[F.col(c) for c in key_cols])
-            .agg(F.count(F.lit(1)).alias("__kn"))
-            .persist()
+        kc = keys.groupBy(*[F.col(c) for c in key_cols]).agg(
+            F.count(F.lit(1)).alias("__kn")
         )
+        if aux_caches is not None:
+            # persist ONLY when the caller takes ownership (build_index
+            # → BuiltIndex.release_aux_caches): the dup-check collect
+            # materializes the cache, the range sampling and the window
+            # rescan it instead of re-aggregating.  Without an owner the
+            # persist would outlive the build (CacheManager pins cached
+            # plans until an explicit unpersist) — callers that can't
+            # release it get the re-aggregation instead of the leak.
+            kc = kc.persist()
         dup = kc.filter(F.col("__kn") > 1).limit(1).collect()
         if dup:
             kc.unpersist()
@@ -88,6 +96,8 @@ def assign_docids(
                 "external-id contract requires unique keys (upsert replaces "
                 "by id) — deduplicate or upsert instead"
             )
+        if aux_caches is not None:
+            aux_caches.append(kc)
         keys = kc.drop("__kn")
     else:
         keys = keys.distinct()
@@ -1088,12 +1098,33 @@ class BuiltIndex:
     # when present the durable writer takes merge.build_blocks_grouped
     _cached_stats: tuple[int, int] | None = None
     _term_df_cache: dict | None = None
+    # declared as a FIELD (not a plain attribute) so lifecycle's
+    # dataclasses.replace() clones keep it — a dropped completeness flag
+    # over a partial cache would silently lose tail terms (see
+    # ServingIndex._term_df_complete)
+    _term_df_complete: bool = False
+    # transient build-time persists (the duplicate-key aggregate) whose
+    # cache is only needed until the index frames first materialize;
+    # CacheManager pins them until an explicit unpersist, so long-lived
+    # processes call release_aux_caches() after materializing
+    aux_caches: tuple = ()
 
     def stats(self) -> tuple[int, int]:
         if self._cached_stats is None:
             row = self.fieldstats.collect()[0]
             self._cached_stats = (int(row["doc_count"]), int(row["total_tokens"]))
         return self._cached_stats
+
+    def release_aux_caches(self) -> None:
+        """Unpersist transient build-time caches (NOT the index's own
+        postings/docmeta/termstats persists).  Call after the index
+        frames have materialized — the aux data is re-derivable, so a
+        later rescan merely recomputes."""
+        for df in self.aux_caches:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — best-effort release
+                pass
 
     def preload_termstats(self, max_terms: int = 2_000_000) -> int:
         """Long-lived-serving amortization: collect the (term -> df)
@@ -1125,7 +1156,7 @@ class BuiltIndex:
             return {}
         cache = self._term_df_cache
         if cache is not None:
-            if getattr(self, "_term_df_complete", False):
+            if self._term_df_complete:
                 return {t: cache[t] for t in terms if t in cache}
             # partial (bounded) cache: df==0 entries are negative-cached
             # misses, so a long-lived process asks Spark about any given
@@ -1229,6 +1260,7 @@ def _build_index_grouped(
     meta_cols: list[str] | None,
     tokenizer: str = "arrow",
     pre_arranged: bool = False,
+    aux_caches: tuple = (),
 ) -> BuiltIndex:
     """Grouped-layout build (the durable fast path).
 
@@ -1286,6 +1318,7 @@ def _build_index_grouped(
         postings, docmeta, termstats, fieldstats, positions,
         postings_full=postings_full,
         postings_grouped=grouped,
+        aux_caches=aux_caches,
     )
 
 
@@ -1333,18 +1366,21 @@ def build_index(
                 cache, n_build_partitions, meta_cols, tokenizer,
                 pre_arranged=True,
             )
+        aux: list = []
         with_docid = (
             corpus if "docid" in corpus.columns
-            else assign_docids(corpus, key_cols, docid_mode)
+            else assign_docids(corpus, key_cols, docid_mode, aux_caches=aux)
         )
         return _build_index_grouped(
             with_docid, key_cols, content_col, with_positions, code_aware,
             cache, n_build_partitions, meta_cols, tokenizer,
+            aux_caches=tuple(aux),
         )
+    aux = []
     if "docid" in corpus.columns:
         with_docid = corpus
     else:
-        with_docid = assign_docids(corpus, key_cols, docid_mode)
+        with_docid = assign_docids(corpus, key_cols, docid_mode, aux_caches=aux)
     if layout != "rows":
         raise ValueError(f"unknown layout {layout!r}")
     # Explicit repartition before tokenization: AQE coalesces the upstream
@@ -1438,4 +1474,5 @@ def build_index(
         postings, docmeta, termstats, fieldstats, positions,
         postings_full=postings_full,
         bucket_aligned_shift=aligned_shift,
+        aux_caches=tuple(aux),
     )

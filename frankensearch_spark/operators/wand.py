@@ -74,6 +74,12 @@ class ServingIndex:
     has_positions: bool = False  # pos_bytes sidecar present in blocks
     _cached_stats: tuple[int, int] | None = None
     _term_df_cache: dict | None = None
+    # MUST be a declared field: lifecycle ops clone the index via
+    # dataclasses.replace(), which silently drops plain attributes — a
+    # lost completeness flag over a PARTIAL cache would make tail terms
+    # read as absent (silently wrong top-k).  False is the safe default:
+    # it only costs a filtered collect for cache misses.
+    _term_df_complete: bool = False
     # preload_bucket_coverage() planning stats (long-lived serving)
     _bucket_cov: dict | None = None  # term -> (n_buckets, bound flatness)
     _total_buckets: int | None = None
@@ -175,7 +181,7 @@ class ServingIndex:
             return {}
         cache = self._term_df_cache
         if cache is not None:
-            if getattr(self, "_term_df_complete", True):
+            if self._term_df_complete:
                 return {t: cache[t] for t in terms if t in cache}
             # bounded preload: tail terms fall back to ONE filtered
             # collect and are folded in (df==0 negative-caches misses)
@@ -277,7 +283,7 @@ _F32_EPS = float(np.finfo(np.float32).eps)
 
 
 def _block_keep_mask(pdf: pd.DataFrame, theta: float, weights: dict,
-                     avgdls: dict, term_fields: dict, mult: dict,
+                     avgdls: dict, mult: dict,
                      bucket_shift: int) -> np.ndarray:
     """BLOCK-granular θ mask over one bucket's block rows — the
     reference's native Block-Max-WAND granularity (argus.rs:4474-4520,
@@ -382,7 +388,7 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_caches: dict,
             # metadata-only, so a pruned block costs one bound compare
             # instead of a vbyte decode + scoring pass
             keepm = _block_keep_mask(
-                pdf, theta, weights, avgdls, term_fields, mult, bucket_shift
+                pdf, theta, weights, avgdls, mult, bucket_shift
             )
             if not keepm.all():
                 pdf = pdf[keepm]
@@ -624,9 +630,12 @@ def _block_prefilter(blocks_df: DataFrame, theta: float, weights: dict,
     compiles to a broadcast lookup: per group a 256-row
     ``min_fieldnorm_id -> minimal admissible max_tf_code`` table,
     joined and filtered entirely JVM-side (whole-stage codegen, no UDF).
-    Unscored rows (must_not terms) pass through; the in-kernel interval
-    mask strictly dominates this filter, so receipts computed from the
-    interval mask remain exact decode counts."""
+    Unscored rows (must_not terms) pass through.  Any block this filter
+    drops, the in-kernel interval mask would also drop under the same
+    tiling (its interval-sum bound is ≤ the absolute-cap bound used
+    here) — but removing a block SHIFTS the mask's tiling for its
+    neighbors, so decode-count receipts must replay the mask over the
+    post-prefilter rows, not the full set (see PruningReceipt)."""
     spark = blocks_df.sparkSession
     n_contrib = sum(mult.get(t, 0) for (_f, t) in weights)
     total_cap = sum(
@@ -774,11 +783,15 @@ class PruningReceipt:
     buckets_unmatchable: int = 0
     theta: float = float("-inf")
     # BLOCK-granular receipt (argus.rs:4474-4520 granularity), measured
-    # over the post-θ survivor buckets: rows the bucket tasks received
-    # vs rows that survived the interval mask and were decoded.  The
-    # JVM-side prefilter drops a subset of the same rows earlier, so
-    # these counts are exact decode counts either way.
+    # over the post-θ survivor buckets.  blocks_total counts every block
+    # row in those buckets; blocks_after_prefilter counts rows that
+    # crossed the exchange after the JVM broadcast-LUT prefilter; and
+    # blocks_decoded replays the kernel's interval mask over EXACTLY the
+    # post-prefilter rows the bucket tasks received (the mask's tiling
+    # depends on which rows are present, so replaying over the full set
+    # would under-count decodes — caught in round-3 review).
     blocks_total: int = 0
+    blocks_after_prefilter: int = 0
     blocks_decoded: int = 0
 
     @property
@@ -961,8 +974,12 @@ def wand_topk(
             and len(weights) == 1
             and not spec.must_not
             and len(spec.clause_terms()) == 1
-            and set(spec.must) <= set(spec.clause_terms())
         ):
+            # (an unscored Must term can't slip through: with ONE clause
+            # term and ONE weight entry, that term IS the scored clause —
+            # a missing-from-corpus Must term would leave weights empty
+            # and fail the len check; '+foo foo' multiplicity shapes fail
+            # the clause_terms()==1 check)
             # SHUFFLE-FREE single-term fast path: with one scored
             # (field, term) clause every doc owns exactly one posting,
             # so no cross-block accumulation exists — score each block
@@ -1121,19 +1138,24 @@ def wand_topk(
                 receipt.theta = theta
                 if theta != -math.inf:
                     # block-granular receipt: metadata-only replay of
-                    # the SAME interval mask the kernel applied (which
-                    # dominates the JVM prefilter -> exact decode counts)
+                    # the kernel's interval mask over EXACTLY the rows
+                    # the bucket tasks received (pruned_rest, i.e. after
+                    # the JVM prefilter).  Replaying over the full rest
+                    # would tile the intervals differently — a kept
+                    # block's tile could end earlier and miss mass the
+                    # kernel's coarser tiling credited it — so the full
+                    # replay is NOT the decode count (round-3 review).
                     def count_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
                         keepm = _block_keep_mask(
-                            pdf, theta, weights, avgdls, tf_order,
-                            mult_map, shift,
+                            pdf, theta, weights, avgdls, mult_map, shift,
                         )
                         return pd.DataFrame(
                             {"t": [len(pdf)], "k": [int(keepm.sum())]}
                         )
 
+                    receipt.blocks_total = rest.count()
                     crow = (
-                        rest.select(
+                        pruned_rest.select(
                             "bucket", "field", "term", "first_doc",
                             "max_tf_code", "min_fieldnorm_id",
                         )
@@ -1142,7 +1164,7 @@ def wand_topk(
                         .agg(F.sum("t").alias("t"), F.sum("k").alias("k"))
                         .collect()[0]
                     )
-                    receipt.blocks_total = int(crow["t"] or 0)
+                    receipt.blocks_after_prefilter = int(crow["t"] or 0)
                     receipt.blocks_decoded = int(crow["k"] or 0)
             bounds.unpersist()
 

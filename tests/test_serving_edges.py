@@ -81,3 +81,27 @@ def test_bounded_termstats_preload_warm_equals_cold(built, srv):
     full._term_df_cache = None
     full.preload_termstats()
     assert getattr(full, "_term_df_complete") is True
+
+
+def test_partial_preload_survives_lifecycle_replace(srv):
+    """Lifecycle ops clone the index via dataclasses.replace(), which
+    keeps only DECLARED fields.  _term_df_complete must be a field: when
+    it was a plain attribute, a delete after a PARTIAL preload produced
+    an index whose partial cache read as complete — tail terms resolved
+    to df={} (treated as absent from the corpus) and their hits silently
+    vanished from top-k."""
+    import copy
+
+    from frankensearch_spark.operators.lifecycle import delete_documents
+
+    cold_tail = serving_search_bits(srv, "term00042 term00077", k=10)
+    warm = copy.copy(srv)
+    warm._term_df_cache = None
+    warm.preload_termstats(max_terms=3)
+    assert warm._term_df_complete is False
+    deleted = delete_documents(warm, [10**9])  # no-op tombstone
+    assert deleted._term_df_complete is False  # field survived replace()
+    assert deleted._term_df_cache is not None  # cache kept (documented)
+    assert serving_search_bits(deleted, "term00042 term00077", k=10) == (
+        cold_tail
+    )

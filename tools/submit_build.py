@@ -93,6 +93,11 @@ def main() -> None:
         b.docmeta.count()
         b.termstats.count()
         nd, tt = b.stats()
+        # the index frames are materialized now — drop the transient
+        # build persists (duplicate-key aggregate) before the next
+        # timed rebuild so they neither pile up nor feed the
+        # CacheManager plan-substitution hazard
+        b.release_aux_caches()
         return time.perf_counter() - t0, b, nd, tt
 
     cold_secs, idx, n_docs, total_tokens = one_build()
