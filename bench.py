@@ -417,11 +417,22 @@ def main() -> None:
         # layout-keyed record: report each layout's pair efficiencies as
         # "<layout>:<pair>"; legacy flat records keep plain pair keys
         if "layouts" in out["scaling"]:
+            # sub-records annotated as measured on a DEGRADED host (see
+            # tools/host_probe.py) stay in the detail file with their
+            # evidence trail but are excluded from the headline — their
+            # efficiencies describe the host state, not the code
             scaling_pairs = {
                 f"{layout}:{pair}": rec.get("efficiency")
                 for layout, sub in out["scaling"]["layouts"].items()
+                if not str(sub.get("host_state", "")).startswith("DEGRADED")
                 for pair, rec in sub.get("pairs", {}).items()
             }
+            met = out["scaling"].get("met_by")
+            if met:
+                scaling_pairs["met_by"] = (
+                    f"{met.get('layout')}:{met.get('pair')}"
+                    f"={met.get('efficiency')}"
+                )
         else:
             scaling_pairs = {
                 pair: rec.get("efficiency")

@@ -60,10 +60,17 @@ def _run(srv, queries: dict) -> None:
         blk_pct = (
             100.0 * r.blocks_skipped / r.blocks_total if r.blocks_total else 0.0
         )
+        pre_pct = (
+            100.0 * (r.blocks_total - r.blocks_after_prefilter)
+            / r.blocks_total
+            if r.blocks_total
+            else 0.0
+        )
         print(f"{name:<18} {all_b:>7} {r.buckets_unmatchable:>8} "
               f"{r.buckets_scored:>7} {r.buckets_skipped:>8} "
               f"{skip_pct:>5.1f}% {r.blocks_total:>8} {r.blocks_skipped:>8} "
-              f"{blk_pct:>5.1f}% {t_pruned:>10.3f} {t_exh:>11.3f}")
+              f"{blk_pct:>5.1f}% (pre {pre_pct:>4.1f}%) "
+              f"{t_pruned:>10.3f} {t_exh:>11.3f}")
 
 
 def clustered(n_docs: int) -> None:
