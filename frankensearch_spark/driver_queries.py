@@ -578,6 +578,83 @@ def q_ppl_unigram(spark, sf_dir):
     )
 
 
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-wide boilerplate detection (the C4/RefinedWeb curation
+    step): word 5-grams that occur in >= 2 DISTINCT documents, ranked by
+    document frequency.  In production the surviving gram list drives
+    line/region removal; here the detector itself is the operator.
+
+    Scale shape: per-doc grams are deduplicated INSIDE the projection
+    (array_distinct before the explode), so the groupBy counts plain
+    rows instead of needing count(DISTINCT docid) — one map-side
+    partially-aggregated hash agg on the gram key, linear in corpus
+    size.  The top-200 cut is TakeOrderedAndProject (no global sort),
+    with a total (n_docs DESC, gram ASC) order so the cut is
+    deterministic on both engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _word_tokens()
+    n = 5
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(1, n + 1)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    return (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(200)
+    )
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """Latest-record-per-key compaction (the CDC/upsert-resolution shape
+    every snapshot pipeline needs: keep each key's newest version).  For
+    every user: the most recent event by (ts, event_id) plus the user's
+    total event count.
+
+    Scale shape: ONE partially-aggregated hash agg — ``max_by`` over a
+    struct ordering key combines map-side, so no per-user sort and no
+    window exchange; this is the formulation that beats row_number() at
+    100 TB.  The tie-break (ts, then event_id) is a total order, and ts
+    enters the key as tz-invariant epoch micros (the events_windowed
+    recipe), so the result is engine- and session-zone-deterministic.
+    The DuckDB oracle uses the independent row_number() formulation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_us = (
+        F.unix_timestamp("ts") * F.lit(1_000_000)
+        + (F.date_part(F.lit("SECOND"), F.col("ts")) % 1 * 1_000_000).cast(
+            "long"
+        )
+    )
+    e = ev.select("user_id", "event_id", "event_type", ts_us.alias("ts_us"))
+    payload = F.struct(
+        F.col("event_id").alias("event_id"),
+        F.col("event_type").alias("event_type"),
+    )
+    order_key = F.struct(
+        F.col("ts_us").alias("ts_us"), F.col("event_id").alias("event_id")
+    )
+    agg = e.groupBy("user_id").agg(
+        F.max_by(payload, order_key).alias("last"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.event_type").alias("last_type"),
+        "n_events",
+    )
+
+
 def q_bm25_phrase(spark, sf_dir):
     """Exact-adjacency phrase BM25 (E7), f64 oracle-comparable shape:
     weight = (idf(a)+idf(b)) * 2.2, score = weight * pf/(pf + norm)."""
@@ -1667,6 +1744,8 @@ QUERIES = {
     "embedding_int8_quantize": q_embedding_int8_quantize,
     "decontaminate": q_decontaminate,
     "ppl_unigram": q_ppl_unigram,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
+    "latest_event_per_user": q_latest_event_per_user,
     "events_asof_join": q_events_asof_join,
     "multimodal_frames": q_multimodal_frames,
     "stratified_sample": q_stratified_sample,
@@ -2457,6 +2536,43 @@ ORACLE_SQL = {
                round(exp(avg(-ln(f.cf::DOUBLE / tot))), 6) AS ppl_r
         FROM t JOIN freq f USING (term) CROSS JOIN tot
         GROUP BY t.docid
+    """,
+    "boilerplate_ngrams": """
+        WITH toks AS (
+          SELECT doc_id AS docid,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT docid,
+                 CASE WHEN len(t) >= 5
+                      THEN list_distinct(list_transform(
+                             generate_series(1, len(t) - 4),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  || ' ' || t[i+3] || ' ' || t[i+4]))
+                      ELSE []::VARCHAR[] END AS grams
+          FROM toks
+        ),
+        e AS (SELECT docid, unnest(grams) AS gram FROM g)
+        SELECT gram, count(*)::BIGINT AS n_docs
+        FROM e
+        GROUP BY gram
+        HAVING count(*) >= 2
+        ORDER BY n_docs DESC, gram ASC
+        LIMIT 200
+    """,
+    "latest_event_per_user": """
+        SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+               n_events
+        FROM (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY user_id)::BIGINT AS n_events
+          FROM events
+        )
+        WHERE rn = 1
     """,
     "embedding_int8_quantize": """
         WITH s AS (

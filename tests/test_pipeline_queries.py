@@ -38,6 +38,8 @@ PIPELINE_QUERIES = [
     "embedding_int8_quantize",
     "decontaminate",
     "ppl_unigram",
+    "boilerplate_ngrams",
+    "latest_event_per_user",
 ]
 
 
