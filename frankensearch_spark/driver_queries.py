@@ -419,23 +419,10 @@ def q_doc_repetition_ratio(spark, sf_dir):
     one whole-stage-codegen projection per doc, no shuffle beyond the
     scan, so it runs at corpus scan speed at 100 TB."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^0-9a-z]+"),
-        lambda x: x != F.lit(""),
+    t = docs.select(
+        F.col("doc_id").alias("docid"), _word_tokens().alias("t")
     )
-    grams = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = docs.select(F.col("doc_id").alias("docid"), grams.alias("grams"))
+    g = t.select("docid", _word_ngrams(F.col("t"), 3).alias("grams"))
     n = F.size("grams")
     ratio = F.when(n == 0, F.lit(0.0)).otherwise(
         F.lit(1.0)
@@ -497,6 +484,28 @@ def _word_tokens(col: str = "text"):
     )
 
 
+def _word_ngrams(toks, n: int):
+    """Space-joined word n-grams over a token ARRAY COLUMN REFERENCE.
+
+    Callers must materialize the tokenizer behind an alias first
+    (``df.select(_word_tokens().alias("t"))``) and pass ``F.col("t")``:
+    the lambda references the token array n+2 times, and CollapseProject
+    inlines a non-aliased expression per reference — the explain showed
+    split()+filter() evaluated 7x per row when the raw ``_word_tokens()``
+    expression was passed directly (re-tokenizing the document once per
+    element_at).  An aliased non-cheap expression referenced more than
+    once is NOT collapsed, so the tokenizer runs exactly once per doc."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(1, n + 1)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination — the n-gram-overlap leakage check every
     training-data pipeline runs before a corpus reaches a model: flag
@@ -509,23 +518,12 @@ def q_decontaminate(spark, sf_dir):
     side is one scan + map-side hash join + partial-aggregated count —
     the big side never shuffles."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = _word_tokens()
-    grams = F.when(
-        F.size(toks) >= 4,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 4),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                    F.element_at(toks, i + 4),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = docs.select(F.col("doc_id").alias("docid"), grams.alias("g"))
+    t = docs.select(
+        F.col("doc_id").alias("docid"), _word_tokens().alias("t")
+    )
+    g = t.select(
+        "docid", F.array_distinct(_word_ngrams(F.col("t"), 4)).alias("g")
+    )
     bench = (
         g.filter(F.col("docid") % 37 == 0)
         .select(F.explode("g").alias("gram"))
@@ -592,19 +590,9 @@ def q_boilerplate_ngrams(spark, sf_dir):
     with a total (n_docs DESC, gram ASC) order so the cut is
     deterministic on both engines."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = _word_tokens()
-    n = 5
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(1, n + 1)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = docs.select(
-        F.explode(F.array_distinct(grams)).alias("gram")
+    t = docs.select(_word_tokens().alias("t"))
+    g = t.select(
+        F.explode(F.array_distinct(_word_ngrams(F.col("t"), 5))).alias("gram")
     )
     return (
         g.groupBy("gram")
