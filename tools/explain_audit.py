@@ -203,6 +203,33 @@ def main() -> None:
         fmt(q_events_asof_join(spark, "/root/testdata/sf0.001")),
     ))
 
+    # 7. curation tail: boilerplate detector + latest-per-key compaction
+    from frankensearch_spark.driver_queries import (
+        q_boilerplate_ngrams,
+        q_latest_event_per_user,
+    )
+
+    sections.append((
+        "Boilerplate 5-gram detector (corpus-wide)",
+        "ONE column-pruned scan (ReadSchema = text only) → Generate over "
+        "the aliased token array (the tokenizer evaluates ONCE per row — "
+        "passing the raw split() expression instead measured 7 inlined "
+        "copies) → map-side partial count → one exchange on the gram key "
+        "→ TakeOrderedAndProject for the deterministic top-200 cut.  "
+        "Per-doc grams dedupe inside the projection, so the aggregate "
+        "never needs count(DISTINCT docid).",
+        fmt(q_boilerplate_ngrams(spark, "/root/testdata/sf0.001")),
+    ))
+    sections.append((
+        "Latest-record-per-key compaction (latest_event_per_user)",
+        "max_by over a (ts_us, event_id) struct ordering key is "
+        "partial-aggregable: map-side partial_max_by, ONE exchange on "
+        "user_id, final merge — no per-user window sort, which is the "
+        "formulation that beats row_number() when keys are many and "
+        "rows-per-key few (the CDC snapshot shape).",
+        fmt(q_latest_event_per_user(spark, "/root/testdata/sf0.001")),
+    ))
+
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
            "Generated by `python tools/explain_audit.py` "
