@@ -560,11 +560,18 @@ def q_ppl_unigram(spark, sf_dir):
     t = docs.select(
         F.col("doc_id").alias("docid"), F.explode(_word_tokens()).alias("term")
     )
+    from pyspark.sql import Window
+
     freq = t.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
-    total = t.agg(F.count(F.lit(1)).cast("double").alias("tot"))
-    logp = F.ln(F.col("cf").cast("double") / F.col("tot"))
-    vocab = freq.crossJoin(F.broadcast(total)).select(
-        "term", logp.alias("logp")
+    # total token count derives from the vocabulary aggregate itself via
+    # a global window — NOT a separate t.count() branch (Spark duplicates
+    # unshared subtrees, so that branch re-scanned and re-tokenized the
+    # whole corpus a third time; a single-partition window over the
+    # small term table costs nothing and keeps the plan at two scans:
+    # the freq aggregate + the score join)
+    tot = F.sum("cf").over(Window.partitionBy()).cast("double")
+    vocab = freq.select(
+        "term", F.ln(F.col("cf").cast("double") / tot).alias("logp")
     )
     return (
         t.join(F.broadcast(vocab), "term")

@@ -65,6 +65,29 @@ def test_pipeline_query_matches_oracle(spark, name):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+@pytest.mark.parametrize(
+    "name,max_split",
+    [
+        ("boilerplate_ngrams", 1),
+        ("doc_repetition_ratio", 1),
+        ("ppl_unigram", 2),  # freq + score-join scans; total derives from freq
+    ],
+)
+def test_tokenizer_evaluates_once_per_scan(spark, name, max_split):
+    """Pin the CollapseProject guard: the word tokenizer must appear at
+    most once per corpus scan in the PHYSICAL plan.  Passing the raw
+    split() expression into the n-gram builder inlined it once per
+    element_at reference (measured 7 copies in the Generate) — the alias
+    + multi-reference pattern in _word_ngrams is what prevents that."""
+    plan = (
+        QUERIES[name](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("split(lower(") <= max_split, plan[:2000]
+
+
 def test_asof_join_tz_invariant(spark):
     base = _canon(QUERIES["events_asof_join"](spark, SF).toPandas())
     tz0 = spark.conf.get("spark.sql.session.timeZone")
