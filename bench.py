@@ -217,6 +217,19 @@ def main() -> None:
     qps_fair = len(q_stream) / (time.perf_counter() - t0)
     qps_seq = len(serving_lat) / sum(serving_lat)
 
+    # batched-serving throughput arm: the SAME query stream answered in
+    # ONE Spark job (operators/batchexec.py) — postings scan, pivot and
+    # kernel pass shared across the batch, so the ~150-250 ms per-job
+    # constant is paid once per BATCH instead of once per query.  This
+    # is the cluster-serving shape; bit-parity with the single-query
+    # path is pinned in tests/test_batchexec.py.
+    from frankensearch_spark.operators.batchexec import search_batch_collect
+
+    search_batch_collect(srv, list(BENCH_QUERIES.values()), k=10)  # warm
+    t0 = time.perf_counter()
+    search_batch_collect(srv, q_stream, k=10)
+    qps_batch = len(q_stream) / (time.perf_counter() - t0)
+
     # hybrid-fusion serving arm: lexical top-depth from the DURABLE
     # index fused with a semantic relation (RRF K=60) — the product
     # two-tier path (engine.search_hybrid), timed end-to-end.  The
@@ -403,6 +416,7 @@ def main() -> None:
         "serving_index_p50": round(serving_p50, 4),
         "serving_qps_sequential": round(qps_seq, 2),
         "serving_qps_concurrent8": round(qps_fair, 2),
+        "serving_qps_batch": round(qps_batch, 2),
         "serving_mode": "warm",  # preloaded termstats (long-lived process)
         "warm_termstats_secs": round(warm_secs, 3),
         "cpus": cpus,
@@ -480,6 +494,7 @@ def main() -> None:
         "serving_index_p50": out["serving_index_p50"],
         "serving_qps_sequential": out["serving_qps_sequential"],
         "serving_qps_concurrent8": out["serving_qps_concurrent8"],
+        "serving_qps_batch": out["serving_qps_batch"],
         "scaling_eff": scaling_pairs,
         "host": {
             k: out.get("host_probe", {}).get(k)

@@ -221,6 +221,38 @@ class FrankensearchSpark:
             self._query_cache.pop(next(iter(self._query_cache)))
         return out
 
+    def search_batch(self, queries, limit: int = 10):
+        """Per-query [(docid, np.float32)] hit lists for a WHOLE batch of
+        queries in ONE Spark job (operators/batchexec.py): the postings
+        scan, the per-field pivot shuffle and the kernel pass are shared
+        across the batch, amortizing Spark's fixed per-job constant —
+        the cluster-serving throughput shape.  Bit-identical per query
+        to :meth:`search_docids`; queries already cached for this
+        snapshot are answered from the cache and excluded from the job."""
+        out: list = [None] * len(queries)
+        misses, pos = [], []
+        for i, q in enumerate(queries):
+            hit = self._query_cache.get((q, limit, 0))
+            if hit is not None:
+                out[i] = list(hit)
+            else:
+                misses.append(q)
+                pos.append(i)
+        if misses:
+            from frankensearch_spark.operators.batchexec import (
+                search_batch_collect,
+            )
+
+            got = search_batch_collect(
+                self.index, misses, limit, self.schema
+            )
+            for i, q, hits in zip(pos, misses, got):
+                out[i] = hits
+                self._query_cache[(q, limit, 0)] = list(hits)
+                while len(self._query_cache) > QUERY_CACHE_MAX:
+                    self._query_cache.pop(next(iter(self._query_cache)))
+        return out
+
     def search(self, query: str, limit: int = 10, offset: int = 0):
         """[(external_id, np.float32)] — docids materialized through the
         IDMAP analogue (E12), external id = key cols joined by '/'."""

