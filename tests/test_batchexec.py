@@ -73,6 +73,58 @@ def test_batch_mixed_empty_and_k_cut(built):
         assert len(batched[i]) == 3
 
 
+def test_batch_all_repair_metadata_and_ranges(built):
+    """The risky batch paths: an all-negative query (All-node repair →
+    full docmeta join), keyword-metadata leaves, a numeric doclen range,
+    and a boost — mixed in ONE batch with plain term queries, each
+    bit-equal to its single-query execution."""
+    texts = [
+        "-term00001",                      # all-negative → All repair
+        "lang:py term00001",               # keyword metadata + term
+        "doclen:[40 TO 120] term00002",    # numeric fast-column range
+        "term00003^2 term00001",           # boost
+        "fn",                              # plain control
+    ]
+    batched = search_batch_collect(built, texts, k=10)
+    for text, hits in zip(texts, batched):
+        assert _bits(hits) == search_ast_bits(built, text, k=10), text
+
+
+def test_batch_multifield_reference_fixture(spark):
+    """Batch ≡ single over a content^1 + title^2 multi-field index (the
+    reference's default surface): per-field pivots, field-scoped leaves,
+    globs, phrases and the all-negative repair all in one batch."""
+    import json
+
+    from frankensearch_spark.operators.build import build_multifield_index
+    from frankensearch_spark.query_ast import REFERENCE_SCHEMA
+
+    with open("/root/reference/tests/fixtures/corpus.json") as fh:
+        docs = json.load(fh)["documents"]
+    rows = [
+        (i, d.get("title", ""), d.get("content", ""))
+        for i, d in enumerate(sorted(docs, key=lambda d: d["doc_id"]))
+    ]
+    corpus = spark.createDataFrame(
+        rows, "docid long, title string, content string"
+    )
+    idx = build_multifield_index(
+        corpus, ["docid"], {"content": "content", "title": "title"}
+    )
+    texts = [
+        "rust ownership borrowing",
+        "title:ownership^3 rust",
+        '"error handling"',
+        "owner*",
+        "-rust",
+    ]
+    batched = search_batch_collect(idx, texts, k=10, schema=REFERENCE_SCHEMA)
+    for text, hits in zip(texts, batched):
+        assert _bits(hits) == search_ast_bits(
+            idx, text, k=10, schema=REFERENCE_SCHEMA
+        ), text
+
+
 def test_engine_batch_uses_and_fills_query_cache(loaded):
     loaded._query_cache.clear()
     texts = ["fn", "import"]
