@@ -180,9 +180,36 @@ def main() -> int:
 
         bad += _fuzz_multifield(spark, rng, n_mf)
 
+        # batched execution: random batches through ONE job each, every
+        # member checked against the numpy oracle (bit-exact) — the
+        # support-mask / shared-pivot logic must hold under arbitrary
+        # grammar mixes, not just the frozen set
+        n_batch = int(sys.argv[5]) if len(sys.argv) > 5 else 10
+        from frankensearch_spark.operators.batchexec import (
+            search_batch_collect,
+        )
+
+        for i in range(n_batch):
+            texts = [compose() for _ in range(12)]
+            got_lists = search_batch_collect(serving, texts, k=10)
+            for text, hits in zip(texts, got_lists):
+                ast = parse_lenient(text, ENGINE_SCHEMA).query
+                exp = [
+                    (d, int(np.float32(s).view(np.uint32)))
+                    for d, s in oracle.search_ast(ast, 10)
+                ]
+                got = [
+                    (d, int(np.float32(s).view(np.uint32))) for d, s in hits
+                ]
+                if got != exp:
+                    bad += 1
+                    print(f"BATCH MISMATCH: {text!r}")
+                    print(f"  got {got}\n  exp {exp}")
+            print(f"batch {i + 1}/{n_batch} ok={'yes' if not bad else bad}")
+
         print(
-            f"done: {n_serving} serving + {n_ast} ast + {n_mf} multifield, "
-            f"{bad} mismatches"
+            f"done: {n_serving} serving + {n_ast} ast + {n_mf} multifield "
+            f"+ {n_batch} batches, {bad} mismatches"
         )
         return 1 if bad else 0
     finally:
