@@ -203,6 +203,27 @@ def main() -> None:
         fmt(q_events_asof_join(spark, "/root/testdata/sf0.001")),
     ))
 
+    # 6b. batched serving: one job for a whole query batch
+    from frankensearch_spark.operators.batchexec import topk_ast_batch
+
+    batch_df = topk_ast_batch(
+        idx, ["fn import", "term00001 AND term00002", '"term00001 term00002"'],
+        k=10,
+    )
+    sections.append((
+        "Batched top-k (3 queries, one job)",
+        "The batch shares ONE term-filtered postings scan (union of all "
+        "batch terms — partition pruning intact), ONE pivot exchange per "
+        "field, and ONE MapInPandas kernel pass that evaluates every "
+        "query's AST with a per-query support mask; partitions emit "
+        "per-query local top-k, so the only batch-added exchange is the "
+        "(batch × k × partitions)-row window for the global cut.  Batch "
+        "size multiplies pivot ROWS, never plan STAGES — the per-job "
+        "scheduling constant is paid once per batch (measured 8.7× the "
+        "concurrent-FAIR throughput at 20k docs, BENCH.md §3).",
+        fmt(batch_df),
+    ))
+
     # 7. curation tail: boilerplate detector + latest-per-key compaction
     from frankensearch_spark.driver_queries import (
         q_boilerplate_ngrams,
