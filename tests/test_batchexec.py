@@ -125,6 +125,20 @@ def test_batch_multifield_reference_fixture(spark):
         ), text
 
 
+def test_batch_respects_tombstones(loaded):
+    """Batch over a deleted-docs engine: the shared base's tombstone
+    anti-join must drop exactly the docs every single-query plan drops."""
+    before = loaded.search_docids("fn", limit=3)
+    assert before
+    dead = [d for d, _ in before[:2]]
+    eng = loaded.delete_documents(dead)
+    texts = ["fn", "term00001 AND term00002", "-term00001"]
+    batched = eng.search_batch(texts, limit=10)
+    for text, hits in zip(texts, batched):
+        assert _bits(hits) == _bits(eng.search_docids(text, limit=10)), text
+    assert not any(d in dead for d, _ in batched[0])
+
+
 def test_engine_batch_uses_and_fills_query_cache(loaded):
     loaded._query_cache.clear()
     texts = ["fn", "import"]
