@@ -68,6 +68,36 @@ def _r(x: float, nd: int):
     return None if x != x else round(x, nd)
 
 
+# Pinned HEALTHY-boot probe band (tools/host_probe.py, measured idle on
+# the recovered 2026-08-19 boot: jvm 0.93-0.99s, ipc 2.83-3.06s, shuffle
+# 2.6-2.8s; the degraded boot measured jvm 1.25, ipc 5.1, shuffle 3.7 on
+# the same workloads).  The round-3 driver record was captured on the
+# degraded boot and showed a concurrency collapse nobody could disprove
+# — so every bench record now classifies its own host FIRST (idle, before
+# any repo Spark work) and carries the verdict at headline level.
+HEALTHY_BAND = {
+    "jvm_hash2b_secs": 1.10,
+    "ipc_arrow64m_secs": 4.20,
+    "shuffle_agg100m_secs": 3.30,
+}
+
+
+def classify_host(probe: dict) -> str:
+    """HEALTHY / DEGRADED / UNKNOWN vs the pinned band.
+
+    DEGRADED needs >=2 exceeded dimensions (any single one can be a
+    transient co-tenant blip); all within band = HEALTHY; one exceeded =
+    UNKNOWN (interpret absolute seconds with care)."""
+    over = 0
+    for k, lim in HEALTHY_BAND.items():
+        v = probe.get(k)
+        if v is None:
+            return "UNKNOWN"
+        if float(v) > lim:
+            over += 1
+    return "HEALTHY" if over == 0 else ("DEGRADED" if over >= 2 else "UNKNOWN")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -98,6 +128,18 @@ def main() -> None:
     from frankensearch_spark.plans.manifest import write_index
     from frankensearch_spark.session import get_spark
     from frankensearch_spark.sources.corpus import CORPUS_KEY
+
+    # host-health probe FIRST, on the idle machine: the probe value is
+    # the state under which every latency/QPS arm below runs, and an
+    # end-of-run probe measures our own leftover load instead of the
+    # boot (r3's post-arms probe read 2x its idle value)
+    try:
+        from tools.host_probe import run as _host_probe
+
+        host_probe = _host_probe()
+    except Exception as e:  # noqa: BLE001 — probe must never fail bench
+        host_probe = {"error": repr(e)}
+    host_state = classify_host(host_probe)
 
     corpus_path = _corpus_parquet(n_docs)
     build_corpus_path = (
@@ -453,18 +495,15 @@ def main() -> None:
                 for pair, rec in out["scaling"].get("pairs", {}).items()
             }
 
-    # frozen host-health probe: fixed JVM/IPC/numpy workloads that never
-    # change with repo code, so cross-round absolute-seconds comparisons
-    # can be normalized for host state (2026-08-19: a VM reboot made
+    # frozen host-health probe (measured at bench START on the idle
+    # machine): fixed JVM/IPC/numpy workloads that never change with
+    # repo code, so cross-round absolute-seconds comparisons can be
+    # normalized for host state (2026-08-19: a VM reboot made
     # Spark-style multicore work 2.5-3x slower while raw numpy scaled
     # fine — without this field that reads as a code regression)
-    try:
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from tools.host_probe import run as _host_probe
-
-        out["host_probe"] = _host_probe()
-    except Exception as e:  # noqa: BLE001 — probe must never fail bench
-        out["host_probe"] = {"error": repr(e)}
+    out["host_probe"] = host_probe
+    out["host_state"] = host_state
+    out["host_healthy_band"] = HEALTHY_BAND
 
     # The driver captures only the FIRST ~2,000 chars of stdout: the
     # full record goes to BENCH_DETAIL.json and the printed line is a
@@ -496,6 +535,7 @@ def main() -> None:
         "serving_qps_concurrent8": out["serving_qps_concurrent8"],
         "serving_qps_batch": out["serving_qps_batch"],
         "scaling_eff": scaling_pairs,
+        "host_state": host_state,
         "host": {
             k: out.get("host_probe", {}).get(k)
             for k in ("ipc_arrow64m_secs", "numpy_sort2m_per_sec_8p")

@@ -221,18 +221,20 @@ class FrankensearchSpark:
             self._query_cache.pop(next(iter(self._query_cache)))
         return out
 
-    def search_batch(self, queries, limit: int = 10):
+    def search_batch(self, queries, limit: int = 10, offset: int = 0):
         """Per-query [(docid, np.float32)] hit lists for a WHOLE batch of
         queries in ONE Spark job (operators/batchexec.py): the postings
         scan, the per-field pivot shuffle and the kernel pass are shared
         across the batch, amortizing Spark's fixed per-job constant —
         the cluster-serving throughput shape.  Bit-identical per query
-        to :meth:`search_docids`; queries already cached for this
-        snapshot are answered from the cache and excluded from the job."""
+        to :meth:`search_docids` (offset handled the same way: fetch the
+        ``limit+offset`` prefix, slice per query); queries already
+        cached for this snapshot are answered from the cache and
+        excluded from the job."""
         out: list = [None] * len(queries)
         misses, pos = [], []
         for i, q in enumerate(queries):
-            hit = self._query_cache.get((q, limit, 0))
+            hit = self._query_cache.get((q, limit, offset))
             if hit is not None:
                 out[i] = list(hit)
             else:
@@ -244,11 +246,11 @@ class FrankensearchSpark:
             )
 
             got = search_batch_collect(
-                self.index, misses, limit, self.schema
+                self.index, misses, limit + offset, self.schema
             )
             for i, q, hits in zip(pos, misses, got):
-                out[i] = hits
-                self._query_cache[(q, limit, 0)] = list(hits)
+                out[i] = hits[offset : offset + limit]
+                self._query_cache[(q, limit, offset)] = list(out[i])
                 while len(self._query_cache) > QUERY_CACHE_MAX:
                     self._query_cache.pop(next(iter(self._query_cache)))
         return out

@@ -34,9 +34,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _numpy_worker(q, secs: float) -> None:
+def _numpy_worker(q, secs: float, cpu: int | None = None) -> None:
     import numpy as np
 
+    if cpu is not None:
+        try:
+            os.sched_setaffinity(0, {cpu})
+        except (AttributeError, OSError):
+            pass  # non-Linux / restricted: run unpinned rather than fail
     rng = np.random.default_rng(0)
     a = rng.random(2_000_000)
     n = 0
@@ -48,12 +53,18 @@ def _numpy_worker(q, secs: float) -> None:
 
 
 def numpy_rate(nproc: int, secs: float = 4.0) -> float:
-    """np.sort(2M f64) completions/sec across ``nproc`` pinned procs."""
+    """np.sort(2M f64) completions/sec across ``nproc`` pinned procs.
+
+    Worker ``i`` is affinity-pinned to CPU ``i`` (sched_setaffinity) so
+    the 1p/8p ratio measures N-core behavior, not an unpinned pool
+    free-riding on idle cores — the same mislabeling the repo warns
+    about for unpinned local[1] Spark baselines."""
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
+    n_cpus = os.cpu_count() or nproc
     ps = [
-        ctx.Process(target=_numpy_worker, args=(q, secs))
-        for _ in range(nproc)
+        ctx.Process(target=_numpy_worker, args=(q, secs, i % n_cpus))
+        for i in range(nproc)
     ]
     for p in ps:
         p.start()

@@ -142,12 +142,31 @@ def run_pair_coscheduled(a: int, b: int, corpus: str, zpath: str,
                        f"0-{a - 1}" if a > 1 else "0", out_suffix="_co")
     cmd_b = _level_cmd(b, corpus, zpath, tokenizer, layout,
                        f"{a}-{a + b - 1}", out_suffix="_co")
-    pa = subprocess.Popen(cmd_a, stdout=subprocess.PIPE,
-                          stderr=subprocess.PIPE, text=True)
-    pb = subprocess.Popen(cmd_b, stdout=subprocess.PIPE,
-                          stderr=subprocess.PIPE, text=True)
-    out_a, err_a = pa.communicate(timeout=7200)
-    out_b, err_b = pb.communicate(timeout=7200)
+    # Both processes write to TEMP FILES, not PIPEs: a sequential
+    # communicate() drain leaves the other process's ~64KB pipe buffers
+    # undrained while the first (slow) level runs, and spark-submit's
+    # stderr easily exceeds that — blocking its JVM on console writes
+    # mid-run and silently inflating the co-scheduled level's
+    # total_secs, the exact host artifact this mode exists to cancel.
+    import tempfile
+
+    files = []
+    procs = []
+    for cmd, label in ((cmd_a, a), (cmd_b, b)):
+        fo = tempfile.TemporaryFile(mode="w+", prefix=f"fsx_co_{label}_o_")
+        fe = tempfile.TemporaryFile(mode="w+", prefix=f"fsx_co_{label}_e_")
+        files.append((fo, fe))
+        procs.append(subprocess.Popen(cmd, stdout=fo, stderr=fe, text=True))
+    for p in procs:
+        p.wait(timeout=7200)
+    outs = []
+    for fo, fe in files:
+        fo.seek(0)
+        fe.seek(0)
+        outs.append((fo.read(), fe.read()))
+        fo.close()
+        fe.close()
+    (out_a, err_a), (out_b, err_b) = outs
     ra = _parse_json_line(out_a, f"co-scheduled local[{a}]", err_a)
     rb = _parse_json_line(out_b, f"co-scheduled local[{b}]", err_b)
     ra["pinned_cores"], ra["coscheduled_with"] = a, b
