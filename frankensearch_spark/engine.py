@@ -319,6 +319,18 @@ class FrankensearchSpark:
 
         Returns [(docid, fused_score, lex_rank|None, sem_rank|None)],
         fused ordering per the 4-level deterministic law.
+
+        ONE Spark action end-to-end (round 4): the lexical top-depth is
+        composed as a lazy plan (serving_exec.serving_topk_plan /
+        astexec.topk_ast) and fusion joins it directly, so the final
+        collect runs scan+score+rank+fuse in a single job chain — the
+        old collect -> createDataFrame -> fusion-job path paid ~3x the
+        single-query p50 in per-job constants (round-3 verdict).  Scores
+        are identical: both plans emit the same pinned-f32 top-depth the
+        collecting path returns (rank-identical by the WAND
+        conservative-bound theorem for prunable shapes).  A snapshot
+        cache hit for (query, depth) still short-circuits to the
+        driver-side list.
         """
         from frankensearch_spark.operators.fusion import (
             pool_minmax_fuse,
@@ -328,11 +340,30 @@ class FrankensearchSpark:
         if strategy not in ("rrf", "minmax"):
             raise ValueError(f"unknown fusion strategy {strategy!r}")
         spark = semantic_scores.sparkSession
-        lex_hits = self.search_docids(query, depth)
-        lex = spark.createDataFrame(
-            [(int(d), float(s)) for d, s in lex_hits],
-            "docid long, lex_score double",
-        )
+        lex_hits = self._query_cache.get((query, depth, 0))
+        if lex_hits is not None:
+            lex = spark.createDataFrame(
+                [(int(d), float(s)) for d, s in lex_hits],
+                "docid long, lex_score double",
+            )
+        else:
+            if self._is_serving():
+                from frankensearch_spark.operators.serving_exec import (
+                    serving_topk_plan,
+                )
+
+                lex_plan = serving_topk_plan(
+                    self.index, query, depth, self.schema
+                )
+            else:
+                from frankensearch_spark.operators.astexec import topk_ast
+
+                lex_plan = topk_ast(self.index, query, depth,
+                                    schema=self.schema)
+            lex = lex_plan.select(
+                F.col("docid").cast("long").alias("docid"),
+                F.col("score").cast("double").alias("lex_score"),
+            )
         sem = (
             semantic_scores.select(
                 F.col("docid").cast("long").alias("docid"),

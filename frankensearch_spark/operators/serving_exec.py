@@ -35,6 +35,36 @@ from frankensearch_spark.query_ast import (
 )
 
 
+def _interval_keep_mask(pdf: pd.DataFrame, wl: np.ndarray,
+                        shift: int) -> np.ndarray:
+    """True for block rows whose docid interval CAN intersect the sorted
+    whitelist ``wl`` — the phrase candidate restriction applied at block-
+    METADATA level, before any decode (round 4; argus.rs:4474-4520 skips
+    at the same granularity).
+
+    Within one (term, bucket) group, blocks partition the term's sorted
+    posting stream, so block ``i`` covers ``[first_doc_i,
+    first_doc_{i+1} - 1]`` (last block: the bucket's end).  A group
+    split across Arrow chunks only OVERESTIMATES the last visible
+    block's end (bucket end instead of the true next first_doc) — keeps
+    a superset, never drops a block holding a whitelisted doc."""
+    n = len(pdf)
+    keep = np.zeros(n, dtype=bool)
+    if wl.size == 0:
+        return keep
+    fd = pdf["first_doc"].to_numpy(dtype=np.int64)
+    for (_t, b), idx in pdf.groupby(["term", "bucket"], sort=False).indices.items():
+        fds = fd[idx]
+        order = np.argsort(fds, kind="stable")
+        ends = np.empty(len(idx), dtype=np.int64)
+        ends[order[:-1]] = fds[order[1:]] - 1
+        ends[order[-1]] = ((int(b) + 1) << shift) - 1
+        lo = np.searchsorted(wl, fds, side="left")
+        hi = np.searchsorted(wl, ends, side="right")
+        keep[idx] = hi > lo
+    return keep
+
+
 def blocks_to_postings(
     index: ServingIndex, terms: list[str] | None, with_positions: bool = False,
     docid_whitelist=None, local_whitelist_terms: list[str] | None = None,
@@ -92,6 +122,17 @@ def blocks_to_postings(
     def decode_one(pdf: pd.DataFrame, wl) -> pd.DataFrame | None:
         if len(pdf) == 0:
             return None
+        if wl is not None:
+            # block-interval pruning (round 4): a block whose docid
+            # interval cannot intersect the whitelist never decodes at
+            # all — for a mega-term slot, decode cost drops from "every
+            # posting block" to "blocks actually covering candidate
+            # docs".  Metadata-only, bit-transparent: the per-posting
+            # whitelist filter inside decode_blocks_pdf would drop every
+            # posting of a skipped block anyway.
+            pdf = pdf[_interval_keep_mask(pdf, wl, shift)]
+            if len(pdf) == 0:
+                return None
         out = decode_blocks_pdf(
             pdf, shift,
             with_positions="vbyte" if with_positions else False,
@@ -586,6 +627,58 @@ def ast_to_queryspec(ast):
                        * np.float32(flds[0][1]))
         )
     return spec
+
+
+def serving_topk_plan(
+    index, query, k: int = 10, schema: ParserSchema = ENGINE_SCHEMA,
+) -> DataFrame:
+    """The top-k as a LAZY DataFrame (docid long, score float) under the
+    pinned total order — the composable form of
+    :func:`serving_search_bits` for callers that fuse or join the
+    lexical tier into a larger plan (engine.search_hybrid): everything
+    downstream collects in ONE Spark action instead of
+    collect -> createDataFrame -> second job.
+
+    Single scored-clause shapes take the shuffle-free stream path
+    (:func:`wand._single_term_stream_plan` — bit-exact, no bucket
+    exchange); everything else decodes-and-scores through the shared
+    kernel + TakeOrderedAndProject.  The multi-collect WAND θ ceremony
+    cannot compose into one action, so prunable multi-term shapes run
+    exhaustive here — rank-identical by the conservative-bound theorem
+    (the pruned path's own invariant)."""
+    ast = (
+        parse_lenient(query, schema).query if isinstance(query, str) else query
+    )
+    from frankensearch_spark.operators.astexec import expand_globs
+
+    expanded = expand_globs(index, ast)
+    lowered = ast_to_queryspec_fields(expanded)
+    if lowered is not None and index.tombstones is None:
+        spec, term_fields = lowered
+        from frankensearch_spark.operators.wand import (
+            _prepare,
+            _single_term_stream_plan,
+            _wand_fields,
+        )
+
+        if not spec.must_not and len(spec.clause_terms()) == 1:
+            prep = _prepare(index, spec, term_fields)
+            if prep is not None:
+                weights, tf_caches, _avgdls, cand, _stats, _tfo = prep
+                if len(weights) == 1:
+                    (fname, _t), w = next(iter(weights.items()))
+                    _fidx, primary = _wand_fields(index)
+                    return _single_term_stream_plan(
+                        cand, w, tf_caches[fname], primary.bucket_shift, k
+                    )
+            else:
+                spark = _wand_fields(index)[1].blocks.sparkSession
+                return spark.createDataFrame([], "docid long, score float")
+    return (
+        serving_score_ast(index, expanded, schema)
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )
 
 
 def serving_search_collect(

@@ -148,3 +148,87 @@ def test_engine_batch_uses_and_fills_query_cache(loaded):
     # the index reference to prove nothing recomputes
     again = loaded.search_batch(texts, limit=5)
     assert [_bits(h) for h in again] == [_bits(h) for h in first]
+
+
+def test_batch_chunked_pivot_parity(built):
+    """pivot_cap guard (round 4): forcing tiny chunks (cap=4) must split
+    the pivot lane into several independent plans and still equal both
+    the unchunked batch and single-query execution bit-for-bit."""
+    from frankensearch_spark.operators.batchexec import (
+        _chunk_by_union_terms,
+        _prepare,
+        topk_ast_batch,
+    )
+    from frankensearch_spark.query_ast import ENGINE_SCHEMA
+
+    texts = [
+        "term00001 AND term00002",
+        "term00003 term00004 term00005",
+        "term00006 OR term00007",
+        "+term00008 -term00009 term00010",
+        "term00011 term00012",
+    ]
+    _f, _p, specs = _prepare(built, texts, ENGINE_SCHEMA)
+    chunks = _chunk_by_union_terms(specs, 4)
+    assert len(chunks) >= 2  # the cap actually split this batch
+    rows = topk_ast_batch(built, texts, k=10, pivot_cap=4).collect()
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r["qid"], []).append(
+            (int(r["docid"]), np.float32(r["score"]))
+        )
+    for qid, text in enumerate(texts):
+        hits = sorted(
+            got.get(qid, []), key=lambda h: (-float(h[1]), h[0])
+        )
+        assert _bits(hits) == search_ast_bits(built, text, k=10), text
+
+
+def test_stream_lane_split_routing(loaded):
+    """Round-4 lane split: single scored-clause queries over a
+    tombstone-free serving index go to the stream lane (no pivot, no
+    bucket exchange); every other shape stays in the pivot lane; a
+    tombstoned index disables the stream lane entirely."""
+    from frankensearch_spark.operators.astexec import _field_indexes
+    from frankensearch_spark.operators.batchexec import (
+        _prepare,
+        _stream_lane_split,
+    )
+    from frankensearch_spark.query_ast import ENGINE_SCHEMA
+
+    texts = [
+        "fn",                    # single term -> stream
+        "term00001^2",           # boosted single term -> stream
+        "+term00002",            # single Must term -> stream
+        "fn import",             # two clauses -> pivot
+        "-term00001 fn",         # MustNot -> pivot
+        '"term00001 term00002"', # phrase -> pivot
+        "lang:py fn",            # metadata -> pivot
+        "missingkeywordalpha",   # absent term -> neither (empty result)
+    ]
+    idx = loaded.index
+    fidx, primary = _field_indexes(idx)
+    _f, _p, specs = _prepare(idx, texts, ENGINE_SCHEMA)
+    doc_count, _tt = primary.stats()
+    stream, rest = _stream_lane_split(idx, fidx, primary, specs, doc_count)
+    assert sorted(q for q, *_ in stream) == [0, 1, 2]
+    assert sorted(s.qid for s in rest) == [3, 4, 5, 6]
+
+    dead = loaded.delete_documents([0])
+    fidx2, primary2 = _field_indexes(dead.index)
+    _f2, _p2, specs2 = _prepare(dead.index, texts, ENGINE_SCHEMA)
+    stream2, rest2 = _stream_lane_split(
+        dead.index, fidx2, primary2, specs2, doc_count
+    )
+    assert stream2 == [] and len(rest2) == len(specs2)
+
+
+def test_batch_stream_lane_bit_parity_with_offset_fetch(loaded):
+    """The stream lane's deeper-than-k fetch (engine.search_batch with
+    offset) must slice exactly like search_docids' offset handling."""
+    loaded._query_cache.clear()
+    texts = ["fn", "term00042"]
+    got = loaded.search_batch(texts, limit=5, offset=3)
+    for text, hits in zip(texts, got):
+        want = loaded.search_docids(text, limit=5, offset=3)
+        assert _bits(hits) == _bits(want), text

@@ -292,3 +292,38 @@ def test_resume_refuses_mismatched_docid_assignment(spark, tmp_path):
     other = build_index(corpus.limit(70), CORPUS_KEY, docid_mode="global")
     with pytest.raises(ValueError, match="fingerprint mismatch"):
         write_index(other, p, n_groups=2)
+
+
+def test_loaded_hybrid_one_job_parity(spark, built, loaded):
+    """search_hybrid on a LOADED engine composes the lexical tier as a
+    lazy plan (serving_topk_plan) — its fused output must equal the
+    built engine's (whose lexical tier collects through astexec), for
+    both fusion strategies and for the single-clause fast-path shape
+    ('fn') AND a multi-term shape ('fn import')."""
+    sem = spark.range(0, 40).select(
+        F.col("id").cast("long").alias("docid"),
+        (F.lit(1.0) / (F.col("id") + F.lit(1.0))).alias("sem_score"),
+    )
+    for q in ("fn", "fn import"):
+        for strat in ("rrf", "minmax"):
+            built._query_cache.clear()
+            loaded._query_cache.clear()
+            got = loaded.search_hybrid(q, sem, limit=10, depth=15,
+                                       strategy=strat)
+            want = built.search_hybrid(q, sem, limit=10, depth=15,
+                                       strategy=strat)
+            assert got == want, (q, strat)
+
+
+def test_loaded_hybrid_uses_snapshot_cache(spark, loaded):
+    """A cached (query, depth) lexical result short-circuits the plan
+    path; fused output must be identical either way."""
+    sem = spark.range(0, 40).select(
+        F.col("id").cast("long").alias("docid"),
+        (F.lit(1.0) / (F.col("id") + F.lit(1.0))).alias("sem_score"),
+    )
+    loaded._query_cache.clear()
+    cold = loaded.search_hybrid("fn import", sem, limit=10, depth=15)
+    loaded.search_docids("fn import", 15)  # populate the snapshot cache
+    warm = loaded.search_hybrid("fn import", sem, limit=10, depth=15)
+    assert cold == warm

@@ -263,3 +263,57 @@ def test_phrase_local_whitelist_beyond_cap(serving, oracle, text, monkeypatch):
     ]
     got = serving_search_bits(serving, text, k=10)
     assert got == exp, text
+
+
+def test_interval_mask_prunes_and_is_bit_transparent(serving, monkeypatch):
+    """Round-4 block-interval pruning: blocks whose docid interval
+    misses the rare-slot whitelist are dropped BEFORE decode.  Two
+    pins: (1) the mask semantics — only blocks covering whitelisted
+    docids survive, chunk-split groups only widen intervals; (2) the
+    end-to-end phrase bits are identical with the mask disabled."""
+    import numpy as np
+    import pandas as pd
+
+    from frankensearch_spark.operators import serving_exec as se
+
+    # (1) semantics on a hand-built block frame: bucket 0 (shift 4 ->
+    # docids 0..15), term 'x' blocks at first_doc 0, 6, 12
+    pdf = pd.DataFrame(
+        {
+            "term": ["x", "x", "x"],
+            "bucket": [0, 0, 0],
+            "first_doc": [0, 6, 12],
+        }
+    )
+    # wl hits only the middle block's interval [6, 11]
+    keep = se._interval_keep_mask(pdf, np.array([7], dtype=np.int64), 4)
+    assert keep.tolist() == [False, True, False]
+    # boundary doc: 12 belongs to the LAST block [12, 15]
+    keep = se._interval_keep_mask(pdf, np.array([12], dtype=np.int64), 4)
+    assert keep.tolist() == [False, False, True]
+    # empty whitelist prunes everything
+    keep = se._interval_keep_mask(pdf, np.array([], dtype=np.int64), 4)
+    assert keep.tolist() == [False, False, False]
+    # a second bucket's group is independent (bucket 1 -> [16, 31])
+    pdf2 = pd.DataFrame(
+        {
+            "term": ["x", "x"],
+            "bucket": [0, 1],
+            "first_doc": [0, 16],
+        }
+    )
+    keep = se._interval_keep_mask(pdf2, np.array([20], dtype=np.int64), 4)
+    assert keep.tolist() == [False, True]
+
+    # (2) end-to-end bit-transparency on the real phrase queries
+    texts = [q for q in PHRASE_QUERIES]
+    want = [serving_search_bits(serving, q, k=10) for q in texts]
+    real_mask = se._interval_keep_mask
+    monkeypatch.setattr(
+        se,
+        "_interval_keep_mask",
+        lambda pdf, wl, shift: np.ones(len(pdf), dtype=bool),
+    )
+    got_unpruned = [serving_search_bits(serving, q, k=10) for q in texts]
+    monkeypatch.setattr(se, "_interval_keep_mask", real_mask)
+    assert want == got_unpruned
