@@ -232,3 +232,57 @@ def test_batch_stream_lane_bit_parity_with_offset_fetch(loaded):
     for text, hits in zip(texts, got):
         want = loaded.search_docids(text, limit=5, offset=3)
         assert _bits(hits) == _bits(want), text
+
+
+def test_bucket_lane_split_routing(loaded):
+    """Round-4 bucket lane: text-only multi-clause queries over a
+    serving index leave the pivot lane for the bucket-kernel lane;
+    All-repair and metadata shapes stay in the pivot lane."""
+    from frankensearch_spark.operators.astexec import _field_indexes
+    from frankensearch_spark.operators.batchexec import (
+        _bucket_lane_split,
+        _prepare,
+        _stream_lane_split,
+    )
+    from frankensearch_spark.query_ast import ENGINE_SCHEMA
+
+    texts = [
+        "fn import",              # two clauses -> bucket
+        "-term00001 fn",          # MustNot -> bucket (kernel handles)
+        '"term00001 term00002"',  # phrase -> bucket (pos sidecar decode)
+        "lang:py fn",             # metadata -> pivot
+        "-term00001",             # All repair -> pivot
+    ]
+    idx = loaded.index
+    fidx, primary = _field_indexes(idx)
+    _f, _p, specs = _prepare(idx, texts, ENGINE_SCHEMA)
+    doc_count, _tt = primary.stats()
+    _stream, rest = _stream_lane_split(idx, fidx, primary, specs, doc_count)
+    bucket, pivot = _bucket_lane_split(fidx, rest)
+    assert sorted(s.qid for s in bucket) == [0, 1, 2]
+    assert sorted(s.qid for s in pivot) == [3, 4]
+
+
+def test_bucket_lane_bit_parity_all_shapes(loaded):
+    """Every bucket-lane shape in ONE batch — boolean, Must/MustNot,
+    phrase, boost, deep-k — bit-equal to single-query serving, and a
+    tombstoned engine (bucket lane cogroups tombstones) stays equal."""
+    texts = [
+        "term00001 term00002 term00003",
+        "+term00001 -term00002 term00003",
+        '"term00001 term00002"',
+        "term00003^2 term00001",
+        "fn import",
+    ]
+    batched = loaded.search_batch(texts, limit=25)
+    for text, hits in zip(texts, batched):
+        want = loaded.search_docids(text, limit=25)
+        assert _bits(hits) == _bits(want), text
+
+    dead_ids = [d for d, _ in loaded.search_docids("fn import", limit=4)]
+    eng = loaded.delete_documents(dead_ids)
+    batched2 = eng.search_batch(texts, limit=25)
+    for text, hits in zip(texts, batched2):
+        want = eng.search_docids(text, limit=25)
+        assert _bits(hits) == _bits(want), text
+        assert not any(d in dead_ids for d, _ in hits)
