@@ -650,6 +650,161 @@ def q_latest_event_per_user(spark, sf_dir):
     )
 
 
+def q_pack_offsets(spark, sf_dir):
+    """GPT-style sequence packing (the training-data prep step after
+    curation): documents concatenated in docid order into one token
+    stream cut at CAPACITY-token boundaries — each doc gets its global
+    start offset, its training-sequence id, and whether it straddles a
+    sequence boundary.
+
+    Scale shape: a SEGMENTED prefix sum, not a global window.  A naive
+    ``SUM() OVER (ORDER BY docid)`` forces every row through ONE
+    partition; instead docids bucket into coarse segments, a tiny
+    per-segment total aggregates map-side, the segment BASES prefix-sum
+    over that tiny frame (broadcast back), and the within-segment cumsum
+    windows partition BY SEGMENT — every stage is parallel in the number
+    of segments, which is how a 100-TB pack job actually runs.  The
+    DuckDB oracle uses the independent single-window formulation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cap, seg = 512, 100
+    t = docs.select(
+        F.col("doc_id").alias("docid"),
+        F.size(_word_tokens()).alias("n_tokens"),
+        F.floor(F.col("doc_id") / seg).cast("long").alias("segid"),
+    )
+    totals = t.groupBy("segid").agg(
+        F.sum("n_tokens").cast("long").alias("seg_tok")
+    )
+    wseg = Window.orderBy("segid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = totals.select(
+        "segid",
+        F.coalesce(F.sum("seg_tok").over(wseg), F.lit(0))
+        .cast("long")
+        .alias("base"),
+    )
+    wdoc = (
+        Window.partitionBy("segid")
+        .orderBy("docid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        t.join(F.broadcast(bases), "segid")
+        .withColumn(
+            "local",
+            F.coalesce(F.sum("n_tokens").over(wdoc), F.lit(0)).cast("long"),
+        )
+        .select(
+            "docid",
+            "n_tokens",
+            (F.col("base") + F.col("local")).alias("start_token"),
+        )
+        .withColumn(
+            "seq_id", F.floor(F.col("start_token") / cap).cast("long")
+        )
+    )
+    end_seq = F.floor(
+        (F.col("start_token") + F.col("n_tokens") - 1) / cap
+    ).cast("long")
+    return out.withColumn(
+        "straddles",
+        (F.col("n_tokens") > 0) & (end_seq > F.col("seq_id")),
+    )
+
+
+def q_dup_span_marks(spark, sf_dir):
+    """ExactSubstr-style duplicated-span marking (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): token
+    8-gram windows that occur in >= 2 distinct documents, merged per doc
+    into maximal token intervals [span_start, span_end] (windows whose
+    intervals overlap or touch coalesce).  Production pipelines cut
+    these spans out of the training text; the marker is the operator.
+
+    Scale shape: window starts flow through ONE distinct + ONE hash agg
+    on the gram key (map-side combinable), join back on the same gram
+    key (no broadcast of the big side), then the gaps-and-islands merge
+    runs per-document windows — partitioned by docid, never global.
+    All JVM codegen; grams never leave the executors un-aggregated."""
+    n = 8
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(F.col("doc_id").alias("docid"), _word_tokens().alias("t"))
+    g = t.select(
+        "docid", F.posexplode(_word_ngrams(F.col("t"), n)).alias("p", "gram")
+    )
+    dup_grams = (
+        g.select("docid", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup = g.join(dup_grams, "gram").select("docid", "p")
+    w = Window.partitionBy("docid").orderBy("p")
+    isl = (
+        dup.withColumn("prev", F.lag("p").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("p") > F.col("prev") + n),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        isl.groupBy("docid", "isl")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("docid", "span_start", "span_end", "n_windows")
+    )
+
+
+def q_source_mix_weights(spark, sf_dir):
+    """Temperature-based data-mixing weights (the multilingual/domain
+    rebalancing step — XLM-R / PaLM style): per source, token share p
+    and the alpha=0.7 temperature-resampled weight
+    w = tok^alpha / sum(tok^alpha)  (the T^alpha denominators cancel, so
+    the normalized weight needs only the per-source token totals).
+
+    Scale shape: one map-side-combinable agg to ~n_sources rows, then a
+    1-row total broadcast back — the corpus is scanned exactly once."""
+    alpha = 0.7
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    agg = (
+        docs.select("source", F.size(_word_tokens()).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    tots = agg.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tok"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias(
+            "tot_pow"
+        ),
+    )
+    return agg.crossJoin(F.broadcast(tots)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot_tok"), 6).alias("tok_share"),
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+            / F.col("tot_pow"),
+            6,
+        ).alias("mix_weight"),
+    )
+
+
 def q_bm25_phrase(spark, sf_dir):
     """Exact-adjacency phrase BM25 (E7), f64 oracle-comparable shape:
     weight = (idf(a)+idf(b)) * 2.2, score = weight * pf/(pf + norm)."""
@@ -1748,6 +1903,9 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "hybrid_rrf_fusion": q_hybrid_rrf,
     "hybrid_pool_minmax": q_hybrid_pool_minmax,
+    "pack_offsets": q_pack_offsets,
+    "dup_span_marks": q_dup_span_marks,
+    "source_mix_weights": q_source_mix_weights,
 }
 
 _SQL_SIMHASH_BITS = " + ".join(
@@ -2678,5 +2836,83 @@ ORACLE_SQL = {
                greatest(round(width * s)::INT, 1) AS target_width,
                greatest(round(height * s)::INT, 1) AS target_height
         FROM scaled
+    """,
+    "pack_offsets": """
+        WITH t AS (
+          SELECT doc_id AS docid,
+                 len(list_filter(regexp_split_to_array(lower(text),
+                                                       '[^0-9a-z]+'),
+                                 x -> x <> ''))::INT AS n_tokens
+          FROM documents
+        ),
+        s AS (
+          SELECT docid, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY docid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0)::BIGINT AS start_token
+          FROM t
+        )
+        SELECT docid, n_tokens, start_token,
+               (start_token // 512)::BIGINT AS seq_id,
+               (n_tokens > 0 AND
+                (start_token + n_tokens - 1) // 512 > start_token // 512
+               ) AS straddles
+        FROM s
+    """,
+    "dup_span_marks": """
+        WITH toks AS (
+          SELECT doc_id AS docid,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT docid, i - 1 AS p,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                 || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                 || ' ' || t[i+7] AS gram
+          FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+          WHERE len(t) >= 8
+        ),
+        d AS (
+          SELECT gram FROM (SELECT DISTINCT docid, gram FROM g)
+          GROUP BY gram HAVING count(*) >= 2
+        ),
+        dup AS (SELECT g.docid, g.p FROM g JOIN d USING (gram)),
+        m AS (
+          SELECT docid, p,
+                 CASE WHEN lag(p) OVER w IS NULL
+                           OR p > lag(p) OVER w + 8
+                      THEN 1 ELSE 0 END AS brk
+          FROM dup WINDOW w AS (PARTITION BY docid ORDER BY p)
+        ),
+        isl AS (
+          SELECT docid, p,
+                 SUM(brk) OVER (PARTITION BY docid ORDER BY p) AS isl
+          FROM m
+        )
+        SELECT docid, MIN(p)::INT AS span_start,
+               (MAX(p) + 7)::INT AS span_end,
+               count(*)::BIGINT AS n_windows
+        FROM isl GROUP BY docid, isl
+    """,
+    "source_mix_weights": """
+        WITH a AS (
+          SELECT source, count(*)::BIGINT AS n_docs,
+                 SUM(len(list_filter(regexp_split_to_array(lower(text),
+                                                           '[^0-9a-z]+'),
+                                     x -> x <> '')))::BIGINT AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT SUM(n_tokens)::DOUBLE AS tot_tok,
+                 SUM(pow(n_tokens::DOUBLE, 0.7)) AS tot_pow
+          FROM a
+        )
+        SELECT source, n_docs, n_tokens,
+               round(n_tokens / tot_tok, 6) AS tok_share,
+               round(pow(n_tokens::DOUBLE, 0.7) / tot_pow, 6) AS mix_weight
+        FROM a, tot
     """,
 }

@@ -987,6 +987,55 @@ def positions_as_vbyte(pos_df: DataFrame) -> DataFrame:
     return pos_df.mapInArrow(gen, out_schema)
 
 
+def _leb128_byte_col(b):
+    """int column in 0..255 → 1-byte binary (JVM codegen: hex/lpad/unhex)."""
+    return F.unhex(F.lpad(F.hex(b), 2, "0"))
+
+
+def leb128_binary_col(arr):
+    """``array<int>`` column → canonical-LEB128 ``binary``, pure JVM.
+
+    Byte-identical to :func:`frankensearch_spark.functions.vbyte.
+    vbyte_encode` over the same values (little-endian base-128, high bit
+    = continuation, canonical widths — quiver.rs:395-430): per element a
+    width CASE over the four thresholds builds the 1–5 byte buffer, then
+    an ``aggregate`` concatenates per-element buffers in order (LEB128 is
+    per-value, so concat-of-encodes == encode-of-concat).  Keeps the SQL
+    build path free of Python workers; parity with the numpy encoder is
+    pinned in test_build_paths."""
+
+    def enc(v):
+        v = v.cast("long")
+
+        def low7(shift, cont):
+            b = F.shiftright(v, shift).bitwiseAND(F.lit(127))
+            return _leb128_byte_col(b + F.lit(128) if cont else b)
+
+        w1 = low7(0, False)
+        w2 = F.concat(low7(0, True), low7(7, False))
+        w3 = F.concat(low7(0, True), low7(7, True), low7(14, False))
+        w4 = F.concat(
+            low7(0, True), low7(7, True), low7(14, True), low7(21, False)
+        )
+        w5 = F.concat(
+            low7(0, True), low7(7, True), low7(14, True), low7(21, True),
+            low7(28, False),
+        )
+        return (
+            F.when(v < (1 << 7), w1)
+            .when(v < (1 << 14), w2)
+            .when(v < (1 << 21), w3)
+            .when(v < (1 << 28), w4)
+            .otherwise(w5)
+        )
+
+    return F.aggregate(
+        F.transform(arr, lambda p: enc(p)),
+        F.lit(bytearray(b"")),
+        lambda acc, x: F.concat(acc, x),
+    )
+
+
 def build_postings_sql(
     corpus_with_docid: DataFrame,
     content_col: str = "content",
@@ -1001,6 +1050,11 @@ def build_postings_sql(
     (tests assert posting-table equality); for exotic Unicode the Java
     regex class ``\\p{L}\\p{N}`` differs from Rust ``char::is_alphanumeric``
     only on the Nl/No categories — use the Arrow path when that matters.
+
+    Positions are emitted PRE-ENCODED as per-posting canonical-LEB128
+    ``binary`` (:func:`leb128_binary_col`, still JVM-side) — the same
+    wire format as the fused Arrow paths, so every build path now ships
+    one positions format and downstream never normalizes.
 
     Scale rationale: no Python workers — the build saturates executor
     cores without JVM/Python oversubscription, which is what makes the
@@ -1022,9 +1076,13 @@ def build_postings_sql(
     )
     aggs = [F.count(F.lit(1)).cast("int").alias("tf")]
     if with_positions:
-        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+        aggs.append(
+            leb128_binary_col(
+                F.sort_array(F.collect_list("pos"))
+            ).alias("positions")
+        )
     else:
-        aggs.append(F.lit(None).cast("array<int>").alias("positions"))
+        aggs.append(F.lit(None).cast("binary").alias("positions"))
     grouped = exploded.groupBy("docid", "term").agg(*aggs)
     w = Window.partitionBy("docid")
     return grouped.withColumn("doclen", F.sum("tf").over(w).cast("int")).select(

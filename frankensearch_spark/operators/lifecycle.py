@@ -126,18 +126,11 @@ def _shift_union(old: BuiltIndex, delta: BuiltIndex, shift: int,
         if delta.positions is not None
         else None
     )
+    # every build path (fused arrow, vector, auto, SQL) emits positions
+    # as per-posting LEB128 binary — one wire format, no normalization;
+    # only durable segments sealed by pre-unification writers still carry
+    # array<int> (handled at load in streaming/incremental.py)
     old_positions = old.positions
-    if shifted_positions is not None:
-        # normalize mixed position formats (array<int> from the SQL
-        # tokenizer vs the fused build's vbyte binary) to the canonical
-        # binary form before the union
-        from frankensearch_spark.operators.build import positions_as_vbyte
-
-        old_fmt = dict(old_positions.dtypes).get("positions")
-        new_fmt = dict(shifted_positions.dtypes).get("positions")
-        if old_fmt != new_fmt:
-            old_positions = positions_as_vbyte(old_positions)
-            shifted_positions = positions_as_vbyte(shifted_positions)
     postings = old.postings.unionByName(shifted_postings)
     docmeta = old.docmeta.unionByName(
         shifted_docmeta.select(*old.docmeta.columns)

@@ -276,3 +276,42 @@ def test_code_aware_index_end_to_end(spark):
     assert hits[0] in docids(eng, "server")
     # snake_case splits in BOTH (underscore is a separator already)
     assert docids(eng, "handler") == docids(plain, "handler") != []
+
+
+def test_leb128_binary_col_matches_numpy_encoder(spark):
+    """The JVM-side LEB128 encoder (build.leb128_binary_col — the SQL
+    path's positions wire format since round 4) is byte-identical to the
+    numpy codec on every width boundary and on empty input."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from frankensearch_spark.functions.vbyte import vbyte_encode
+    from frankensearch_spark.operators.build import leb128_binary_col
+
+    cases = [
+        [],
+        [0],
+        [127],
+        [128],
+        [16383],
+        [16384],
+        [(1 << 21) - 1],
+        [1 << 21],
+        [(1 << 28) - 1],
+        [1 << 28],
+        [(1 << 31) - 1],
+        [0, 1, 127, 128, 300, 16384, 2**20, 2**25, 2**30],
+        list(range(0, 4000, 7)),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cases)], "i int, vals array<int>"
+    )
+    got = {
+        int(r["i"]): bytes(r["enc"]) if r["enc"] is not None else b""
+        for r in df.select(
+            "i", leb128_binary_col(F.col("vals")).alias("enc")
+        ).collect()
+    }
+    for i, vals in enumerate(cases):
+        want = vbyte_encode(np.asarray(vals, dtype=np.uint64))
+        assert got[i] == want, (i, vals, got[i].hex(), want.hex())

@@ -114,10 +114,11 @@ def test_upsert_replaces_by_key(spark, built):
 
 
 def test_upsert_mixed_position_formats_serves_phrases(spark, built):
-    """An SQL-tokenizer delta (array<int> positions) upserted into a
-    fused-built index (vbyte binary positions) normalizes to the
-    canonical binary form — the union is well-typed and the upserted
-    doc serves an exact phrase query."""
+    """An SQL-tokenizer delta upserted into a fused-built index unions
+    cleanly: since round 4 the SQL path emits the SAME per-posting vbyte
+    binary wire format at source (build.leb128_binary_col — no
+    normalization shim), and the upserted doc serves an exact phrase
+    query."""
     new_rows = [
         ("mixorg/mixrepo", "src/mix.rs", "d" * 40, "rust",
          "alphamix betamix gammamix"),
