@@ -320,51 +320,28 @@ class FrankensearchSpark:
         Returns [(docid, fused_score, lex_rank|None, sem_rank|None)],
         fused ordering per the 4-level deterministic law.
 
-        ONE Spark action end-to-end (round 4): the lexical top-depth is
-        composed as a lazy plan (serving_exec.serving_topk_plan /
-        astexec.topk_ast) and fusion joins it directly, so the final
-        collect runs scan+score+rank+fuse in a single job chain — the
-        old collect -> createDataFrame -> fusion-job path paid ~3x the
-        single-query p50 in per-job constants (round-3 verdict).  Scores
-        are identical: both plans emit the same pinned-f32 top-depth the
-        collecting path returns (rank-identical by the WAND
-        conservative-bound theorem for prunable shapes).  A snapshot
-        cache hit for (query, depth) still short-circuits to the
-        driver-side list.
+        Both tiers collect CONCURRENTLY (round 4: two threads, two
+        independent Spark actions — a bounded top-depth each) and the
+        fuse itself runs driver-side via the local twins in
+        operators/fusion.py, exactly as the reference merges its two
+        in-process candidate vectors (rrf.rs:195-236).  The round-3
+        one-job DataFrame fusion still paid 4-6 stages of per-job
+        constants to full-outer-join <= 2*depth rows; the local twins
+        replicate the DataFrame operators' f64 math op-for-op (equality
+        pinned in test_engine), so wall time is max(tier latencies)
+        plus a microsecond merge.  The DataFrame operators remain the
+        path for unbounded relations.  A snapshot cache hit for
+        (query, depth) still short-circuits that tier's action.
         """
         from frankensearch_spark.operators.fusion import (
-            pool_minmax_fuse,
-            rrf_fuse,
+            pool_minmax_fuse_local,
+            rrf_fuse_local,
         )
 
         if strategy not in ("rrf", "minmax"):
             raise ValueError(f"unknown fusion strategy {strategy!r}")
-        spark = semantic_scores.sparkSession
-        lex_hits = self._query_cache.get((query, depth, 0))
-        if lex_hits is not None:
-            lex = spark.createDataFrame(
-                [(int(d), float(s)) for d, s in lex_hits],
-                "docid long, lex_score double",
-            )
-        else:
-            if self._is_serving():
-                from frankensearch_spark.operators.serving_exec import (
-                    serving_topk_plan,
-                )
 
-                lex_plan = serving_topk_plan(
-                    self.index, query, depth, self.schema
-                )
-            else:
-                from frankensearch_spark.operators.astexec import topk_ast
-
-                lex_plan = topk_ast(self.index, query, depth,
-                                    schema=self.schema)
-            lex = lex_plan.select(
-                F.col("docid").cast("long").alias("docid"),
-                F.col("score").cast("double").alias("lex_score"),
-            )
-        sem = (
+        sem_plan = (
             semantic_scores.select(
                 F.col("docid").cast("long").alias("docid"),
                 F.col("sem_score").cast("double").alias("sem_score"),
@@ -372,19 +349,40 @@ class FrankensearchSpark:
             .orderBy(F.desc("sem_score"), F.asc("docid"))
             .limit(depth)
         )
-        fuse = rrf_fuse if strategy == "rrf" else pool_minmax_fuse
+
+        sem_out: dict = {}
+
+        def collect_sem():
+            sem_out["rows"] = [
+                (int(r["docid"]), float(r["sem_score"]))
+                for r in sem_plan.collect()
+            ]
+
+        import threading
+
+        t = threading.Thread(target=collect_sem)
+        t.start()
+        try:
+            lex_hits = [
+                (int(d), float(s))
+                for d, s in self.search_docids(query, depth)
+            ]
+        finally:
+            t.join()
+        if "rows" not in sem_out:
+            # the semantic action raised in its thread: re-run it here
+            # so the caller sees the real exception
+            collect_sem()
+        fuse = rrf_fuse_local if strategy == "rrf" else pool_minmax_fuse_local
         fused = fuse(
-            lex, sem, limit=limit,
+            lex_hits, sem_out["rows"], limit=limit,
             lexical_weight=lexical_weight, semantic_weight=semantic_weight,
         )
         return [
-            (
-                int(r["docid"]),
-                float(r["rrf_score"]),
-                None if r["lex_rank"] is None else int(r["lex_rank"]),
-                None if r["sem_rank"] is None else int(r["sem_rank"]),
-            )
-            for r in fused.collect()
+            (int(d), float(score),
+             None if lr is None else int(lr),
+             None if sr is None else int(sr))
+            for d, score, lr, sr, _ls, _ss, _b in fused
         ]
 
     def count(self, query: str) -> int:

@@ -180,3 +180,117 @@ def pool_minmax_fuse(
         id_col, fscore, "lex_rank", "sem_rank", lex_score_col, sem_score_col, in_both
     )
     return _ordered_limit(out, limit, id_col, lex_score_col)
+
+
+# --- driver-local twins ----------------------------------------------------
+#
+# engine.search_hybrid fuses two BOUNDED top-depth rank lists.  The
+# reference fuses those in-process over Vec<FusedHit> (rrf.rs:195-236) —
+# and at depth <= a few thousand rows that is also the right Spark
+# design: the tiers are already reduced, so fusing via a full-outer JOIN
+# pays 4-6 stages of per-job constants to merge <= 2*depth rows.  These
+# twins replicate the DataFrame operators' f64 math op-for-op (same
+# contribution order, same sanitization, same 4-level ordering law), so
+# the engine can collect both tiers concurrently and fuse driver-side;
+# equality with the DataFrame path is pinned in test_fusion/test_engine.
+# The DataFrame operators above remain the scale path for UNBOUNDED
+# relations (the driver-contract hybrid queries use them directly).
+
+
+def _rank_local(hits, id_idx: int = 0, score_idx: int = 1) -> dict:
+    """1-based rank map by (score desc, id asc) — rank_by_score's law."""
+    orders = sorted(hits, key=lambda h: (-h[score_idx], h[id_idx]))
+    return {h[id_idx]: r + 1 for r, h in enumerate(orders)}
+
+
+def _ordered_limit_local(rows: list, limit: int) -> list:
+    """The 4-level deterministic ordering of _ordered_limit, locally.
+
+    rows: (docid, fused, lex_rank, sem_rank, lex_score, sem_score,
+    in_both); absent lexical score compares as -inf (rrf.rs:162)."""
+    neg_inf = float("-inf")
+    rows.sort(
+        key=lambda r: (
+            -r[1],
+            not r[6],
+            -(r[4] if r[4] is not None else neg_inf),
+            r[0],
+        )
+    )
+    return rows[:limit]
+
+
+def rrf_fuse_local(
+    lex_hits,
+    sem_hits,
+    *,
+    limit: int,
+    rrf_k: float = DEFAULT_RRF_K,
+    lexical_weight: float = 1.0,
+    semantic_weight: float = 1.0,
+) -> list:
+    """Driver-side twin of :func:`rrf_fuse` over [(docid, score)] lists.
+
+    Returns [(docid, rrf_score, lex_rank|None, sem_rank|None,
+    lex_score|None, sem_score|None, in_both)], float math identical to
+    the DataFrame path: contribution = (1/(k + rank)) * weight, summed
+    lexical-first (rrf.rs:274,312 op order)."""
+    lw = _sanitize_tier_weight(lexical_weight)
+    sw = _sanitize_tier_weight(semantic_weight)
+    k = float(rrf_k)
+    lex_rank = _rank_local(lex_hits)
+    sem_rank = _rank_local(sem_hits)
+    lex_score = {d: float(s) for d, s in lex_hits}
+    sem_score = {d: float(s) for d, s in sem_hits}
+    rows = []
+    for d in set(lex_rank) | set(sem_rank):
+        lr, sr = lex_rank.get(d), sem_rank.get(d)
+        fused = ((1.0 / (k + float(lr))) * lw if lr is not None else 0.0) + (
+            (1.0 / (k + float(sr))) * sw if sr is not None else 0.0
+        )
+        rows.append(
+            (d, fused, lr, sr, lex_score.get(d), sem_score.get(d),
+             lr is not None and sr is not None)
+        )
+    return _ordered_limit_local(rows, limit)
+
+
+def pool_minmax_fuse_local(
+    lex_hits,
+    sem_hits,
+    *,
+    limit: int,
+    lexical_weight: float = 1.0,
+    semantic_weight: float = 1.0,
+) -> list:
+    """Driver-side twin of :func:`pool_minmax_fuse`: pool-local min-max
+    normalization (flat/empty pool or absent doc -> 0.0), tier-weighted
+    sum, same output row shape and ordering as :func:`rrf_fuse_local`."""
+    lw = _sanitize_tier_weight(lexical_weight)
+    sw = _sanitize_tier_weight(semantic_weight)
+    lex_rank = _rank_local(lex_hits)
+    sem_rank = _rank_local(sem_hits)
+    lex_score = {d: float(s) for d, s in lex_hits}
+    sem_score = {d: float(s) for d, s in sem_hits}
+
+    def norm_fn(scores: dict):
+        if not scores:
+            return lambda d: 0.0
+        mn, mx = min(scores.values()), max(scores.values())
+        rng = mx - mn
+        if not rng > 0.0:
+            return lambda d: 0.0
+        return lambda d: (
+            (scores[d] - mn) / rng if d in scores else 0.0
+        )
+
+    nl, ns = norm_fn(lex_score), norm_fn(sem_score)
+    rows = []
+    for d in set(lex_rank) | set(sem_rank):
+        lr, sr = lex_rank.get(d), sem_rank.get(d)
+        fused = lw * nl(d) + sw * ns(d)
+        rows.append(
+            (d, fused, lr, sr, lex_score.get(d), sem_score.get(d),
+             lr is not None and sr is not None)
+        )
+    return _ordered_limit_local(rows, limit)

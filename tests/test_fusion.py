@@ -193,3 +193,60 @@ def test_rrf_tier_weights_scale_contributions(spark):
     exp2 = {"a": 1 / 61 + 1 / 62, "b": 1 / 62 + 1 / 61}
     for r in out2:
         assert r.rrf_score == pytest.approx(exp2[r.docid], rel=1e-12), r.docid
+
+
+def test_local_twins_bit_match_dataframe_fusion(spark):
+    """The driver-local fusion twins (engine.search_hybrid's round-4
+    path) produce EXACTLY the DataFrame operators' rows — same fused
+    f64 bits, same ranks, same 4-level order — on randomized bounded
+    pools including ties, one-sided docs, flat pools and weights."""
+    import random
+
+    from frankensearch_spark.operators.fusion import (
+        pool_minmax_fuse, pool_minmax_fuse_local, rrf_fuse, rrf_fuse_local,
+    )
+
+    rng = random.Random(41)
+    for trial in range(12):
+        n_lex, n_sem = rng.randint(0, 12), rng.randint(0, 12)
+        pool = list(range(1, 16))
+        lex = [(d, rng.choice([0.25, 1.5, 3.0, 3.0]))
+               for d in rng.sample(pool, n_lex)]
+        sem = [(d, rng.choice([0.1, 0.9, 0.9]))
+               for d in rng.sample(pool, n_sem)]
+        if trial == 5:
+            sem = [(d, 0.7) for d, _ in sem]  # flat pool
+        lw = rng.choice([1.0, 2.0, 0.0, float("nan")])
+        sw = rng.choice([1.0, 0.5])
+        for fuse_df, fuse_loc in (
+            (rrf_fuse, rrf_fuse_local),
+            (pool_minmax_fuse, pool_minmax_fuse_local),
+        ):
+            ldf = spark.createDataFrame(
+                [(d, float(s)) for d, s in lex] or [(None, None)],
+                "docid long, lex_score double",
+            )
+            sdf = spark.createDataFrame(
+                [(d, float(s)) for d, s in sem] or [(None, None)],
+                "docid long, sem_score double",
+            )
+            if not lex:
+                ldf = ldf.filter("docid IS NOT NULL")
+            if not sem:
+                sdf = sdf.filter("docid IS NOT NULL")
+            want = [
+                (r["docid"], r["rrf_score"], r["lex_rank"], r["sem_rank"],
+                 r["lex_score"], r["sem_score"], r["in_both"])
+                for r in fuse_df(
+                    ldf, sdf, limit=10,
+                    lexical_weight=lw, semantic_weight=sw,
+                ).collect()
+            ]
+            got = [
+                (d, s, lr, sr, ls, ss, b)
+                for d, s, lr, sr, ls, ss, b in fuse_loc(
+                    lex, sem, limit=10,
+                    lexical_weight=lw, semantic_weight=sw,
+                )
+            ]
+            assert got == want, (trial, fuse_df.__name__, got, want)
