@@ -170,6 +170,30 @@ def main() -> None:
             "1.77 -> 1.21 s, term00042 1.50 -> 0.58 s.",
             fmt(fast),
         ))
+
+        # 4c. batched serving over the DURABLE index: the bucket lane
+        from frankensearch_spark.operators.batchexec import topk_ast_batch
+
+        srv_batch = topk_ast_batch(
+            srv,
+            ["term00001 AND term00002", '"term00001 term00002"',
+             "term00003 -term00004"],
+            k=10,
+        )
+        sections.append((
+            "Batched top-k over the durable index (bucket lane, 3 queries)",
+            "Candidate blocks for the UNION of batch terms cross ONE "
+            "docid-colocating exchange STILL COMPRESSED (no posting-row "
+            "shuffle, no (docid × union-terms) pivot); each bucket task "
+            "decodes each block once, builds dense span-local FieldViews "
+            "and evaluates every query's AST in the shared kernel under "
+            "per-query support masks; phrase terms read the pos_bytes "
+            "sidecar per bucket, non-phrase blocks never scan it "
+            "(ReadSchema).  Per-bucket local top-k per query, then the "
+            "tiny per-qid window cut.  Measured 5.6× the concurrent-FAIR "
+            "throughput at 2M docs (BENCH.md §3 round 4).",
+            fmt(srv_batch),
+        ))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -249,6 +273,44 @@ def main() -> None:
         "formulation that beats row_number() when keys are many and "
         "rows-per-key few (the CDC snapshot shape).",
         fmt(q_latest_event_per_user(spark, "/root/testdata/sf0.001")),
+    ))
+
+    # 8. round-4 curation tail: packing, dup spans, mix weights
+    from frankensearch_spark.driver_queries import (
+        q_dup_span_marks,
+        q_pack_offsets,
+        q_source_mix_weights,
+    )
+
+    sections.append((
+        "Sequence packing offsets (pack_offsets)",
+        "A SEGMENTED prefix sum, not a global window: per-segment token "
+        "totals aggregate map-side to ~n_segments rows, the segment "
+        "bases prefix-sum over that tiny frame (the only unpartitioned "
+        "window — over segment COUNT rows, not document rows) and "
+        "broadcast-join back, then the within-segment cumsum windows "
+        "partition BY SEGMENT.  A naive SUM() OVER (ORDER BY docid) "
+        "would route every document through one partition; this plan's "
+        "per-document window is hash-partitioned on segid.",
+        fmt(q_pack_offsets(spark, "/root/testdata/sf0.001")),
+    ))
+    sections.append((
+        "ExactSubstr-style duplicated-span marks (dup_span_marks)",
+        "Window starts flow through ONE distinct + ONE map-side-partial "
+        "hash agg on the gram key, join BACK on the same key (no "
+        "broadcast of the corpus side — the dup-gram list is the small "
+        "side but correctness doesn't depend on it), then the "
+        "gaps-and-islands merge windows partition by docid.  Nothing "
+        "corpus-scale crosses an unpartitioned boundary.",
+        fmt(q_dup_span_marks(spark, "/root/testdata/sf0.001")),
+    ))
+    sections.append((
+        "Temperature mix weights (source_mix_weights)",
+        "One map-side-combinable agg to ~n_sources rows, then a 1-row "
+        "total broadcast back (BroadcastNestedLoopJoin over one row) — "
+        "the corpus is scanned exactly once, ReadSchema prunes to "
+        "(source, text).",
+        fmt(q_source_mix_weights(spark, "/root/testdata/sf0.001")),
     ))
 
     out = ["# PLANS — physical-plan audit of the hot paths",
