@@ -701,7 +701,17 @@ def serving_search_bits(index: ServingIndex, query, k: int = 10,
     """Top-k bits over the durable index.  Prunable flat/boolean shapes
     take the block-max WAND path (rank-identical by the conservative-
     bound theorem, and cheaper: only buckets that can beat θ decode);
-    everything else decodes-and-scores through the shared kernel."""
+    everything else — nested booleans, phrases, mixed shapes — executes
+    through the batch bucket lane as a batch of ONE (round 4): the
+    query's candidate blocks cross one docid-colocating exchange still
+    compressed and decode exactly once, instead of the old
+    decode→explode→pivot chain (second exchange of decoded posting
+    rows + a per-term pivot).  Measured at 2M docs warm: nested boolean
+    7.7 → 1.6 s, mega-phrase 3.2 → 1.9 s, bit-identical (the batch
+    path's parity with single-query execution is pinned by
+    test_batchexec and the random-grammar fuzz).  All/metadata shapes
+    fall back to the decode-and-score pivot inside the batch executor
+    itself."""
     ast = parse_lenient(query, schema).query if isinstance(query, str) else query
     from frankensearch_spark.operators.astexec import expand_globs
 
@@ -717,6 +727,14 @@ def serving_search_bits(index: ServingIndex, query, k: int = 10,
                 for d, s in wand_topk(index, spec, k,
                                       term_fields=term_fields)
             ]
+        from frankensearch_spark.operators.batchexec import (
+            search_batch_collect,
+        )
+
+        hits = search_batch_collect(index, [expanded], k, schema)[0]
+        return [
+            (int(d), int(np.float32(s).view(np.uint32))) for d, s in hits
+        ]
     rows = (
         serving_score_ast(index, expanded, schema)
         .orderBy(F.desc("score"), F.asc("docid"))
