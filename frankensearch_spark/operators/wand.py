@@ -856,9 +856,33 @@ def _coverage_gap(fidx: dict, spec: QuerySpec, tf_order: dict) -> float | None:
     jobs cost more than the skipped decode, measured on the 2M i.i.d.
     index).  A query whose every term covers every bucket with
     near-identical per-block shape has provably near-uniform bounds,
-    and the θ ceremony can only add jobs."""
+    and the θ ceremony can only add jobs.
+
+    The block-shape signal counts only for SINGLE-scored-term queries
+    (round 4): with S scored clauses, θ is the k-th best SUM of
+    contributions, so a block of term t skips only when
+    ``w_t·shape_t < θ − Σ_{u≠t} max contribution_u`` — a cut that sits
+    just under t's own maximum, not under ``SHAPE_LOW_C × max`` the
+    per-term quantile signal tests.  The receipts bore this out on the
+    2M i.i.d. index: natural/natural5/must queries skipped **0.0%** of
+    blocks while the undiluted shape signal green-lit the ceremony
+    (~3.2 s of bound/seed/θ jobs for nothing — natural5 6.9 s pruned
+    vs 3.6 s exhaustive).  Multi-term prunability on clustered corpora
+    flows through the coverage-gap signal instead (terms concentrated
+    in docid ranges leave whole buckets absent), which this gate keeps
+    for every clause count — the clustered 87–97% prune measurements
+    all show large coverage gaps."""
     worst = 0.0
     any_seen = False
+    contributing = [
+        t
+        for t in dict.fromkeys(spec.clause_terms())
+        if any(
+            (getattr(fidx.get(f), "_bucket_cov", None) or {}).get(t)
+            for f in tf_order.get(t, ())
+        )
+    ]
+    single_scored = len(contributing) <= 1
     for t in dict.fromkeys(spec.clause_terms()):
         for f in tf_order.get(t, ()):
             sub = fidx.get(f)
@@ -871,7 +895,11 @@ def _coverage_gap(fidx: dict, spec: QuerySpec, tf_order: dict) -> float | None:
                 continue  # term absent from the field: no bound at all
             nb, frac = ent
             any_seen = True
-            block_sig = frac if frac >= BLOCK_PRUNE_MIN_FRAC else 0.0
+            block_sig = (
+                frac
+                if (single_scored and frac >= BLOCK_PRUNE_MIN_FRAC)
+                else 0.0
+            )
             worst = max(worst, 1.0 - nb / total, block_sig)
     return worst if any_seen else None
 

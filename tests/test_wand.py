@@ -344,3 +344,56 @@ def test_wand_block_granular_skip_on_flat_buckets(spark):
         )
     # winners are tf=8 docs (proving θ certified the right class)
     assert all((d % 256) >= 240 for d, _ in exh)
+
+
+def test_coverage_gate_dilutes_block_signal_for_multiterm(spark):
+    """Round 4: the block-shape prunability signal counts only for
+    single-scored-term queries — with S scored clauses θ is the k-th
+    best SUM, so per-term block cuts sit just under each term's own max
+    and the quantile signal overestimates skippability (2M receipts:
+    natural shapes skipped 0.0% while paying the full θ ceremony).
+
+    Pinned on the flat-bucket corpus with coverage preloaded: the
+    single-term query still takes the θ path and skips blocks; the
+    two-term full-coverage query routes straight to the exhaustive
+    kernel (no θ), bit-identical to the forced pruned path."""
+    from frankensearch_spark.operators.wand import PruningReceipt
+
+    low = "needle haystk " + " ".join(f"pad{j:02d}" for j in range(6))
+    high = ("needle " * 7).strip() + " haystk"
+    rows = []
+    for i in range(1024):
+        text = high if (i % 256) >= 240 else low
+        rows.append(("r", f"{i:05d}", "c", "x", text))
+    corpus = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    built = build_index(corpus, CORPUS_KEY, docid_mode="global")
+    srv = serving_from_built(built, bucket_shift=8, n_term_partitions=8,
+                             with_positions=False)
+    srv.preload_termstats()
+    srv.preload_bucket_coverage()
+
+    # single scored term: block signal applies, θ ceremony skips blocks
+    r1 = PruningReceipt()
+    spec1 = QuerySpec.from_text("needle")
+    got1 = wand_topk(srv, spec1, k=5, prune=True, seed_buckets=1,
+                     receipt=r1, min_cost=1)
+    assert r1.theta > float("-inf")
+    assert r1.blocks_skipped > 0
+
+    # two scored terms, both covering every bucket: the gate routes
+    # exhaustive (θ never engages), results bit-match the forced θ path
+    spec2 = QuerySpec.from_text("needle haystk")
+    r2 = PruningReceipt()
+    got2 = wand_topk(srv, spec2, k=5, prune=True, seed_buckets=1,
+                     receipt=r2, min_cost=1)
+    assert r2.theta == float("-inf")
+    forced = wand_topk(srv, spec2, k=5, prune=True, seed_buckets=1,
+                       min_cost=0)
+    exh = wand_topk(srv, spec2, k=5, prune=False)
+    as_bits = lambda hits: [  # noqa: E731
+        (d, np.float32(s).view(np.uint32)) for d, s in hits
+    ]
+    assert as_bits(got2) == as_bits(exh) == as_bits(forced)
