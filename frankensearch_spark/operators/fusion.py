@@ -198,8 +198,18 @@ def pool_minmax_fuse(
 
 
 def _rank_local(hits, id_idx: int = 0, score_idx: int = 1) -> dict:
-    """1-based rank map by (score desc, id asc) — rank_by_score's law."""
-    orders = sorted(hits, key=lambda h: (-h[score_idx], h[id_idx]))
+    """1-based rank map by (score desc, id asc) — rank_by_score's law.
+
+    NaN mirrors Spark's total order (NaN sorts as the GREATEST double,
+    so it ranks FIRST under desc); Python's native comparisons would
+    make NaN placement order-dependent."""
+
+    def key(h):
+        s = float(h[score_idx])
+        return (0 if math.isnan(s) else 1, -s if not math.isnan(s) else 0.0,
+                h[id_idx])
+
+    orders = sorted(hits, key=key)
     return {h[id_idx]: r + 1 for r, h in enumerate(orders)}
 
 
@@ -207,13 +217,21 @@ def _ordered_limit_local(rows: list, limit: int) -> list:
     """The 4-level deterministic ordering of _ordered_limit, locally.
 
     rows: (docid, fused, lex_rank, sem_rank, lex_score, sem_score,
-    in_both); absent lexical score compares as -inf (rrf.rs:162)."""
+    in_both); absent lexical score compares as -inf (rrf.rs:162); NaN
+    compares as the GREATEST double at both score levels (Spark's
+    total order — Python-native NaN comparisons would be
+    order-dependent)."""
     neg_inf = float("-inf")
+
+    def desc(x: float):
+        # descending sort key under Spark's NaN-greatest total order
+        return (0 if math.isnan(x) else 1, -x if not math.isnan(x) else 0.0)
+
     rows.sort(
         key=lambda r: (
-            -r[1],
+            desc(float(r[1])),
             not r[6],
-            -(r[4] if r[4] is not None else neg_inf),
+            desc(float(r[4]) if r[4] is not None else neg_inf),
             r[0],
         )
     )
@@ -276,9 +294,18 @@ def pool_minmax_fuse_local(
     def norm_fn(scores: dict):
         if not scores:
             return lambda d: 0.0
-        mn, mx = min(scores.values()), max(scores.values())
+        vals = list(scores.values())
+        finite = [v for v in vals if not math.isnan(v)]
+        # Spark NaN semantics, mirrored exactly: NaN is the GREATEST
+        # double in BOTH ordering and comparisons — max() of a pool
+        # containing NaN is NaN, min() picks the smallest non-NaN, and
+        # crucially `NaN > 0.0` is TRUE, so a NaN range does NOT take
+        # the flat-pool branch: present docs normalize to NaN
+        # ((s-mn)/NaN) while absent docs stay 0.0
+        mx = float("nan") if len(finite) < len(vals) else max(vals)
+        mn = min(finite) if finite else float("nan")
         rng = mx - mn
-        if not rng > 0.0:
+        if not (math.isnan(rng) or rng > 0.0):
             return lambda d: 0.0
         return lambda d: (
             (scores[d] - mn) / rng if d in scores else 0.0
