@@ -805,6 +805,121 @@ def q_source_mix_weights(spark, sf_dir):
     )
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered event-funnel conversion (the product-analytics staple):
+    how many users reach signup -> view -> click -> purchase IN ORDER,
+    where "reach" means the stage's FIRST occurrence is at or after the
+    previous stage's first occurrence.  Emits per stage the user count
+    and the conversion rate from the previous stage.
+
+    Scale shape: ONE map-side-combinable agg per user (min epoch-micros
+    per stage via conditional min — no window, no self-join, no
+    per-user sort), then a 4-row stage summary from a second tiny agg.
+    Timestamps compare as tz-invariant epoch micros (the
+    latest_event_per_user recipe), so both engines see identical
+    orderings regardless of session zone."""
+    stages = ["signup", "view", "click", "purchase"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_us = (
+        F.unix_timestamp("ts") * F.lit(1_000_000)
+        + (F.date_part(F.lit("SECOND"), F.col("ts")) % 1 * 1_000_000).cast(
+            "long"
+        )
+    )
+    e = ev.select("user_id", "event_type", ts_us.alias("ts_us"))
+    firsts = e.groupBy("user_id").agg(
+        *[
+            F.min(
+                F.when(F.col("event_type") == s, F.col("ts_us"))
+            ).alias(f"t_{s}")
+            for s in stages
+        ]
+    )
+    reached = firsts
+    prev: list[str] = []
+    for s in stages:
+        cond = F.col(f"t_{s}").isNotNull()
+        for p in prev:
+            cond = cond & (F.col(f"t_{s}") >= F.col(f"t_{p}"))
+        reached = reached.withColumn(f"r_{s}", cond)
+        prev.append(s)
+    counts = reached.agg(
+        *[
+            F.sum(F.col(f"r_{s}").cast("long")).alias(f"n_{s}")
+            for s in stages
+        ]
+    )
+    rows = None
+    for i, s in enumerate(stages):
+        prev_n = (
+            F.lit(None).cast("long") if i == 0 else F.col(f"n_{stages[i-1]}")
+        )
+        one = counts.select(
+            F.lit(i + 1).alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.col(f"n_{s}").alias("n_users"),
+            F.when(
+                prev_n.isNotNull() & (prev_n > 0),
+                F.round(F.col(f"n_{s}") / prev_n, 6),
+            ).alias("conv_from_prev"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows
+
+
+def q_quality_filter_verdict(spark, sf_dir):
+    """The composed curation GATE (C4/Gopher-style): per document a
+    keep/drop verdict plus the first failing reason, from signals the
+    pipeline already computes — token count bounds, mean token length
+    bounds, and the duplicate-3-gram repetition ratio.  Production
+    pipelines materialize exactly this verdict column before writing
+    the filtered corpus; the individual signals are separately
+    oracle-checked (token_quality, doc_repetition_ratio), and this
+    query pins their COMPOSITION.
+
+    Scale shape: one codegen projection per doc (the tokenizer
+    evaluates once behind an alias), no joins, no shuffles beyond the
+    scan itself."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(F.col("doc_id").alias("docid"), _word_tokens().alias("t"))
+    g = t.select(
+        "docid",
+        F.size("t").alias("n_tokens"),
+        (
+            F.aggregate(
+                F.transform(F.col("t"), lambda x: F.length(x)),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            / F.greatest(F.size("t"), F.lit(1))
+        ).alias("mean_len"),
+        _word_ngrams(F.col("t"), 3).alias("g3"),
+    )
+    g = g.withColumn(
+        "rep3",
+        F.when(
+            F.size("g3") > 0,
+            (F.size("g3") - F.size(F.array_distinct("g3")))
+            / F.size("g3"),
+        ).otherwise(F.lit(0.0)),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 20, F.lit("too_short"))
+        .when(F.col("n_tokens") > 1000, F.lit("too_long"))
+        .when(F.col("mean_len") < 2.0, F.lit("tokens_too_short"))
+        .when(F.col("mean_len") > 12.0, F.lit("tokens_too_long"))
+        .when(F.col("rep3") > 0.5, F.lit("repetitive"))
+    )
+    return g.select(
+        "docid",
+        "n_tokens",
+        F.round("mean_len", 6).alias("mean_len"),
+        F.round("rep3", 6).alias("rep3"),
+        reason.isNull().alias("keep"),
+        F.coalesce(reason, F.lit("ok")).alias("reason"),
+    )
+
+
 def q_bm25_phrase(spark, sf_dir):
     """Exact-adjacency phrase BM25 (E7), f64 oracle-comparable shape:
     weight = (idf(a)+idf(b)) * 2.2, score = weight * pf/(pf + norm)."""
@@ -1904,6 +2019,8 @@ QUERIES = {
     "hybrid_rrf_fusion": q_hybrid_rrf,
     "hybrid_pool_minmax": q_hybrid_pool_minmax,
     "pack_offsets": q_pack_offsets,
+    "funnel_conversion": q_funnel_conversion,
+    "quality_filter_verdict": q_quality_filter_verdict,
     "dup_span_marks": q_dup_span_marks,
     "source_mix_weights": q_source_mix_weights,
 }
@@ -2914,5 +3031,88 @@ ORACLE_SQL = {
                round(n_tokens / tot_tok, 6) AS tok_share,
                round(pow(n_tokens::DOUBLE, 0.7) / tot_pow, 6) AS mix_weight
         FROM a, tot
+    """,
+    "funnel_conversion": """
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        ),
+        f AS (
+          SELECT user_id,
+            MIN(CASE WHEN event_type='signup' THEN ts_us END) AS t_signup,
+            MIN(CASE WHEN event_type='view' THEN ts_us END) AS t_view,
+            MIN(CASE WHEN event_type='click' THEN ts_us END) AS t_click,
+            MIN(CASE WHEN event_type='purchase' THEN ts_us END) AS t_purch
+          FROM e GROUP BY user_id
+        ),
+        r AS (
+          SELECT
+            (t_signup IS NOT NULL) AS r1,
+            (t_view IS NOT NULL AND t_view >= t_signup) AS r2,
+            (t_click IS NOT NULL AND t_click >= t_signup
+             AND t_click >= t_view) AS r3,
+            (t_purch IS NOT NULL AND t_purch >= t_signup
+             AND t_purch >= t_view AND t_purch >= t_click) AS r4
+          FROM f
+        ),
+        c AS (
+          SELECT COUNT(*) FILTER (WHERE r1)::BIGINT AS n1,
+                 COUNT(*) FILTER (WHERE r2)::BIGINT AS n2,
+                 COUNT(*) FILTER (WHERE r3)::BIGINT AS n3,
+                 COUNT(*) FILTER (WHERE r4)::BIGINT AS n4
+          FROM r
+        )
+        SELECT 1::INT AS stage_idx, 'signup' AS stage, n1 AS n_users,
+               NULL::DOUBLE AS conv_from_prev FROM c
+        UNION ALL
+        SELECT 2, 'view', n2,
+               CASE WHEN n1 > 0 THEN round(n2 / n1::DOUBLE, 6) END FROM c
+        UNION ALL
+        SELECT 3, 'click', n3,
+               CASE WHEN n2 > 0 THEN round(n3 / n2::DOUBLE, 6) END FROM c
+        UNION ALL
+        SELECT 4, 'purchase', n4,
+               CASE WHEN n3 > 0 THEN round(n4 / n3::DOUBLE, 6) END FROM c
+    """,
+    "quality_filter_verdict": """
+        WITH toks AS (
+          SELECT doc_id AS docid,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT docid,
+                 len(t)::INT AS n_tokens,
+                 (COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+                  ::DOUBLE / greatest(len(t), 1)) AS mean_len,
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(
+                             generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE []::VARCHAR[] END AS g3
+          FROM toks
+        ),
+        s AS (
+          SELECT docid, n_tokens, mean_len,
+                 CASE WHEN len(g3) > 0
+                      THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)
+                      ELSE 0.0 END AS rep3
+          FROM g
+        ),
+        v AS (
+          SELECT docid, n_tokens, mean_len, rep3,
+                 CASE WHEN n_tokens < 20 THEN 'too_short'
+                      WHEN n_tokens > 1000 THEN 'too_long'
+                      WHEN mean_len < 2.0 THEN 'tokens_too_short'
+                      WHEN mean_len > 12.0 THEN 'tokens_too_long'
+                      WHEN rep3 > 0.5 THEN 'repetitive'
+                 END AS reason
+          FROM s
+        )
+        SELECT docid, n_tokens, round(mean_len, 6) AS mean_len,
+               round(rep3, 6) AS rep3,
+               (reason IS NULL) AS keep,
+               COALESCE(reason, 'ok') AS reason
+        FROM v
     """,
 }
