@@ -304,6 +304,29 @@ def main() -> None:
         "corpus-scale crosses an unpartitioned boundary.",
         fmt(q_dup_span_marks(spark, "/root/testdata/sf0.001")),
     ))
+    from frankensearch_spark.driver_queries import (
+        q_funnel_conversion,
+        q_quality_filter_verdict,
+    )
+
+    sections.append((
+        "Ordered funnel conversion (funnel_conversion)",
+        "ONE map-side-combinable conditional-min agg per user (no "
+        "window, no self-join, no per-user sort) computes each stage's "
+        "first epoch-micros; the stage summary is a second agg over the "
+        "per-user frame.  The only exchange on corpus-scale data is the "
+        "user_id hash partition of the first agg.",
+        fmt(q_funnel_conversion(spark, "/root/testdata/sf0.001")),
+    ))
+    sections.append((
+        "Composed quality gate (quality_filter_verdict)",
+        "One codegen projection per document — the tokenizer evaluates "
+        "once behind an alias, the token-count / mean-token-length / "
+        "dup-3-gram signals and the verdict CASE all fuse into the same "
+        "WholeStageCodegen span; no joins, no aggregation, no shuffle "
+        "beyond the scan.",
+        fmt(q_quality_filter_verdict(spark, "/root/testdata/sf0.001")),
+    ))
     sections.append((
         "Temperature mix weights (source_mix_weights)",
         "One map-side-combinable agg to ~n_sources rows, then a 1-row "
