@@ -315,3 +315,41 @@ def test_leb128_binary_col_matches_numpy_encoder(spark):
     for i, vals in enumerate(cases):
         want = vbyte_encode(np.asarray(vals, dtype=np.uint64))
         assert got[i] == want, (i, vals, got[i].hex(), want.hex())
+
+
+def test_leb128_binary_col_property(spark):
+    """Property check (hypothesis): the JVM encoder matches the numpy
+    codec on arbitrary uint31 arrays — one Spark round-trip over a
+    batch of generated cases (examples generated up front so the Spark
+    job runs once, not per example)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from frankensearch_spark.functions.vbyte import vbyte_encode
+    from frankensearch_spark.operators.build import leb128_binary_col
+
+    collected: list[list[int]] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << 31) - 1), max_size=40
+        )
+    )
+    def gather(vals):
+        collected.append(list(vals))
+
+    gather()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(collected)], "i int, vals array<int>"
+    )
+    got = {
+        int(r["i"]): bytes(r["enc"]) if r["enc"] is not None else b""
+        for r in df.select(
+            "i", leb128_binary_col(F.col("vals")).alias("enc")
+        ).collect()
+    }
+    for i, vals in enumerate(collected):
+        want = vbyte_encode(np.asarray(vals, dtype=np.uint64))
+        assert got[i] == want, (i, vals, got[i].hex(), want.hex())
