@@ -39,11 +39,27 @@ def _zipf_probs(n: int, s: float) -> np.ndarray:
     return w / w.sum()
 
 
-def make_corpus(n_docs: int, seed: int = 42, zipf_s: float = ZIPF_EXPONENT):
+def make_corpus(n_docs: int, seed: int = 42, zipf_s: float = ZIPF_EXPONENT,
+                clustered: bool = False):
     """Rows of (repo, path, commit, lang, content), deterministic.
 
     Fully vectorized (one Zipf draw for the whole corpus) so scaling-bench
-    corpora of 10^5..10^6 docs generate in seconds on the driver."""
+    corpora of 10^5..10^6 docs generate in seconds on the driver.
+
+    ``clustered=True`` rotates each doc's Zipf token ids by a per-repo
+    vocabulary offset (crc32 of the repo name) — the realistic code-corpus
+    shape where a repo's identifiers are repo-local.  Docids follow the
+    ``(repo, path, commit)`` natural key, so each repo's ~n/161 docs are a
+    contiguous docid range and every rotated term concentrates in the few
+    repos where it lands a low Zipf rank: posting lists cluster into docid
+    intervals, which is what block-max θ-pruning and term-level MaxScore
+    elimination exploit (the reference gauntlet's repo-local generator
+    shape, generator.rs:34-140).  The default i.i.d. draw (clustered=False)
+    is the ADVERSARIAL control: every term in every bucket with flat
+    statistics.  Skew tokens fn/import and the code-shaped sprinkle stay
+    global in both modes."""
+    import zlib
+
     rng = np.random.default_rng(seed)
     probs = _zipf_probs(VOCAB_SIZE, zipf_s)
     vocab = np.array([f"term{i:05d}" for i in range(VOCAB_SIZE)], dtype=object)
@@ -54,6 +70,20 @@ def make_corpus(n_docs: int, seed: int = 42, zipf_s: float = ZIPF_EXPONENT):
     ).astype(np.int64)
     bounds = np.concatenate(([0], np.cumsum(lengths)))
     all_ids = rng.choice(VOCAB_SIZE, size=int(bounds[-1]), p=probs)
+    if clustered:
+        # per-repo rotation: repo identity is i -> (i%7, i%23), 161 repos
+        doc_idx = np.arange(n_docs, dtype=np.int64)
+        repo_key = (doc_idx % 7) * 23 + (doc_idx % 23)
+        offs_lut = np.array(
+            [
+                zlib.crc32(f"org{a}/repo{b}".encode()) % VOCAB_SIZE
+                for a in range(7)
+                for b in range(23)
+            ],
+            dtype=np.int64,
+        )
+        per_doc_off = offs_lut[repo_key]
+        all_ids = (all_ids + np.repeat(per_doc_off, lengths)) % VOCAB_SIZE
     all_toks = vocab[all_ids]
     skew = rng.random(n_docs) < 0.6  # skew terms in ~60% of rows
 

@@ -81,7 +81,10 @@ class ServingIndex:
     # it only costs a filtered collect for cache misses.
     _term_df_complete: bool = False
     # preload_bucket_coverage() planning stats (long-lived serving)
-    _bucket_cov: dict | None = None  # term -> (n_buckets, bound flatness)
+    # term -> (n_buckets, block-skippable fraction, max block shape);
+    # the shape max is weight-independent (bound = weight × shape), so
+    # MaxScore whole-list upper bounds come from it for free
+    _bucket_cov: dict | None = None
     _total_buckets: int | None = None
     _phrase_wl_cache: dict | None = None  # rare-slot docid whitelists (FIFO)
 
@@ -166,9 +169,14 @@ class ServingIndex:
             )
             .collect()
         )
-        # per term: (bucket coverage, estimated block-skippable fraction)
+        # per term: (bucket coverage, estimated block-skippable fraction,
+        # whole-list max bound shape — MaxScore's U_t at weight 1)
         self._bucket_cov = {
-            r["term"]: (int(r["nb"]), _frac_low(r["qs"], r["mx"]))
+            r["term"]: (
+                int(r["nb"]),
+                _frac_low(r["qs"], r["mx"]),
+                float(r["mx"]) if r["mx"] is not None else None,
+            )
             for r in rows
         }
         self._total_buckets = int(
@@ -282,6 +290,74 @@ def _clause_mult(spec: QuerySpec) -> dict:
 _F32_EPS = float(np.finfo(np.float32).eps)
 
 
+def _maxscore_split(spec: QuerySpec, weights: dict, tf_order: dict,
+                    fidx: dict, theta: float) -> set:
+    """Term-level MaxScore split (argus.rs:29,4463-4485): the set of
+    NON-essential scored terms under the certified θ.
+
+    The reference's MaxScore sorts clause terms ascending by whole-list
+    upper bound and stops advancing the low-weight cursors once θ
+    exceeds their residual sum — documents found ONLY in those lists can
+    never reach the top-k.  The Spark analogue: a term t's whole-list
+    bound is ``Σ_fields mult_t · weight_{f,t} · max_block_shape_{f,t}``
+    (the shape max is cached weight-independent by
+    ``preload_bucket_coverage``; ``bound = weight × shape`` since
+    block_max_score is linear in the weight).  The longest ascending
+    prefix whose f32-envelope-inflated cumulative sum stays BELOW θ is
+    non-essential: a doc with postings only in those lists scores at
+    most that cumsum < θ, while the merge already holds k exact scores
+    ≥ θ from the seed phase — dropping it cannot change the top-k.
+
+    Returns the non-essential term set; empty when the split cannot be
+    certified (preload missing, any scored term's shape unknown, θ not
+    finite, or the reference's 2..=8 direct-term gate unmet).  Only
+    pure-Should shapes qualify: Must terms already gate candidacy and
+    MustNot exclusions must see every candidate."""
+    if not math.isfinite(theta) or theta <= 0.0:
+        return set()
+    if spec.must or spec.must_not:
+        return set()
+    terms = list(dict.fromkeys(spec.clause_terms()))
+    if not 2 <= len(terms) <= 8:
+        return set()
+    mult = _clause_mult(spec)
+    u: dict = {}
+    n_contrib = 0
+    for t in terms:
+        tot = 0.0
+        any_field = False
+        for f in tf_order.get(t, ()):
+            w = weights.get((f, t))
+            if w is None:
+                continue
+            cov = getattr(fidx.get(f), "_bucket_cov", None)
+            ent = cov.get(t) if cov else None
+            mx = ent[2] if ent is not None and len(ent) > 2 else None
+            if mx is None:
+                return set()  # cannot certify this term's bound
+            tot += float(w) * float(mx)
+            any_field = True
+            n_contrib += mult.get(t, 0)
+        if not any_field:
+            continue  # unscored term (absent everywhere): contributes 0
+        u[t] = tot * mult.get(t, 0)
+    if len(u) < 2:
+        return set()
+    infl = 1.0 + _F32_EPS * max(n_contrib, 1)
+    non_essential: set = set()
+    acc = 0.0
+    for t in sorted(u, key=lambda t: (u[t], t)):
+        acc += u[t]
+        if acc * infl >= theta:
+            break
+        non_essential.add(t)
+    if len(non_essential) == len(u):
+        # θ above the sum of every bound can't happen for a real θ; be
+        # safe and keep at least the largest-bound term essential
+        non_essential.discard(max(u, key=lambda t: (u[t], t)))
+    return non_essential
+
+
 def _block_keep_mask(pdf: pd.DataFrame, theta: float, weights: dict,
                      avgdls: dict, mult: dict,
                      bucket_shift: int) -> np.ndarray:
@@ -357,10 +433,62 @@ def _block_keep_mask(pdf: pd.DataFrame, theta: float, weights: dict,
     return keep
 
 
+def _row_group_ids(part_pdf: pd.DataFrame, gid_of: dict) -> np.ndarray:
+    """Small-int (field, term) group id per BLOCK row, interned into the
+    shared ``gid_of`` dict — block rows are few (tens per bucket), so the
+    Python loop is cheap, and downstream posting selection becomes an
+    integer compare instead of two object-dtype string compares."""
+    ts = part_pdf["term"].to_numpy(dtype=object)
+    fs = part_pdf["field"].to_numpy(dtype=object)
+    out = np.empty(len(part_pdf), dtype=np.int32)
+    for i in range(len(part_pdf)):
+        key = (fs[i], ts[i])
+        g = gid_of.get(key)
+        if g is None:
+            g = len(gid_of)
+            gid_of[key] = g
+        out[i] = g
+    return out
+
+
+def _candidate_block_mask(ne_pdf: pd.DataFrame, cand_mask: np.ndarray,
+                          base: int, bucket_shift: int) -> np.ndarray:
+    """Keep mask over NON-essential block rows: a block decodes only when
+    its covered docid segment ``[first_doc_i, first_doc_{i+1})`` (per
+    (field, term) group, the same over-covering tiling as
+    :func:`_block_keep_mask`) contains at least one candidate doc.  A
+    candidate's own posting block always survives: postings are docid-
+    sorted, so the block holding docid d covers a segment containing d.
+    Degenerate tilings (overlapping first_docs) keep the whole group."""
+    m = len(ne_pdf)
+    if m == 0:
+        return np.ones(0, dtype=bool)
+    span = 1 << bucket_shift
+    pre = np.concatenate(([0], np.cumsum(cand_mask, dtype=np.int64)))
+    firsts = ne_pdf["first_doc"].to_numpy(dtype=np.int64) - base
+    terms = ne_pdf["term"].to_numpy(dtype=object)
+    fields = ne_pdf["field"].to_numpy(dtype=object)
+    keep = np.ones(m, dtype=bool)
+    groups: dict = {}
+    for i in range(m):
+        groups.setdefault((fields[i], terms[i]), []).append(i)
+    for rows_l in groups.values():
+        rows_a = np.asarray(rows_l, dtype=np.int64)
+        order = np.argsort(firsts[rows_a], kind="stable")
+        rows_a = rows_a[order]
+        starts = np.clip(firsts[rows_a], 0, span)
+        if starts.size > 1 and bool(np.any(np.diff(starts) <= 0)):
+            continue  # degenerate: keep all (safe)
+        ends = np.append(starts[1:], span)
+        keep[rows_a] = pre[ends] > pre[starts]
+    return keep
+
+
 def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_caches: dict,
                           k: int, bucket_shift: int, term_fields: dict,
                           theta: float = -math.inf,
-                          avgdls: dict | None = None):
+                          avgdls: dict | None = None,
+                          non_essential: set | None = None):
     """Per-bucket scoring kernel -> local top-k rows.
 
     Dense bucket-local accumulation (bucket span is bounded by
@@ -379,6 +507,7 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_caches: dict,
     clause_terms = spec.clause_terms()
     span = 1 << bucket_shift
     mult = _clause_mult(spec)
+    ne_terms = set(non_essential or ())
 
     def score_one(pdf, tomb=None):
         if len(pdf) == 0:
@@ -394,15 +523,56 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_caches: dict,
                 pdf = pdf[keepm]
             if len(pdf) == 0:
                 return pd.DataFrame({"docid": [], "score": []})
-        docids, tfs, fids, rows = decode_blocks_pdf(pdf, bucket_shift)
-        if docids.size == 0:
-            return pd.DataFrame({"docid": [], "score": []})
         base = int(pdf["bucket"].iat[0]) << bucket_shift
+        cand_mask = None
+        if ne_terms and theta != -math.inf:
+            # term-level MaxScore (argus.rs:4463-4485): candidates are
+            # generated ONLY from the essential lists — decode them
+            # first, then decode a non-essential block only when its
+            # covered docid segment holds at least one candidate (the
+            # distributed analogue of "seek the low-weight cursor to the
+            # next candidate" — blocks between candidates never decode).
+            # Docs with no essential posting score ≤ the split's
+            # inflated cumsum < θ, and the merge holds k exact scores
+            # ≥ θ from the seed phase, so the gating is rank-exact.
+            tarr = pdf["term"].to_numpy(dtype=object)
+            ne_sel = np.array([t in ne_terms for t in tarr], dtype=bool)
+            ess_pdf = pdf[~ne_sel]
+            if len(ess_pdf) == 0:
+                return pd.DataFrame({"docid": [], "score": []})
+            d1, t1, f1, r1 = decode_blocks_pdf(ess_pdf, bucket_shift)
+            if d1.size == 0:
+                return pd.DataFrame({"docid": [], "score": []})
+            cand_mask = np.zeros(span, dtype=bool)
+            cand_mask[(d1 - base).astype(np.int64)] = True
+            ne_pdf = pdf[ne_sel]
+            keep_ne = _candidate_block_mask(
+                ne_pdf, cand_mask, base, bucket_shift
+            )
+            if not keep_ne.all():
+                ne_pdf = ne_pdf[keep_ne]
+            if len(ne_pdf):
+                d2, t2, f2, r2 = decode_blocks_pdf(ne_pdf, bucket_shift)
+            else:
+                d2 = np.zeros(0, dtype=d1.dtype)
+                t2 = np.zeros(0, dtype=t1.dtype)
+                f2 = np.zeros(0, dtype=f1.dtype)
+                r2 = np.zeros(0, dtype=np.int64)
+            docids = np.concatenate([d1, d2])
+            tfs = np.concatenate([t1, t2])
+            fids = np.concatenate([f1, f2])
+            gid_of: dict = {}
+            post_gids = np.concatenate([
+                _row_group_ids(ess_pdf, gid_of)[r1],
+                _row_group_ids(ne_pdf, gid_of)[r2],
+            ])
+        else:
+            docids, tfs, fids, rows = decode_blocks_pdf(pdf, bucket_shift)
+            if docids.size == 0:
+                return pd.DataFrame({"docid": [], "score": []})
+            gid_of = {}
+            post_gids = _row_group_ids(pdf, gid_of)[rows]
         offs = (docids - base).astype(np.int64)
-        terms_per_row = pdf["term"].to_numpy(dtype=object)
-        post_terms = terms_per_row[rows]
-        fields_per_row = pdf["field"].to_numpy(dtype=object)
-        post_fields = fields_per_row[rows]
 
         acc = np.zeros(span, dtype=np.float32)
         matched = np.zeros(span, dtype=bool)
@@ -411,10 +581,15 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_caches: dict,
         seen[offs] = True
 
         def term_sel(term):
-            """Postings of ``term`` in any of ITS queried fields."""
-            sel = np.zeros(len(post_terms), dtype=bool)
+            """Postings of ``term`` in any of ITS queried fields —
+            integer group-id compares (the object-dtype string compare
+            this replaces was the kernel's hottest line: ~2 object
+            compares per posting per clause term)."""
+            sel = np.zeros(len(post_gids), dtype=bool)
             for f in term_fields.get(term, ()):
-                sel |= (post_terms == term) & (post_fields == f)
+                g = gid_of.get((f, term))
+                if g is not None:
+                    sel |= post_gids == g
             return sel
 
         for term in dict.fromkeys(must):
@@ -436,8 +611,9 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_caches: dict,
                 w = weights.get((fname, term))
                 if w is None:
                     continue
-                sel = (post_terms == term) & (post_fields == fname)
-                if not sel.any():
+                g = gid_of.get((fname, term))
+                sel = post_gids == g if g is not None else None
+                if sel is None or not sel.any():
                     continue
                 o = offs[sel]
                 f = tfs[sel].astype(np.float32)
@@ -455,6 +631,9 @@ def _score_buckets_kernel(spec: QuerySpec, weights: dict, tf_caches: dict,
 
         ok = must_ok if must else matched
         ok = ok & seen
+        if cand_mask is not None:
+            # MaxScore: only essential-list docs are candidates
+            ok = ok & cand_mask
         for term in must_not:
             ok = ok.copy()
             ok[offs[term_sel(term)]] = False
@@ -793,6 +972,11 @@ class PruningReceipt:
     blocks_total: int = 0
     blocks_after_prefilter: int = 0
     blocks_decoded: int = 0
+    # term-level MaxScore receipt (argus.rs:4463-4485): scored clause
+    # terms vs the count eliminated as candidate GENERATORS (their
+    # blocks decode only where an essential-list candidate exists)
+    terms_scored: int = 0
+    terms_nonessential: int = 0
 
     @property
     def buckets_skipped(self) -> int:
@@ -804,6 +988,15 @@ class PruningReceipt:
 
 
 WAND_MIN_COST = 16_384  # argus.rs:31 — prune only past this posting volume
+# Driver-local serving lane: when the query's exact posting volume
+# (Σ df over scored (field, term) pairs — known from preloaded stats)
+# fits under this cap, the candidate block rows collect in ONE action
+# (≤ ~3 MB compressed) and the same bucket kernel runs in-process —
+# measured 2M i.i.d.: the bucket exchange + Python-worker stage cost
+# more wall-clock than the whole kernel for such shapes.  Above the cap
+# the distributed path runs unchanged; driver memory is bounded by the
+# cap, never the corpus.
+LOCAL_LANE_MAX_POSTINGS = 1_000_000
 COVERAGE_GAP_MIN = 0.05  # prune only if ≥5% of buckets lack some clause term
 # Block-granular θ-pruning engages only when the estimated skippable
 # block fraction clears this: the θ ceremony costs ~2 extra jobs, and
@@ -893,7 +1086,7 @@ def _coverage_gap(fidx: dict, spec: QuerySpec, tf_order: dict) -> float | None:
             ent = cov.get(t)
             if ent is None:
                 continue  # term absent from the field: no bound at all
-            nb, frac = ent
+            nb, frac = ent[0], ent[1]
             any_seen = True
             block_sig = (
                 frac
@@ -967,11 +1160,42 @@ def wand_topk(
     out_schema = "docid long, score float"
     tomb = index.tombstones
 
-    def run_topk(blocks_df, theta: float = -math.inf) -> list[tuple[int, np.float32]]:
+    def run_topk(blocks_df, theta: float = -math.inf,
+                 non_essential: set | None = None) -> list[tuple[int, np.float32]]:
         score_one, score_cog = _score_buckets_kernel(
             spec, weights, tf_caches, want, shift, tf_order,
-            theta=theta, avgdls=avgdls,
+            theta=theta, avgdls=avgdls, non_essential=non_essential,
         )
+        if tomb is None and query_cost <= LOCAL_LANE_MAX_POSTINGS:
+            # DRIVER-LOCAL lane for bounded posting volume (the exact
+            # sum of the clause terms' df, known from preloaded stats):
+            # ONE collect of the still-compressed candidate block rows
+            # (≤ ~3 MB at the cap) + the same per-bucket kernel
+            # in-process — no bucket exchange, no Python-worker stage.
+            # This is the reference's in-process serving shape
+            # (argus.rs runs the whole cursor tree in one thread) and
+            # the same driver-local twin discipline as hybrid fusion
+            # (engine.py r4).  Bit parity is structural: score_one is
+            # byte-for-byte the distributed kernel, per bucket, and the
+            # final total-order merge equals orderBy(desc score, asc
+            # docid).limit(want).  Mega shapes (query_cost above the
+            # cap) keep the distributed path — at 100 TB the cap, not
+            # the corpus, bounds driver memory.
+            pdf_all = blocks_df.toPandas()
+            if len(pdf_all) == 0:
+                return []
+            outs = [
+                out
+                for _b, g in pdf_all.groupby("bucket", sort=False)
+                if len(out := score_one(g))
+            ]
+            if not outs:
+                return []
+            merged = pd.concat(outs, ignore_index=True)
+            sc = merged["score"].to_numpy(dtype=np.float32)
+            dc = merged["docid"].to_numpy(dtype=np.int64)
+            order = score_total_order_key(sc, dc)[:want]
+            return [(int(dc[i]), np.float32(sc[i])) for i in order]
         if tomb is None:
             scored = blocks_df.groupBy("bucket").applyInPandas(
                 score_one, out_schema
@@ -1150,11 +1374,17 @@ def wand_topk(
             rest = cand.join(survivors, "bucket", "left_semi")
             mult_map = _clause_mult(spec)
             pruned_rest = rest
+            ne_terms: set = set()
             if theta != -math.inf:
                 pruned_rest = _block_prefilter(
                     rest, theta, weights, avgdls, mult_map
                 )
-            winners += run_topk(pruned_rest, theta=theta)
+                ne_terms = _maxscore_split(
+                    spec, weights, tf_order, fidx, theta
+                )
+            winners += run_topk(
+                pruned_rest, theta=theta, non_essential=ne_terms
+            )
             if receipt is not None:
                 # extra counting jobs — only on request (receipts)
                 receipt.buckets_total = bounds.count()
@@ -1164,6 +1394,10 @@ def wand_topk(
                     - receipt.buckets_total
                 )
                 receipt.theta = theta
+                receipt.terms_scored = len(
+                    dict.fromkeys(spec.clause_terms())
+                )
+                receipt.terms_nonessential = len(ne_terms)
                 if theta != -math.inf:
                     # block-granular receipt: metadata-only replay of
                     # the kernel's interval mask over EXACTLY the rows

@@ -397,3 +397,152 @@ def test_coverage_gate_dilutes_block_signal_for_multiterm(spark):
         (d, np.float32(s).view(np.uint32)) for d, s in hits
     ]
     assert as_bits(got2) == as_bits(exh) == as_bits(forced)
+
+
+def test_maxscore_term_elimination(spark):
+    """Term-level MaxScore (argus.rs:29,4463-4485): for a 2-clause
+    Should query where the weak term's whole-list upper bound sits below
+    the certified θ, the split must mark it NON-essential — candidates
+    come from the strong term's postings only, the weak term contributes
+    score ONLY on those candidates — and the result stays bit-identical
+    to exhaustive.
+
+    Corpus shape: every 4th doc is a short winner holding major×8 +
+    minor×1 (8 winners per 32-doc bucket, so the k=5 seed θ certifies
+    from WINNER scores; minor's contribution to those exact scores is
+    live — a kernel that dropped minor's postings for candidates would
+    mismatch the exhaustive bits); every other doc is a long minor-only
+    doc (df(minor)=all docs → tiny idf weight; its whole-list bound
+    cannot reach θ = w_major·c(8,short) + w_minor·c(1,short))."""
+    from frankensearch_spark.operators.wand import PruningReceipt
+
+    filler = " ".join(f"pad{j:03d}" for j in range(30))
+    rows = []
+    for i in range(640):
+        if i % 4 == 0:
+            rows.append(("r", f"{i:05d}", "c", "x",
+                         ("major " * 8) + "minor tail"))
+        else:
+            rows.append(("r", f"{i:05d}", "c", "x", "minor " + filler))
+    corpus = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    built = build_index(corpus, CORPUS_KEY, docid_mode="global")
+    srv = serving_from_built(built, bucket_shift=5, n_term_partitions=8,
+                             with_positions=False)
+    srv.preload_termstats()
+    srv.preload_bucket_coverage()
+
+    spec = QuerySpec.from_text("major minor")
+    exh = wand_topk(srv, spec, k=5, prune=False)
+    r = PruningReceipt()
+    got = wand_topk(srv, spec, k=5, prune=True, seed_buckets=1,
+                    receipt=r, min_cost=0)
+    as_bits = lambda hits: [  # noqa: E731
+        (d, np.float32(s).view(np.uint32)) for d, s in hits
+    ]
+    assert as_bits(got) == as_bits(exh)
+    assert r.theta > float("-inf")
+    assert r.terms_scored == 2
+    assert r.terms_nonessential == 1  # minor eliminated as a generator
+    # every winner is a major doc and its score includes minor's part:
+    # strictly above the pure-major score of the same doc (structural
+    # proof the candidate mask didn't drop essential-doc contributions)
+    only_major = wand_topk(srv, QuerySpec.from_text("major"), k=5,
+                           prune=False)
+    assert all(d % 4 == 0 for d, _ in got)
+    assert all(s2 > s1 for (_, s2), (_, s1) in zip(got, only_major))
+
+
+def test_maxscore_split_certification_guards(spark):
+    """_maxscore_split returns the EMPTY set (no elimination) whenever
+    the split cannot be certified: Must/MustNot present, <2 or >8 unique
+    terms, θ not finite, or any scored term's shape max unknown (no
+    preload)."""
+    from frankensearch_spark.operators.query import QuerySpec as QS
+    from frankensearch_spark.operators.wand import _maxscore_split
+
+    rows = [(i, "alpha beta gamma") for i in range(64)]
+    corpus = spark.createDataFrame(rows, "docid long, content string")
+    built = build_index(corpus, ["docid"], cache=False)
+    srv = serving_from_built(built, bucket_shift=5, n_term_partitions=4)
+    srv.preload_termstats()
+    srv.preload_bucket_coverage()
+    fidx = {"content": srv}
+    tfo = {t: ("content",) for t in ("alpha", "beta", "gamma")}
+    w = {("content", t): np.float32(1.0) for t in tfo}
+
+    ok = _maxscore_split(QS(should=["alpha", "beta"]), w, tfo, fidx, 1e9)
+    assert ok  # certifiable shape with a huge θ eliminates something
+    assert len(ok) < 2  # never every scored term
+    # guards, each → empty set
+    assert _maxscore_split(QS(should=["alpha"]), w, tfo, fidx, 1e9) == set()
+    many = QS(should=[f"t{i}" for i in range(9)])
+    assert _maxscore_split(many, w, tfo, fidx, 1e9) == set()
+    assert _maxscore_split(
+        QS(must=["alpha"], should=["beta"]), w, tfo, fidx, 1e9) == set()
+    assert _maxscore_split(
+        QS(should=["alpha", "beta"]), w, tfo, fidx, float("inf")) == set()
+    assert _maxscore_split(
+        QS(should=["alpha", "beta"]), w, tfo, fidx, -1.0) == set()
+    srv._bucket_cov = None  # no preload → cannot certify
+    assert _maxscore_split(
+        QS(should=["alpha", "beta"]), w, tfo, fidx, 1e9) == set()
+
+
+def test_candidate_block_mask_laws():
+    """Unit laws of the non-essential block keep-mask: a block survives
+    iff its covered segment [first_i, next_first) holds ≥1 candidate;
+    the last block of a group over-covers to the bucket span (safe);
+    degenerate tilings keep the whole group."""
+    import pandas as pd
+
+    from frankensearch_spark.operators.wand import _candidate_block_mask
+
+    shift = 5  # span 32
+    pdf = pd.DataFrame({
+        "field": ["content"] * 3,
+        "term": ["minor"] * 3,
+        "first_doc": [100, 110, 120],  # base 100: segments [0,10) [10,20) [20,32)
+    })
+    cand = np.zeros(32, dtype=bool)
+    cand[15] = True  # only the middle segment holds a candidate
+    keep = _candidate_block_mask(pdf, cand, base=100, bucket_shift=shift)
+    assert keep.tolist() == [False, True, False]
+    cand2 = np.zeros(32, dtype=bool)
+    cand2[31] = True  # tail candidate → only the over-covering last block
+    keep2 = _candidate_block_mask(pdf, cand2, base=100, bucket_shift=shift)
+    assert keep2.tolist() == [False, False, True]
+    # degenerate tiling (duplicate first_doc) → keep all
+
+    pdf_dup = pd.DataFrame({
+        "field": ["content"] * 2,
+        "term": ["minor"] * 2,
+        "first_doc": [100, 100],
+    })
+    keep3 = _candidate_block_mask(pdf_dup, np.zeros(32, bool), 100, shift)
+    assert keep3.tolist() == [True, True]
+
+
+def test_local_lane_matches_distributed(serving, monkeypatch):
+    """The driver-local serving lane (query_cost ≤ LOCAL_LANE cap: ONE
+    collect of compressed candidate blocks + the in-process kernel) is
+    bit-identical to the distributed applyInPandas path on the same
+    specs — forced by flipping the cap to -1."""
+    import frankensearch_spark.operators.wand as W
+
+    specs = [
+        QuerySpec.from_text("generated record fn"),
+        QuerySpec.from_text("fn"),
+        QuerySpec(should=["term00001"], must_not=["term00002"]),
+    ]
+    as_bits = lambda hits: [  # noqa: E731
+        (d, np.float32(s).view(np.uint32)) for d, s in hits
+    ]
+    for spec in specs:
+        local = wand_topk(serving, spec, k=25, prune=True, min_cost=0)
+        monkeypatch.setattr(W, "LOCAL_LANE_MAX_POSTINGS", -1)
+        dist = wand_topk(serving, spec, k=25, prune=True, min_cost=0)
+        monkeypatch.setattr(W, "LOCAL_LANE_MAX_POSTINGS", 1_000_000)
+        assert as_bits(local) == as_bits(dist), spec

@@ -47,10 +47,12 @@ def make_zip(dist: str) -> str:
     return zpath
 
 
-def ensure_corpus(n_docs: int, path: str) -> str:
+def ensure_corpus(n_docs: int, path: str, clustered: bool = False) -> str:
     """Write the synthetic corpus as a parquet directory via pyarrow — no
     JVM involved, chunked into 64 files so every build level has enough
-    input splits."""
+    input splits.  ``clustered=True`` writes the repo-local-vocabulary
+    variant (see corpus.make_corpus) — the shape where block/term pruning
+    engages."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     sys.path.insert(0, REPO)
@@ -59,7 +61,7 @@ def ensure_corpus(n_docs: int, path: str) -> str:
 
     from frankensearch_spark.corpus import make_corpus
 
-    rows = make_corpus(n_docs)
+    rows = make_corpus(n_docs, clustered=clustered)
     os.makedirs(path, exist_ok=True)
     n_files = 64
     chunk = (len(rows) + n_files - 1) // n_files
