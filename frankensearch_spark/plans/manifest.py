@@ -518,3 +518,71 @@ def read_index(spark: SparkSession, path: str):
         tombstones=tombstones,
         has_positions=manifest.with_positions,
     )
+
+
+class LegacyPositionsError(RuntimeError):
+    """A committed mini-segment still carries the pre-round-4
+    ``positions array<int>`` wire format.  The per-read normalization
+    shim is retired (ONE wire format end-to-end: per-posting canonical
+    LEB128 ``binary``, quiver.rs:395-430); run
+    :func:`migrate_segment_positions` once over the index directory."""
+
+
+def migrate_segment_positions(spark: SparkSession, out_dir: str) -> int:
+    """One-shot, idempotent migration of legacy mini-segments to the
+    canonical LEB128-binary positions wire format.
+
+    Each committed segment whose postings footer shows a non-binary
+    ``positions`` column is rewritten through the same commit protocol
+    as a tier merge: the migrated copy commits with a ``replaces`` entry
+    naming the legacy segment (readers atomically flip), then the legacy
+    member retires marker-first (failed rmtree cannot resurrect it).
+    The legacy segment's own ``replaces`` chain is carried forward so a
+    crash-stranded pre-migration member can never resurrect either.
+    Returns the number of segments migrated; 0 on an already-canonical
+    index (re-running is free — one parquet footer read per segment)."""
+    import shutil
+
+    from frankensearch_spark.operators.build import positions_as_vbyte
+    from frankensearch_spark.plans.tiers import (
+        SegmentInfo,
+        list_segments,
+        segments_dir,
+        write_segment_meta,
+    )
+
+    root = segments_dir(out_dir)
+    n = 0
+    for seg in list_segments(out_dir):
+        src_dir = os.path.join(root, seg.seg_id)
+        src = os.path.join(src_dir, "postings")
+        fmt = dict(spark.read.parquet(src).dtypes).get("positions", "<none>")
+        if fmt in ("binary", "<none>"):
+            continue  # canonical, or predates positions (nulls at read)
+        new_id = f"g{seg.seg_id}"
+        dest = os.path.join(root, new_id)
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)  # crashed earlier attempt, uncommitted
+        positions_as_vbyte(spark.read.parquet(src)).write.option(
+            "compression", PARQUET_COMPRESSION
+        ).parquet(os.path.join(dest, "postings"))
+        shutil.copytree(
+            os.path.join(src_dir, "docmeta"), os.path.join(dest, "docmeta")
+        )
+        write_segment_meta(
+            dest,
+            SegmentInfo(
+                new_id,
+                seg.lease_lo,
+                seg.lease_hi,
+                seg.n_docs,
+                replaces=tuple(seg.replaces) + (seg.seg_id,),
+            ),
+        )  # commit point
+        try:
+            os.remove(os.path.join(src_dir, "segmeta.json"))
+        except OSError:
+            pass
+        shutil.rmtree(src_dir, ignore_errors=True)
+        n += 1
+    return n

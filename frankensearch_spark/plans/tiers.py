@@ -149,8 +149,9 @@ def merge_segments(spark, out_dir: str, run: list[SegmentInfo]) -> SegmentInfo:
     src_dirs = [os.path.join(root, s.seg_id) for s in run]
     for table in ("postings", "docmeta"):
         if table == "postings":
-            # per-segment read + position-format normalization: members
-            # may span the array<int> -> vbyte-binary format change
+            # type-safe per-format-group union (raises LegacyPositionsError
+            # on unmigrated pre-r4 segments; positions-less segments
+            # union in with nulls)
             from frankensearch_spark.streaming.incremental import (
                 read_segment_postings,
             )

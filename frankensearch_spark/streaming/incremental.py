@@ -112,29 +112,36 @@ def start_incremental_build(
 
 
 def read_segment_postings(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """Union mini-segment posting tables across POSITION FORMATS.
+    """Union mini-segment posting tables — ONE positions wire format
+    (per-posting canonical LEB128 ``binary``).
 
-    Segments sealed by older writers carry ``positions array<int>``;
-    current writers carry per-posting vbyte ``binary`` — one multi-path
-    parquet read over both would fail (or silently mis-read) on the
-    conflicting column type, so each segment is read on its own and
-    normalized to the canonical binary form before the union.  Segments
-    without a positions column union in with nulls (they predate
-    positions and can never serve phrases anyway)."""
-    from frankensearch_spark.operators.build import positions_as_vbyte
+    Segments without a positions column union in with nulls (they
+    predate positions and can never serve phrases anyway).  A segment
+    still carrying the retired pre-round-4 ``array<int>`` format raises
+    :class:`~frankensearch_spark.plans.manifest.LegacyPositionsError` —
+    run ``plans.manifest.migrate_segment_positions(spark, out_dir)``
+    once (idempotent, per-segment atomic) instead of paying a format
+    probe + normalization pass on EVERY read."""
+    from frankensearch_spark.plans.manifest import LegacyPositionsError
 
-    # group by the positions column's type (one cheap footer read per
-    # segment) so the format-uniform common case — every segment already
-    # canonical binary — stays ONE multi-path scan, not N unions
+    # one cheap footer read per segment keeps the union type-safe: a
+    # single multi-path scan over conflicting column types would fail
+    # (or silently mis-read)
     by_fmt: dict[str, list[str]] = {}
     for p in paths:
         fmt = dict(spark.read.parquet(p).dtypes).get("positions", "<none>")
         by_fmt.setdefault(fmt, []).append(p)
+    legacy = {f: g for f, g in by_fmt.items() if f not in ("binary", "<none>")}
+    if legacy:
+        raise LegacyPositionsError(
+            "mini-segments with retired positions format "
+            f"{sorted(legacy)}: {sorted(sum(legacy.values(), []))[:4]}... — "
+            "run plans.manifest.migrate_segment_positions(spark, out_dir) "
+            "once to rewrite them to canonical LEB128 binary"
+        )
     out = None
-    for fmt, group in sorted(by_fmt.items()):
+    for _fmt, group in sorted(by_fmt.items()):
         df = spark.read.parquet(*group)
-        if fmt not in ("binary", "<none>"):
-            df = positions_as_vbyte(df)
         out = (
             df
             if out is None

@@ -169,23 +169,30 @@ def test_unknown_media_kind_raises(spark):
     assert "hologram" in str(exc.value) or isinstance(exc.value, Py4JJavaError)
 
 
-def test_mixed_position_format_segments_read_and_compact(spark):
-    """A streamed index whose mini-segments span the array<int> ->
-    vbyte-binary positions format change still reads, serves phrases,
-    and tier-compacts: read_segment_postings normalizes every segment to
-    the canonical binary form before the union."""
+def test_legacy_position_segments_migrate_once(spark):
+    """ONE positions wire format end-to-end: a mini-segment still
+    carrying the retired pre-r4 ``array<int>`` format fails loudly at
+    read (no silent per-read normalization), the one-shot
+    migrate_segment_positions rewrites it through the merge commit
+    protocol (replaces chain, marker-first retirement), and the migrated
+    index serves bit-identically — phrases included — then tier-compacts
+    normally.  Re-running the migration is a no-op."""
     import os
 
     from frankensearch_spark.corpus import make_corpus
     from frankensearch_spark.operators.astexec import search_ast_bits
     from frankensearch_spark.operators.build import positions_as_array
+    from frankensearch_spark.plans.manifest import (
+        LegacyPositionsError,
+        migrate_segment_positions,
+    )
     from frankensearch_spark.plans.tiers import compact_stream, list_segments
     from frankensearch_spark.streaming.incremental import (
         index_microbatch,
         read_incremental_index,
     )
 
-    out = tempfile.mkdtemp(prefix="fsx_mixed_seg_")
+    out = tempfile.mkdtemp(prefix="fsx_legacy_seg_")
     try:
         rows = make_corpus(40)
         for bid in range(2):
@@ -193,6 +200,12 @@ def test_mixed_position_format_segments_read_and_compact(spark):
                 rows[bid * 20 : (bid + 1) * 20], schema=CORPUS_SCHEMA
             )
             index_microbatch(batch, bid, out, CORPUS_KEY)
+        inc0 = read_incremental_index(spark, out)
+        doc0_terms = rows[0][4].split()[:2]
+        phrase = f'"{doc0_terms[0]} {doc0_terms[1]}"'
+        hits0 = search_ast_bits(inc0, phrase, k=5)
+        assert hits0
+
         # rewrite segment 0's postings in the LEGACY array<int> format
         seg0 = sorted(list_segments(out), key=lambda s: s.seg_id)[0]
         p0 = os.path.join(out, "segments", seg0.seg_id, "postings")
@@ -203,22 +216,29 @@ def test_mixed_position_format_segments_read_and_compact(spark):
         shutil.rmtree(p0)
         os.rename(tmp, p0)
 
+        # the shim is retired: reading an unmigrated index raises
+        with pytest.raises(LegacyPositionsError) as exc:
+            read_incremental_index(spark, out)
+        assert "migrate_segment_positions" in str(exc.value)
+
+        assert migrate_segment_positions(spark, out) == 1
+        live = {s.seg_id for s in list_segments(out)}
+        assert f"g{seg0.seg_id}" in live and seg0.seg_id not in live
+        # replaces chain carries the legacy member (resurrection guard)
+        mig = next(s for s in list_segments(out)
+                   if s.seg_id == f"g{seg0.seg_id}")
+        assert seg0.seg_id in mig.replaces
+
         inc = read_incremental_index(spark, out)
         assert dict(inc.positions.dtypes)["positions"] == "binary"
-        # a phrase from the legacy-format segment still serves
-        doc0_terms = rows[0][4].split()[:2]
-        hits = search_ast_bits(
-            inc, f'"{doc0_terms[0]} {doc0_terms[1]}"', k=5
-        )
-        assert hits, "phrase from legacy-format segment must match"
+        assert search_ast_bits(inc, phrase, k=5) == hits0
 
-        # tier compaction across the format boundary
+        assert migrate_segment_positions(spark, out) == 0  # idempotent
+
+        # tier compaction over the migrated index
         n = compact_stream(spark, out, fanout=2)
         assert n == 1
         inc2 = read_incremental_index(spark, out)
-        hits2 = search_ast_bits(
-            inc2, f'"{doc0_terms[0]} {doc0_terms[1]}"', k=5
-        )
-        assert hits2 == hits
+        assert search_ast_bits(inc2, phrase, k=5) == hits0
     finally:
         shutil.rmtree(out, ignore_errors=True)
