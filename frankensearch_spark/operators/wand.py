@@ -38,6 +38,7 @@ Everything score-bearing is numpy float32 in the pinned op order.
 from __future__ import annotations
 
 import math
+import threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -997,6 +998,16 @@ WAND_MIN_COST = 16_384  # argus.rs:31 — prune only past this posting volume
 # the distributed path runs unchanged; driver memory is bounded by the
 # cap, never the corpus.
 LOCAL_LANE_MAX_POSTINGS = 1_000_000
+# The local lane is a LATENCY optimization for an idle server: its
+# driver-side pandas groupby/concat holds the GIL, so N concurrent
+# local-lane queries serialize (~1.45x overlap at 8 threads, measured
+# sf0.1 r5) while the distributed path overlaps ~2.9x through Spark's
+# FAIR scheduler.  Cap in-flight local-lane queries — excess concurrent
+# queries spill to the distributed path, where executor capacity is
+# idle exactly when the driver is the bottleneck.  Both lanes are
+# bit-identical (pinned), so the route is purely a performance choice.
+LOCAL_LANE_MAX_INFLIGHT = 2
+_local_lane_slots = threading.BoundedSemaphore(LOCAL_LANE_MAX_INFLIGHT)
 COVERAGE_GAP_MIN = 0.05  # prune only if ≥5% of buckets lack some clause term
 # Block-granular θ-pruning engages only when the estimated skippable
 # block fraction clears this: the θ ceremony costs ~2 extra jobs, and
@@ -1166,7 +1177,11 @@ def wand_topk(
             spec, weights, tf_caches, want, shift, tf_order,
             theta=theta, avgdls=avgdls, non_essential=non_essential,
         )
-        if tomb is None and query_cost <= LOCAL_LANE_MAX_POSTINGS:
+        if (
+            tomb is None
+            and query_cost <= LOCAL_LANE_MAX_POSTINGS
+            and _local_lane_slots.acquire(blocking=False)
+        ):
             # DRIVER-LOCAL lane for bounded posting volume (the exact
             # sum of the clause terms' df, known from preloaded stats):
             # ONE collect of the still-compressed candidate block rows
@@ -1180,22 +1195,27 @@ def wand_topk(
             # final total-order merge equals orderBy(desc score, asc
             # docid).limit(want).  Mega shapes (query_cost above the
             # cap) keep the distributed path — at 100 TB the cap, not
-            # the corpus, bounds driver memory.
-            pdf_all = blocks_df.toPandas()
-            if len(pdf_all) == 0:
-                return []
-            outs = [
-                out
-                for _b, g in pdf_all.groupby("bucket", sort=False)
-                if len(out := score_one(g))
-            ]
-            if not outs:
-                return []
-            merged = pd.concat(outs, ignore_index=True)
-            sc = merged["score"].to_numpy(dtype=np.float32)
-            dc = merged["docid"].to_numpy(dtype=np.int64)
-            order = score_total_order_key(sc, dc)[:want]
-            return [(int(dc[i]), np.float32(sc[i])) for i in order]
+            # the corpus, bounds driver memory.  Concurrency past
+            # LOCAL_LANE_MAX_INFLIGHT spills to the distributed path
+            # below (the non-blocking slot acquire failed).
+            try:
+                pdf_all = blocks_df.toPandas()
+                if len(pdf_all) == 0:
+                    return []
+                outs = [
+                    out
+                    for _b, g in pdf_all.groupby("bucket", sort=False)
+                    if len(out := score_one(g))
+                ]
+                if not outs:
+                    return []
+                merged = pd.concat(outs, ignore_index=True)
+                sc = merged["score"].to_numpy(dtype=np.float32)
+                dc = merged["docid"].to_numpy(dtype=np.int64)
+                order = score_total_order_key(sc, dc)[:want]
+                return [(int(dc[i]), np.float32(sc[i])) for i in order]
+            finally:
+                _local_lane_slots.release()
         if tomb is None:
             scored = blocks_df.groupBy("bucket").applyInPandas(
                 score_one, out_schema

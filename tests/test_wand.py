@@ -546,3 +546,33 @@ def test_local_lane_matches_distributed(serving, monkeypatch):
         dist = wand_topk(serving, spec, k=25, prune=True, min_cost=0)
         monkeypatch.setattr(W, "LOCAL_LANE_MAX_POSTINGS", 1_000_000)
         assert as_bits(local) == as_bits(dist), spec
+
+
+def test_local_lane_spills_to_distributed_when_slots_busy(serving):
+    """Concurrency spill law: the local lane is capped at
+    LOCAL_LANE_MAX_INFLIGHT in-flight queries (its driver-side pandas
+    loop holds the GIL; excess concurrent queries overlap better through
+    the distributed FAIR path).  With every slot held, wand_topk must
+    take the distributed path and return identical bits — the route is
+    a pure performance choice."""
+    import frankensearch_spark.operators.wand as W
+
+    spec = QuerySpec.from_text("generated record fn")
+    as_bits = lambda hits: [  # noqa: E731
+        (d, np.float32(s).view(np.uint32)) for d, s in hits
+    ]
+    base = wand_topk(serving, spec, k=25, prune=True, min_cost=0)
+    taken = 0
+    try:
+        while W._local_lane_slots.acquire(blocking=False):
+            taken += 1
+        assert taken == W.LOCAL_LANE_MAX_INFLIGHT
+        spilled = wand_topk(serving, spec, k=25, prune=True, min_cost=0)
+    finally:
+        for _ in range(taken):
+            W._local_lane_slots.release()
+    assert as_bits(spilled) == as_bits(base)
+    # slots were all released by the spilled run's bookkeeping path:
+    # a fresh query can take the local lane again
+    again = wand_topk(serving, spec, k=25, prune=True, min_cost=0)
+    assert as_bits(again) == as_bits(base)
