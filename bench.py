@@ -495,6 +495,37 @@ def main() -> None:
                 for pair, rec in out["scaling"].get("pairs", {}).items()
             }
 
+    # update-path (QG-3/QG-5 analogues, tools/update_bench.py) and
+    # cold-open (QG-9 analogue, tools/cold_open_bench.py) sidecars:
+    # measured over the saved 2M durable index out-of-band (they need a
+    # long-lived big index, not the per-round sf corpus) and folded in
+    # here like BENCH_SCALING.json
+    update_hl = coldopen_hl = None
+    upd_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_UPDATE.json"
+    )
+    if os.path.exists(upd_path):
+        with open(upd_path) as fh:
+            out["update_path"] = json.load(fh)
+        update_hl = {
+            k: out["update_path"].get(k)
+            for k in (
+                "upsert_docs_per_sec",
+                "bulk_upsert_docs_per_sec",
+                "compact_speedup_vs_rebuild",
+            )
+        }
+    co_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_COLDOPEN.json"
+    )
+    if os.path.exists(co_path):
+        with open(co_path) as fh:
+            out["cold_open"] = json.load(fh)
+        coldopen_hl = {
+            k: out["cold_open"].get(k)
+            for k in ("cold_open_secs", "warm_query_secs")
+        }
+
     # frozen host-health probe (measured at bench START on the idle
     # machine): fixed JVM/IPC/numpy workloads that never change with
     # repo code, so cross-round absolute-seconds comparisons can be
@@ -535,6 +566,8 @@ def main() -> None:
         "serving_qps_concurrent8": out["serving_qps_concurrent8"],
         "serving_qps_batch": out["serving_qps_batch"],
         "scaling_eff": scaling_pairs,
+        "update_path_2m": update_hl,
+        "cold_open_2m": coldopen_hl,
         "host_state": host_state,
         "host": {
             k: out.get("host_probe", {}).get(k)

@@ -177,6 +177,32 @@ class FrankensearchSpark:
                 sub.preload_bucket_coverage()
         return self
 
+    def _ensure_warm(self) -> None:
+        """Self-warm a LOADED serving engine on its first search (the
+        QG-9 cold-open analogue, quill-perf-gates.toml — the reference
+        lazy-faults mmap'd sections on first touch).  Measured on the 2M
+        durable index: an un-warmed engine pays per-query planning
+        collects (termstats + coverage) FOREVER — 2.2-2.7 s steady-state
+        vs 0.57 s warm — while one bounded preload (5.6 s) amortizes
+        them away after the first query.  Idempotent per underlying
+        field index (the caches live on the index, so engines sharing a
+        snapshot — with_corpus, upsert chains — warm once); built
+        in-session engines skip (their frames are already resident and
+        the explicit warm() stays available)."""
+        if not self._is_serving():
+            return
+        subs = (
+            list(self.index.fields.values())
+            if hasattr(self.index, "fields")
+            else [self.index]
+        )
+        for sub in subs:
+            if getattr(sub, "_term_df_cache", None) is None:
+                sub.stats()
+                sub.preload_termstats()
+                if hasattr(sub, "preload_bucket_coverage"):
+                    sub.preload_bucket_coverage()
+
     def with_corpus(self, corpus: DataFrame) -> "FrankensearchSpark":
         """Re-attach the source corpus (needed only for snippets) — a
         loaded engine has no corpus handle because the index stores
@@ -205,6 +231,7 @@ class FrankensearchSpark:
                 serving_search_collect,
             )
 
+            self._ensure_warm()
             out = serving_search_collect(
                 self.index, query, limit, offset, self.schema
             )
@@ -245,6 +272,7 @@ class FrankensearchSpark:
                 search_batch_collect,
             )
 
+            self._ensure_warm()
             got = search_batch_collect(
                 self.index, misses, limit + offset, self.schema
             )

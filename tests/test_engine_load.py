@@ -76,6 +76,27 @@ def test_loaded_warm_bits_stable(loaded):
     assert warm == cold
 
 
+def test_loaded_self_warms_on_first_search(spark, built, loaded,
+                                           tmp_path_factory):
+    """QG-9 cold-open analogue: a freshly loaded serving engine
+    self-warms on its FIRST search (one bounded preload) instead of
+    paying per-query planning collects forever — and the self-warmed
+    bits equal an explicitly warm()'d engine's and the builder's."""
+    path = str(tmp_path_factory.mktemp("engselfwarm") / "idx")
+    built.save(path)
+    fresh = FrankensearchSpark.load(spark, path)
+    sub = fresh.index
+    assert getattr(sub, "_term_df_cache", None) is None
+    got = _bits(fresh.search_docids("fn error import", limit=10))
+    # the first search populated the planning caches
+    assert sub._term_df_cache is not None
+    assert sub._bucket_cov is not None
+    assert got == _bits(built.search_docids("fn error import", limit=10))
+    # built in-session engines do NOT self-warm (frames already
+    # resident; the explicit warm() remains available)
+    assert getattr(built.index, "_term_df_cache", None) is None
+
+
 def test_delete_save_load_round_trip(spark, loaded, tmp_path_factory):
     """ADVICE: delete -> save -> load must NOT resurrect deleted docs."""
     base = loaded.search_docids("fn import", limit=3)

@@ -77,7 +77,7 @@ def main() -> None:
         eng.search_docids(q, limit=10)
         warm.append(time.perf_counter() - t0)
 
-    print(json.dumps({
+    out = {
         "index": idx_path,
         "cpus": cpus,
         "host_probe": probe,
@@ -87,7 +87,14 @@ def main() -> None:
         "cold_open_secs": round(load_secs + first_query, 3),
         "preload_secs": round(preload_secs, 2),
         "warm_query_secs": round(statistics.median(warm), 3),
-    }))
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_COLDOPEN.json",
+    )
+    with open(sidecar, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

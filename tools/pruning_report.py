@@ -35,7 +35,8 @@ def _run(srv, queries: dict) -> None:
 
     print(f"{'query':<18} {'total':>7} {'unmatch':>8} {'scored':>7} "
           f"{'skipped':>8} {'skip%':>6} {'blk_tot':>8} {'blk_skip':>8} "
-          f"{'blk%':>6} {'pruned(s)':>10} {'exhaust(s)':>11}")
+          f"{'blk%':>6} {'t_sc':>5} {'t_ne':>5} "
+          f"{'pruned(s)':>10} {'exhaust(s)':>11}")
     for name, spec in queries.items():
         wand_topk(srv, spec, k=10)  # warm (plan + caches)
         # receipts add 3-4 counting jobs — take the counts from an
@@ -70,6 +71,7 @@ def _run(srv, queries: dict) -> None:
               f"{r.buckets_scored:>7} {r.buckets_skipped:>8} "
               f"{skip_pct:>5.1f}% {r.blocks_total:>8} {r.blocks_skipped:>8} "
               f"{blk_pct:>5.1f}% (pre {pre_pct:>4.1f}%) "
+              f"{r.terms_scored:>5} {r.terms_nonessential:>5} "
               f"{t_pruned:>10.3f} {t_exh:>11.3f}")
 
 
@@ -99,6 +101,7 @@ def clustered(n_docs: int) -> None:
     srv.blocks = srv.blocks.persist()
     srv.stats()
     srv.preload_termstats()
+    srv.preload_bucket_coverage()
     marker = f"repolocal{zlib.crc32(out[0][0].encode()) % 500:04d}"
     _run(srv, {
         "must_repolocal": QuerySpec(
@@ -129,6 +132,7 @@ def main() -> None:
     srv.blocks = srv.blocks.persist()
     srv.stats()
     srv.preload_termstats()
+    srv.preload_bucket_coverage()
 
     _run(srv, {
         "q_short_fn": QuerySpec.from_text("fn"),
