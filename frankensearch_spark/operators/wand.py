@@ -1108,6 +1108,60 @@ def _coverage_gap(fidx: dict, spec: QuerySpec, tf_order: dict) -> float | None:
     return worst if any_seen else None
 
 
+def _must_coverage_frac(fidx: dict, spec: QuerySpec,
+                        tf_order: dict) -> float | None:
+    """Rarest Must term's bucket-coverage fraction from the PRELOADED
+    planning stats (long-lived serving only), or None when unknown.
+
+    Soundness: a matching doc contains every Must term, so only buckets
+    where that term appears (in ANY of its queried fields) can hold
+    matches — summing per-field bucket counts over-estimates coverage
+    (shared buckets count twice), which only makes the gate MORE
+    conservative about applying the restriction."""
+    worst = None
+    for t in spec.must:
+        nb = 0
+        total = 0
+        seen = False
+        for f in tf_order.get(t, ()):
+            sub = fidx.get(f)
+            cov = getattr(sub, "_bucket_cov", None)
+            tot = getattr(sub, "_total_buckets", None)
+            if cov is None or not tot:
+                return None
+            ent = cov.get(t)
+            if ent:
+                nb += ent[0]
+                seen = True
+            total = max(total, tot)
+        if not seen or not total:
+            return None
+        frac = min(1.0, nb / total)
+        worst = frac if worst is None else min(worst, frac)
+    return worst
+
+
+# Spark-economics serving gates (round 5, measured on the 2M clustered
+# corpora): one Spark job costs ~0.5 s of fixed constants at any data
+# volume, so the bound/seed/θ ceremony (2-3 extra sequential jobs) only
+# pays when the decode it avoids is tens of millions of postings.  The
+# reference's WAND_MIN_COST=16k reflects in-process per-posting
+# economics (argus.rs:31) and stays as the lower bound; these two gates
+# encode the cluster-side job-constant economics on top:
+# - a query whose whole posting volume fits the driver-local lane
+#   (≤1M) answers fastest as ONE exhaustive/local job (measured:
+#   should_repolocal θ-pruned 1.28-1.39 s vs exhaustive 0.59-0.73 s
+#   even with θ skipping 98% of buckets);
+# - a Must term covering ≤ this fraction of buckets already restricts
+#   the candidate scan to that fraction (the semi-join below), so the
+#   one restricted exhaustive job beats the ceremony regardless of
+#   total volume (measured: must_repolocal gated 2.5 s -> ~1.0 s).
+MUST_EXHAUSTIVE_MAX_FRAC = 0.10
+# apply the must-bucket semi-join whenever coverage is known and below
+# this (above it the join filters little and just adds a stage)
+MUST_RESTRICT_MAX_FRAC = 0.5
+
+
 def wand_topk(
     index,
     spec: QuerySpec,
@@ -1158,6 +1212,43 @@ def wand_topk(
     if min_cost > 0 and (
         query_cost < min_cost or est_buckets < 4 * seed_buckets
     ):
+        prune = False
+    # bucket-granular required-clause PRE-restriction (round 5): when
+    # preloaded coverage shows the rarest Must term lives in few
+    # buckets, semi-join the whole candidate scan down to its buckets
+    # before ANY path runs — a semantics-preserving plan shrink (docs
+    # outside those buckets cannot match) that makes the exhaustive
+    # path as cheap as the Must rule allows.  Tiny distinct on the
+    # term's own block rows; broadcast-sized at any corpus scale.
+    must_frac = _must_coverage_frac(fidx, spec, tf_order) if spec.must else None
+    if must_frac is not None and must_frac <= MUST_RESTRICT_MAX_FRAC:
+        rarest = min(
+            spec.must,
+            key=lambda t: sum(
+                (getattr(fidx.get(f), "_bucket_cov", None) or {})
+                .get(t, (float("inf"),))[0]
+                for f in tf_order.get(t, ())
+            ),
+        )
+        mb = cand.filter(F.col("term") == rarest).select("bucket").distinct()
+        if receipt is not None:
+            # the restriction IS the required-clause rule applied at
+            # plan time — account the dropped buckets where that rule
+            # already reports (receipt runs are untimed, extra counting
+            # jobs are fine there)
+            pre = cand.select("bucket").distinct().count()
+            post = mb.count()
+            receipt.buckets_unmatchable += max(0, pre - post)
+        cand = cand.join(F.broadcast(mb), "bucket", "left_semi")
+    if min_cost >= WAND_MIN_COST and prune and (
+        query_cost <= LOCAL_LANE_MAX_POSTINGS
+        or (must_frac is not None and must_frac <= MUST_EXHAUSTIVE_MAX_FRAC)
+    ):
+        # Spark job-constant economics (see the gate constants above):
+        # the θ ceremony's extra jobs cannot beat one bounded decode.
+        # Active only at the DEFAULT cost floor: a reduced min_cost is
+        # the conformance/test knob for exercising the θ machinery on
+        # small fixtures.
         prune = False
     if min_cost > 0 and prune:
         # coverage gate (active only in long-lived serving mode, after
@@ -1357,7 +1448,7 @@ def wand_topk(
             if receipt is not None:
                 receipt.buckets_total = bounds.count()
                 receipt.buckets_scored = receipt.buckets_total
-                receipt.buckets_unmatchable = (
+                receipt.buckets_unmatchable += (
                     cand.select("bucket").distinct().count()
                     - receipt.buckets_total
                 )
@@ -1409,7 +1500,7 @@ def wand_topk(
                 # extra counting jobs — only on request (receipts)
                 receipt.buckets_total = bounds.count()
                 receipt.buckets_scored = len(seed) + survivors.count()
-                receipt.buckets_unmatchable = (
+                receipt.buckets_unmatchable += (
                     cand.select("bucket").distinct().count()
                     - receipt.buckets_total
                 )

@@ -195,6 +195,53 @@ def test_wand_empty_and_miss(serving):
     assert wand_topk(serving, QuerySpec.from_text("zzzmissing"), k=10) == []
 
 
+def test_must_bucket_prerestriction(spark):
+    """Round-5 plan shrink: with preloaded coverage showing a Must term
+    in few buckets, the candidate scan semi-joins down to its buckets
+    BEFORE any path runs.  Bits must equal the unrestricted forced-θ
+    and exhaustive paths on every route, and a receipt run accounts the
+    dropped buckets as required-clause (unmatchable) drops."""
+    from frankensearch_spark.operators.wand import PruningReceipt
+
+    rows = []
+    for i in range(64):  # bucket 0-1 at shift 5: docs with the rare term
+        rows.append(("r", f"a{i:05d}", "c", "x",
+                     "rareneedle alpha beta gamma"))
+    for i in range(64, 640):  # buckets 2..19: no rareneedle
+        rows.append(("r", f"b{i:05d}", "c", "x",
+                     "alpha beta gamma " + " ".join(
+                         f"pad{j:02d}" for j in range(20))))
+    corpus = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    built = build_index(corpus, CORPUS_KEY, docid_mode="global")
+    srv = serving_from_built(built, bucket_shift=5, n_term_partitions=8,
+                             with_positions=False)
+    spec = QuerySpec(must=["rareneedle"], should=["alpha", "beta"])
+    exh = wand_topk(srv, spec, k=10, prune=False)
+    forced = wand_topk(srv, spec, k=10, min_cost=0)
+
+    def bits(hits):
+        return [(d, np.float32(s).view(np.uint32)) for d, s in hits]
+
+    assert bits(forced) == bits(exh)
+    srv.preload_termstats()
+    srv.preload_bucket_coverage()
+    # default route (gates live): must coverage 2/20 buckets -> the
+    # restricted exhaustive path; bits unchanged
+    assert bits(wand_topk(srv, spec, k=10)) == bits(exh)
+    # receipt run under the restriction: the dropped buckets are
+    # accounted as required-clause drops
+    r = PruningReceipt()
+    got = wand_topk(srv, spec, k=10, receipt=r, min_cost=0,
+                    seed_buckets=1)
+    assert bits(got) == bits(exh)
+    assert r.buckets_unmatchable >= 18, r
+    # winners are rareneedle docs (keys a* sort first -> docids 0..63)
+    assert all(d < 64 for d, _ in got)
+
+
 def test_coverage_gate_routes_uniform_queries_exhaustive(spark):
     """Long-lived-serving routing: after preload_bucket_coverage, a
     query whose every term covers every bucket with IDENTICAL per-bucket
