@@ -111,7 +111,7 @@ def main() -> None:
 
     out = {
         "index": idx_path,
-        "n_docs": 2_000_000,
+        "n_docs": srv.stats()[0],
         "cpus": cpus,
         "host_probe": probe,
         "warm_latency": lat,
