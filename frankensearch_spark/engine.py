@@ -160,21 +160,26 @@ class FrankensearchSpark:
         return isinstance(self.index, (ServingIndex, ServingMultiIndex))
 
     def warm(self) -> "FrankensearchSpark":
-        """Long-lived serving mode: preload snapshot stats + the full
+        """Long-lived serving mode: preload snapshot stats + the bounded
         (term -> df) dictionary so per-query planning runs ZERO extra
         Spark jobs (one job per query remains: the scan+pivot+top-k).
         Loaded serving indexes additionally preload bucket coverage for
-        the WAND routing gate."""
+        the WAND routing gates.  Idempotent per underlying index (loaded
+        serving engines also self-warm on first search — see
+        :meth:`_ensure_warm` — so an explicit warm() after a search
+        costs nothing); a refresh is never needed because mutations
+        return a NEW engine over a new snapshot."""
         subs = (
             list(self.index.fields.values())
             if hasattr(self.index, "fields")
             else [self.index]
         )
         for sub in subs:
-            sub.stats()
-            sub.preload_termstats()
-            if hasattr(sub, "preload_bucket_coverage"):
-                sub.preload_bucket_coverage()
+            if getattr(sub, "_term_df_cache", None) is None:
+                sub.stats()
+                sub.preload_termstats()
+                if hasattr(sub, "preload_bucket_coverage"):
+                    sub.preload_bucket_coverage()
         return self
 
     def _ensure_warm(self) -> None:
@@ -189,19 +194,8 @@ class FrankensearchSpark:
         snapshot — with_corpus, upsert chains — warm once); built
         in-session engines skip (their frames are already resident and
         the explicit warm() stays available)."""
-        if not self._is_serving():
-            return
-        subs = (
-            list(self.index.fields.values())
-            if hasattr(self.index, "fields")
-            else [self.index]
-        )
-        for sub in subs:
-            if getattr(sub, "_term_df_cache", None) is None:
-                sub.stats()
-                sub.preload_termstats()
-                if hasattr(sub, "preload_bucket_coverage"):
-                    sub.preload_bucket_coverage()
+        if self._is_serving():
+            self.warm()
 
     def with_corpus(self, corpus: DataFrame) -> "FrankensearchSpark":
         """Re-attach the source corpus (needed only for snippets) — a

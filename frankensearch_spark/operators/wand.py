@@ -109,7 +109,7 @@ class ServingIndex:
         self._term_df_complete = len(rows) < max_terms
         return len(self._term_df_cache)
 
-    def preload_bucket_coverage(self) -> int:
+    def preload_bucket_coverage(self, max_terms: int = 2_000_000) -> int:
         """Long-lived-serving planning statistic, one grouped pass over
         the block table per process: per term, (a) docid-bucket coverage
         and (b) bound FLATNESS — the q25/max ratio of the term's
@@ -121,6 +121,16 @@ class ServingIndex:
         whose bucket bounds are flat but whose blocks vary in
         (max_tf, min_fieldnorm) is still prunable, and the gate must
         not route it to the exhaustive pass.
+
+        BOUNDED like ``preload_termstats`` (the same 100-TB-vocabulary
+        driver-OOM law — and since round 5 the engine SELF-warms on
+        first search, so this collect must be safe unconditionally):
+        the cache keeps the top-``max_terms`` by bucket coverage — the
+        wide-coverage head is what the dispersion/coverage gates and
+        MaxScore bounds need; a tail term missing from the cache only
+        relaxes ROUTING (every consumer treats an absent entry
+        conservatively: gates stay off, elimination disabled), never
+        ranks.
 
         This is what lets :func:`wand_topk` decide BEFORE paying for the
         distributed bound pass whether pruning can possibly skip work:
@@ -168,6 +178,8 @@ class ServingIndex:
                 F.max("shape").alias("mx"),
                 F.expr(SHAPE_QUANTILE_SQL).alias("qs"),
             )
+            .orderBy(F.desc("nb"), F.asc("term"))
+            .limit(max_terms)
             .collect()
         )
         # per term: (bucket coverage, estimated block-skippable fraction,

@@ -120,11 +120,15 @@ def clustered(n_docs: int) -> None:
         F.concat_ws(" ", F.col("content"), marker_col, marker_col),
     )
     first_repo = make_corpus(1)[0][0]
-    jvm_marker = df.where(F.col("repo") == first_repo).select(
+    row = df.where(F.col("repo") == first_repo).select(
         marker_col.alias("m")
-    ).head()["m"]
+    ).head()
+    assert row is not None, (
+        f"{corpus_pq} does not contain repo {first_repo!r} — stale or "
+        "foreign corpus parquet; delete it and re-run"
+    )
     py_marker = f"repolocal{zlib.crc32(first_repo.encode()) % 500:04d}"
-    assert jvm_marker == py_marker, (jvm_marker, py_marker)
+    assert row["m"] == py_marker, (row["m"], py_marker)
     idx = build_index(df, CORPUS_KEY)
     srv = serving_from_built(idx)
     srv.blocks = srv.blocks.persist()
