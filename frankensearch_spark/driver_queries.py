@@ -583,6 +583,65 @@ def q_ppl_unigram(spark, sf_dir):
     )
 
 
+def q_ppl_bigram(spark, sf_dir):
+    """Bigram-LM perplexity filter (the KenLM-shaped upgrade of
+    ``ppl_unigram``: score each document by exp(mean −ln p(w2|w1))
+    under the corpus' own MLE bigram model — the CCNet/RedPajama
+    quality signal actually uses an n-gram LM, not a unigram one;
+    self-scoring the training corpus means every doc bigram exists in
+    the model, so no smoothing branch is needed for the filter).
+
+    Scale shape: ONE partially-aggregated hash agg over the bigram
+    stream builds cf2 per (w1, bigram); the predecessor denominator
+    cf1 derives from THAT table (sum of cf2 per w1 — the exact MLE
+    denominator, so probabilities sum to 1 per w1 by construction),
+    never from a third corpus scan (Spark duplicates unshared
+    subtrees — the ppl_unigram lesson).  Two corpus-side scans total:
+    the model aggregate + the score join.  Unlike the unigram
+    vocabulary, the bigram table can outgrow a broadcast at 100 TB,
+    so the score join carries NO broadcast hint — AQE broadcasts when
+    it fits and shuffle-hash-joins on the bigram key otherwise.
+    Nothing quadratic, no Python."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        F.col("doc_id").alias("docid"), _word_tokens().alias("t")
+    )
+    b = t.select(
+        "docid", F.explode(_word_ngrams(F.col("t"), 2)).alias("bg")
+    )
+    from pyspark.sql import Window
+
+    freq2 = b.select(
+        F.substring_index("bg", " ", 1).alias("w1"), "bg"
+    ).groupBy("w1", "bg").agg(F.count(F.lit(1)).alias("cf2"))
+    # cf1 via a per-w1 window over the bigram-frequency table — NOT a
+    # separate groupBy+join branch: Spark duplicates unshared subtrees,
+    # so that branch re-scanned and re-tokenized the corpus a third
+    # time (the ppl_unigram lesson, pinned by the plan test); the
+    # window shuffles the small model table by w1, never the corpus
+    model = freq2.withColumn(
+        "cf1", F.sum("cf2").over(Window.partitionBy("w1"))
+    )
+    return (
+        b.join(model, "bg")
+        .groupBy("docid")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.exp(
+                    F.avg(
+                        -F.ln(
+                            F.col("cf2").cast("double")
+                            / F.col("cf1").cast("double")
+                        )
+                    )
+                ),
+                6,
+            ).alias("ppl_r"),
+        )
+    )
+
+
 def q_boilerplate_ngrams(spark, sf_dir):
     """Corpus-wide boilerplate detection (the C4/RefinedWeb curation
     step): word 5-grams that occur in >= 2 DISTINCT documents, ranked by
@@ -1060,6 +1119,45 @@ def q_lsh_band_buckets(spark, sf_dir):
         .filter(F.col("n_docs") > 1)
     )
     return groups
+
+
+def q_lsh_bucket_skew(spark, sf_dir):
+    """LSH band-bucket size distribution — the pre-flight SKEW
+    diagnostic every 100-TB near-dup run needs before paying for the
+    bucket self-join: candidate-pair cost is Σ s·(s−1)/2 over bucket
+    sizes, so one boilerplate bucket with 10^6 members costs more than
+    the rest of the corpus combined.  Reports, per bucket size, how
+    many (band, bucket) groups have that size and the candidate pairs
+    they induce — the histogram that decides whether the verify join
+    needs a bucket-size cap / salting before it launches.
+
+    Scale shape: the same signature pipeline as ``lsh_band_buckets``
+    (shared recipe, 8 md5-minhashes → 4 bands) followed by two
+    partially-aggregated hash aggs; the histogram output is at most a
+    few hundred rows at any corpus size."""
+    idx = documents_index(spark, sf_dir)
+    sig = _minhash_signatures(
+        spark, idx.postings.select("docid", "term"), 8
+    )
+    banded = sig.withColumn("band", (F.col("seed") / 2).cast("int"))
+    bucket = banded.groupBy("docid", "band").agg(
+        F.md5(
+            F.concat_ws("|", F.sort_array(F.collect_list("minhash")))
+        ).alias("bucket")
+    )
+    sizes = bucket.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return sizes.groupBy("bucket_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n_candidate_pairs"),
+    )
 
 
 def q_token_count_bpe(spark, sf_dir):
@@ -2023,6 +2121,8 @@ QUERIES = {
     "quality_filter_verdict": q_quality_filter_verdict,
     "dup_span_marks": q_dup_span_marks,
     "source_mix_weights": q_source_mix_weights,
+    "ppl_bigram": q_ppl_bigram,
+    "lsh_bucket_skew": q_lsh_bucket_skew,
 }
 
 _SQL_SIMHASH_BITS = " + ".join(
@@ -2806,6 +2906,52 @@ ORACLE_SQL = {
                round(exp(avg(-ln(f.cf::DOUBLE / tot))), 6) AS ppl_r
         FROM t JOIN freq f USING (term) CROSS JOIN tot
         GROUP BY t.docid
+    """,
+    "ppl_bigram": """
+        WITH toks AS (
+          SELECT doc_id AS docid,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        b AS (
+          SELECT docid, unnest(
+                   CASE WHEN len(t) >= 2
+                        THEN list_transform(generate_series(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i+1])
+                        ELSE []::VARCHAR[] END) AS bg
+          FROM toks
+        ),
+        bb AS (SELECT docid, bg, split_part(bg, ' ', 1) AS w1 FROM b),
+        f2 AS (SELECT bg, count(*)::DOUBLE AS cf2 FROM bb GROUP BY bg),
+        f1 AS (SELECT w1, count(*)::DOUBLE AS cf1 FROM bb GROUP BY w1)
+        SELECT bb.docid, count(*)::BIGINT AS n_bigrams,
+               round(exp(avg(-ln(f2.cf2 / f1.cf1))), 6) AS ppl_r
+        FROM bb JOIN f2 USING (bg) JOIN f1 USING (w1)
+        GROUP BY bb.docid
+    """,
+    "lsh_bucket_skew": f"""
+        WITH tok AS ({_SQL_TOKEN_ROWS}),
+        terms AS (SELECT DISTINCT docid, term FROM tok),
+        seeds AS (SELECT unnest(range(8))::INT AS seed),
+        sig AS (
+          SELECT docid, seed, min(md5(term || '#' || seed::VARCHAR)) AS minhash
+          FROM terms CROSS JOIN seeds GROUP BY docid, seed
+        ),
+        banded AS (SELECT docid, (seed // 2)::INT AS band, minhash FROM sig),
+        bucket AS (
+          SELECT docid, band,
+                 md5(string_agg(minhash, '|' ORDER BY minhash)) AS bucket
+          FROM banded GROUP BY docid, band
+        ),
+        sizes AS (
+          SELECT band, bucket, count(*)::BIGINT AS bucket_size
+          FROM bucket GROUP BY band, bucket
+        )
+        SELECT bucket_size, count(*)::BIGINT AS n_buckets,
+               sum(bucket_size * (bucket_size - 1) // 2)::BIGINT
+                 AS n_candidate_pairs
+        FROM sizes GROUP BY bucket_size
     """,
     "boilerplate_ngrams": """
         WITH toks AS (

@@ -175,11 +175,17 @@ class FrankensearchSpark:
             else [self.index]
         )
         for sub in subs:
+            # each preload guards independently: an interrupted earlier
+            # warm (termstats landed, coverage didn't) must not strand
+            # the missing half behind a single already-warm flag
             if getattr(sub, "_term_df_cache", None) is None:
                 sub.stats()
                 sub.preload_termstats()
-                if hasattr(sub, "preload_bucket_coverage"):
-                    sub.preload_bucket_coverage()
+            if (
+                hasattr(sub, "preload_bucket_coverage")
+                and getattr(sub, "_bucket_cov", None) is None
+            ):
+                sub.preload_bucket_coverage()
         return self
 
     def _ensure_warm(self) -> None:

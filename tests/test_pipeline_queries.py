@@ -38,8 +38,10 @@ PIPELINE_QUERIES = [
     "embedding_int8_quantize",
     "decontaminate",
     "ppl_unigram",
+    "ppl_bigram",
     "boilerplate_ngrams",
     "latest_event_per_user",
+    "lsh_bucket_skew",
 ]
 
 
@@ -71,6 +73,7 @@ def test_pipeline_query_matches_oracle(spark, name):
         ("boilerplate_ngrams", 1),
         ("doc_repetition_ratio", 1),
         ("ppl_unigram", 2),  # freq + score-join scans; total derives from freq
+        ("ppl_bigram", 2),  # model + score-join scans; cf1 derives from cf2
     ],
 )
 def test_tokenizer_evaluates_once_per_scan(spark, name, max_split):
