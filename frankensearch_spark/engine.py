@@ -16,6 +16,8 @@ bag-of-words queries.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +50,13 @@ def _schema_from_dict(d: dict) -> ParserSchema:
         ),
         default_names=tuple(d["default_names"]),
     )
+
+
+# one process-wide warm serializer: warm() is rare (once per loaded
+# index) and its per-index caches make re-entry a no-op, so coarse
+# granularity costs nothing while removing the N-way duplicate preload
+# jobs a concurrent cold-open would otherwise fire
+_WARM_LOCK = threading.Lock()
 
 
 class FrankensearchSpark:
@@ -174,18 +183,24 @@ class FrankensearchSpark:
             if hasattr(self.index, "fields")
             else [self.index]
         )
-        for sub in subs:
-            # each preload guards independently: an interrupted earlier
-            # warm (termstats landed, coverage didn't) must not strand
-            # the missing half behind a single already-warm flag
-            if getattr(sub, "_term_df_cache", None) is None:
-                sub.stats()
-                sub.preload_termstats()
-            if (
-                hasattr(sub, "preload_bucket_coverage")
-                and getattr(sub, "_bucket_cov", None) is None
-            ):
-                sub.preload_bucket_coverage()
+        # serialize concurrent warms (the self-warm path means N first
+        # searches on a cold loaded engine race here — without the lock
+        # each would run the full preload jobs redundantly; results are
+        # identical either way, the lock only removes the wasted jobs)
+        with _WARM_LOCK:
+            for sub in subs:
+                # each preload guards independently: an interrupted
+                # earlier warm (termstats landed, coverage didn't) must
+                # not strand the missing half behind one already-warm
+                # flag
+                if getattr(sub, "_term_df_cache", None) is None:
+                    sub.stats()
+                    sub.preload_termstats()
+                if (
+                    hasattr(sub, "preload_bucket_coverage")
+                    and getattr(sub, "_bucket_cov", None) is None
+                ):
+                    sub.preload_bucket_coverage()
         return self
 
     def _ensure_warm(self) -> None:

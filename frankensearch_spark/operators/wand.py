@@ -86,6 +86,16 @@ class ServingIndex:
     # the shape max is weight-independent (bound = weight × shape), so
     # MaxScore whole-list upper bounds come from it for free
     _bucket_cov: dict | None = None
+    # completeness + truncation floor for the BOUNDED coverage cache —
+    # declared fields for the same dataclasses.replace() law as
+    # _term_df_complete: a dropped flag would make consumers read a
+    # truncated cache as authoritative.  When incomplete, an absent
+    # term is EVICTED-or-absent, not absent: its true bucket coverage
+    # is provably ≤ _bucket_cov_min_nb (the smallest kept entry — the
+    # cache keeps the top-max_terms BY coverage), which is the upper
+    # bound the routing gates fall back to.
+    _bucket_cov_complete: bool = False
+    _bucket_cov_min_nb: int | None = None
     _total_buckets: int | None = None
     _phrase_wl_cache: dict | None = None  # rare-slot docid whitelists (FIFO)
 
@@ -127,10 +137,13 @@ class ServingIndex:
         first search, so this collect must be safe unconditionally):
         the cache keeps the top-``max_terms`` by bucket coverage — the
         wide-coverage head is what the dispersion/coverage gates and
-        MaxScore bounds need; a tail term missing from the cache only
-        relaxes ROUTING (every consumer treats an absent entry
-        conservatively: gates stay off, elimination disabled), never
-        ranks.
+        MaxScore bounds need, and an EVICTED tail term is still usable
+        by the routing gates because eviction itself is information:
+        its true coverage is ≤ ``_bucket_cov_min_nb`` (the smallest
+        kept entry), the upper bound `_coverage_gap` /
+        `_must_coverage_frac` fall back to.  Consumers that need exact
+        per-term values (MaxScore elimination) disable themselves on a
+        miss.  Either way a miss only relaxes ROUTING, never ranks.
 
         This is what lets :func:`wand_topk` decide BEFORE paying for the
         distributed bound pass whether pruning can possibly skip work:
@@ -192,6 +205,10 @@ class ServingIndex:
             )
             for r in rows
         }
+        self._bucket_cov_complete = len(rows) < max_terms
+        self._bucket_cov_min_nb = min(
+            (e[0] for e in self._bucket_cov.values()), default=0
+        )
         self._total_buckets = int(
             self.blocks.select("bucket").distinct().count()
         )
@@ -1058,7 +1075,8 @@ def _frac_low(qs, mx) -> float:
     return frac
 
 
-def _coverage_gap(fidx: dict, spec: QuerySpec, tf_order: dict) -> float | None:
+def _coverage_gap(fidx: dict, spec: QuerySpec, tf_order: dict,
+                  stats: dict | None = None) -> float | None:
     """Largest prunability signal over the scored clause terms, from the
     preloaded per-term planning stats — or None when any queried field
     hasn't preloaded them (gate inactive).
@@ -1087,16 +1105,31 @@ def _coverage_gap(fidx: dict, spec: QuerySpec, tf_order: dict) -> float | None:
     flows through the coverage-gap signal instead (terms concentrated
     in docid ranges leave whole buckets absent), which this gate keeps
     for every clause count — the clustered 87–97% prune measurements
-    all show large coverage gaps."""
+    all show large coverage gaps.
+
+    ``stats`` (per-field term → df, already computed by ``_prepare``)
+    disambiguates a coverage-cache MISS when the bounded preload
+    truncated: with df > 0 the term EXISTS but was evicted for low
+    coverage, so (a) it still counts toward the multi-term dilution of
+    the block-shape signal, and (b) its coverage is provably ≤ the
+    smallest cached entry (the cache keeps the top-max_terms BY
+    coverage), which contributes a sound coverage-gap lower bound —
+    without this, a huge-vocabulary index would misread evicted rare
+    terms as absent and re-enable the round-4 undiluted-signal
+    misroute this gate exists to prevent."""
     worst = 0.0
     any_seen = False
-    contributing = [
-        t
-        for t in dict.fromkeys(spec.clause_terms())
-        if any(
+
+    def _scored(t):
+        if stats is not None:
+            return any(stats.get(f, {}).get(t) for f in tf_order.get(t, ()))
+        return any(
             (getattr(fidx.get(f), "_bucket_cov", None) or {}).get(t)
             for f in tf_order.get(t, ())
         )
+
+    contributing = [
+        t for t in dict.fromkeys(spec.clause_terms()) if _scored(t)
     ]
     single_scored = len(contributing) <= 1
     for t in dict.fromkeys(spec.clause_terms()):
@@ -1108,7 +1141,17 @@ def _coverage_gap(fidx: dict, spec: QuerySpec, tf_order: dict) -> float | None:
                 return None
             ent = cov.get(t)
             if ent is None:
-                continue  # term absent from the field: no bound at all
+                df = (stats or {}).get(f, {}).get(t, 0)
+                if getattr(sub, "_bucket_cov_complete", True) or not df:
+                    continue  # term absent from the field: no bound
+                # evicted tail term: nb ≤ min(smallest kept nb, df)
+                min_nb = getattr(sub, "_bucket_cov_min_nb", None)
+                if min_nb is None:
+                    continue
+                nb_ub = min(min_nb, df, total)
+                any_seen = True
+                worst = max(worst, 1.0 - nb_ub / total)
+                continue
             nb, frac = ent[0], ent[1]
             any_seen = True
             block_sig = (
@@ -1120,36 +1163,66 @@ def _coverage_gap(fidx: dict, spec: QuerySpec, tf_order: dict) -> float | None:
     return worst if any_seen else None
 
 
-def _must_coverage_frac(fidx: dict, spec: QuerySpec,
-                        tf_order: dict) -> float | None:
-    """Rarest Must term's bucket-coverage fraction from the PRELOADED
-    planning stats (long-lived serving only), or None when unknown.
+def _must_term_nb_ub(fidx: dict, t: str, tf_order: dict,
+                     stats: dict) -> int | None:
+    """Summed per-field UPPER BOUND on the buckets that can contain
+    Must term ``t``, or None when a queried field lacks the preloaded
+    planning stats.  A coverage-cache miss under a TRUNCATED preload is
+    still bounded: eviction keeps the top-max_terms by coverage, so the
+    missing term's per-field bucket count is ≤ min(smallest kept nb,
+    df) — rare Must terms (the ones the pre-restriction helps most) are
+    exactly the entries a bounded cache evicts first, and without this
+    fallback the gate would silently go dead at web-scale vocabulary."""
+    nb = 0
+    seen = False
+    for f in tf_order.get(t, ()):
+        sub = fidx.get(f)
+        cov = getattr(sub, "_bucket_cov", None)
+        tot = getattr(sub, "_total_buckets", None)
+        if cov is None or not tot:
+            return None
+        ent = cov.get(t)
+        if ent:
+            nb += ent[0]
+            seen = True
+            continue
+        df = stats.get(f, {}).get(t, 0)
+        if getattr(sub, "_bucket_cov_complete", True) or not df:
+            continue  # truly absent from this field
+        min_nb = getattr(sub, "_bucket_cov_min_nb", None)
+        if min_nb is None:
+            return None
+        nb += min(min_nb, df, tot)
+        seen = True
+    return nb if seen else None
+
+
+def _must_coverage_frac(fidx: dict, spec: QuerySpec, tf_order: dict,
+                        stats: dict) -> tuple[float, str, int] | None:
+    """(worst coverage fraction, its Must term, that term's bucket-count
+    upper bound) over the Must clauses, from the PRELOADED planning
+    stats (long-lived serving only) — or None when unknown.
 
     Soundness: a matching doc contains every Must term, so only buckets
     where that term appears (in ANY of its queried fields) can hold
     matches — summing per-field bucket counts over-estimates coverage
     (shared buckets count twice), which only makes the gate MORE
     conservative about applying the restriction."""
-    worst = None
+    worst: tuple[float, str, int] | None = None
     for t in spec.must:
-        nb = 0
+        nb = _must_term_nb_ub(fidx, t, tf_order, stats)
+        if nb is None:
+            return None
         total = 0
-        seen = False
         for f in tf_order.get(t, ()):
-            sub = fidx.get(f)
-            cov = getattr(sub, "_bucket_cov", None)
-            tot = getattr(sub, "_total_buckets", None)
-            if cov is None or not tot:
-                return None
-            ent = cov.get(t)
-            if ent:
-                nb += ent[0]
-                seen = True
-            total = max(total, tot)
-        if not seen or not total:
+            total = max(
+                total, getattr(fidx.get(f), "_total_buckets", None) or 0
+            )
+        if not total:
             return None
         frac = min(1.0, nb / total)
-        worst = frac if worst is None else min(worst, frac)
+        if worst is None or frac < worst[0]:
+            worst = (frac, t, nb)
     return worst
 
 
@@ -1172,6 +1245,13 @@ MUST_EXHAUSTIVE_MAX_FRAC = 0.10
 # apply the must-bucket semi-join whenever coverage is known and below
 # this (above it the join filters little and just adds a stage)
 MUST_RESTRICT_MAX_FRAC = 0.5
+# force-broadcast the restriction bucket set only when its size is
+# BOUNDED IN ROWS (≈16 MB of longs), not merely in fraction — a 30-50%
+# coverage fraction of a web-scale bucket space is still millions of
+# rows, and an explicit broadcast hint would collect all of them on
+# the driver per query; above the cap the semi-join runs unhinted
+# (Catalyst/AQE picks shuffle vs broadcast from measured sizes)
+MUST_BROADCAST_MAX_BUCKETS = 2_000_000
 
 
 def wand_topk(
@@ -1220,6 +1300,16 @@ def wand_topk(
         for t in dict.fromkeys(spec.clause_terms())
         for f in tf_order.get(t, ())
     )
+    # what one exhaustive/local pass actually TOUCHES: the candidate
+    # scan also carries every MustNot term's blocks (exclusions must
+    # see all candidates), so volume-based routing decisions must
+    # count them — query_cost alone would let `rare -mega` shapes
+    # collect a mega term's whole block payload onto the driver
+    collect_cost = query_cost + sum(
+        stats[f].get(t, 0)
+        for t in dict.fromkeys(spec.must_not)
+        for f in tf_order.get(t, ())
+    )
     est_buckets = max(1, primary.stats()[0] >> shift)
     if min_cost > 0 and (
         query_cost < min_cost or est_buckets < 4 * seed_buckets
@@ -1232,16 +1322,14 @@ def wand_topk(
     # outside those buckets cannot match) that makes the exhaustive
     # path as cheap as the Must rule allows.  Tiny distinct on the
     # term's own block rows; broadcast-sized at any corpus scale.
-    must_frac = _must_coverage_frac(fidx, spec, tf_order) if spec.must else None
+    must_info = (
+        _must_coverage_frac(fidx, spec, tf_order, stats)
+        if spec.must
+        else None
+    )
+    must_frac = must_info[0] if must_info is not None else None
     if must_frac is not None and must_frac <= MUST_RESTRICT_MAX_FRAC:
-        rarest = min(
-            spec.must,
-            key=lambda t: sum(
-                (getattr(fidx.get(f), "_bucket_cov", None) or {})
-                .get(t, (float("inf"),))[0]
-                for f in tf_order.get(t, ())
-            ),
-        )
+        _f, rarest, rarest_nb = must_info
         mb = cand.filter(F.col("term") == rarest).select("bucket").distinct()
         if receipt is not None:
             # the restriction IS the required-clause rule applied at
@@ -1251,9 +1339,11 @@ def wand_topk(
             pre = cand.select("bucket").distinct().count()
             post = mb.count()
             receipt.buckets_unmatchable += max(0, pre - post)
-        cand = cand.join(F.broadcast(mb), "bucket", "left_semi")
+        if rarest_nb <= MUST_BROADCAST_MAX_BUCKETS:
+            mb = F.broadcast(mb)
+        cand = cand.join(mb, "bucket", "left_semi")
     if min_cost >= WAND_MIN_COST and prune and (
-        query_cost <= LOCAL_LANE_MAX_POSTINGS
+        collect_cost <= LOCAL_LANE_MAX_POSTINGS
         or (must_frac is not None and must_frac <= MUST_EXHAUSTIVE_MAX_FRAC)
     ):
         # Spark job-constant economics (see the gate constants above):
@@ -1268,7 +1358,7 @@ def wand_topk(
         # ~every bucket, bounds are near-uniform and the bound/seed/θ
         # jobs cannot skip anything — answer with the one exhaustive
         # decode job instead
-        gap = _coverage_gap(fidx, spec, tf_order)
+        gap = _coverage_gap(fidx, spec, tf_order, stats)
         if gap is not None and gap < COVERAGE_GAP_MIN:
             prune = False
     out_schema = "docid long, score float"
@@ -1282,11 +1372,12 @@ def wand_topk(
         )
         if (
             tomb is None
-            and query_cost <= LOCAL_LANE_MAX_POSTINGS
+            and collect_cost <= LOCAL_LANE_MAX_POSTINGS
             and _local_lane_slots.acquire(blocking=False)
         ):
             # DRIVER-LOCAL lane for bounded posting volume (the exact
-            # sum of the clause terms' df, known from preloaded stats):
+            # sum of the clause AND MustNot terms' df — everything the
+            # candidate scan carries — known from preloaded stats):
             # ONE collect of the still-compressed candidate block rows
             # (≤ ~3 MB at the cap) + the same per-bucket kernel
             # in-process — no bucket exchange, no Python-worker stage.
@@ -1517,8 +1608,19 @@ def wand_topk(
                     - receipt.buckets_total
                 )
                 receipt.theta = theta
+                # count SCORED terms (some field weight exists) — the
+                # population _maxscore_split's 2..=8 gate and
+                # elimination actually operate on; an absent-from-
+                # corpus clause term would otherwise inflate the count
                 receipt.terms_scored = len(
-                    dict.fromkeys(spec.clause_terms())
+                    {
+                        t
+                        for t in dict.fromkeys(spec.clause_terms())
+                        if any(
+                            weights.get((f, t)) is not None
+                            for f in tf_order.get(t, ())
+                        )
+                    }
                 )
                 receipt.terms_nonessential = len(ne_terms)
                 if theta != -math.inf:

@@ -623,3 +623,109 @@ def test_local_lane_spills_to_distributed_when_slots_busy(serving):
     # a fresh query can take the local lane again
     again = wand_topk(serving, spec, k=25, prune=True, min_cost=0)
     assert as_bits(again) == as_bits(base)
+
+
+def test_local_lane_counts_mustnot_volume(serving, monkeypatch):
+    """Volume routing counts MustNot terms' postings too: the candidate
+    scan carries their whole block payloads (exclusions must see every
+    candidate), so a `rare -mega` shape must not enter the driver-local
+    collect on the rare term's df alone — at web scale that collect
+    would be unbounded by the lane cap."""
+    import frankensearch_spark.operators.wand as W
+
+    attempts = []
+
+    class Probe:
+        def acquire(self, blocking=True):
+            attempts.append(1)
+            return False  # always spill; routing is what's under test
+
+        def release(self):  # pragma: no cover - spill path never holds
+            pass
+
+    monkeypatch.setattr(W, "_local_lane_slots", Probe())
+    stats = serving.df_of_terms(["term00001", "fn"])
+    assert stats.get("term00001") and stats.get("fn")
+    # cap admits the rare term alone but NOT rare + mega-MustNot
+    monkeypatch.setattr(
+        W, "LOCAL_LANE_MAX_POSTINGS",
+        stats["term00001"] + stats["fn"] - 1,
+    )
+    wand_topk(
+        serving,
+        QuerySpec(should=["term00001"], must_not=["fn"]),
+        k=5,
+        min_cost=0,
+    )
+    assert attempts == [], "lane attempted despite MustNot volume"
+    wand_topk(serving, QuerySpec(should=["term00001"]), k=5, min_cost=0)
+    assert attempts, "same cap must admit the shape without the MustNot"
+
+
+def test_truncated_coverage_cache_fallbacks():
+    """A BOUNDED coverage preload evicts low-coverage tail terms; the
+    routing gates must read a miss as 'evicted: coverage ≤ smallest
+    kept entry', never as 'absent'.  Pins three laws: (a) an evicted
+    scored term still dilutes the single-term block-shape signal (the
+    round-4 misroute guard), (b) an evicted term with tiny df yields a
+    sound near-1 coverage gap, (c) _must_coverage_frac stays live for
+    rare Must terms — the terms the pre-restriction helps most are
+    exactly the ones a bounded cache evicts first."""
+    from types import SimpleNamespace
+
+    from frankensearch_spark.operators.wand import (
+        COVERAGE_GAP_MIN,
+        _coverage_gap,
+        _must_coverage_frac,
+    )
+
+    sub = SimpleNamespace(
+        _bucket_cov={"mega": (100, 0.9, 5.0)},  # full coverage, skew
+        _bucket_cov_complete=False,             # truncated preload
+        _bucket_cov_min_nb=100,
+        _total_buckets=100,
+    )
+    fidx = {"content": sub}
+    tf = {"mega": ("content",), "tail": ("content",), "rare": ("content",)}
+
+    # (a) evicted-but-scored second term: nb_ub = min(100, df=1000, 100)
+    # = full coverage, so gap is 0 AND the mega term's 0.9 block signal
+    # must not count (two scored terms) -> exhaustive routing
+    stats = {"content": {"mega": 5000, "tail": 1000}}
+    gap = _coverage_gap(
+        fidx, QuerySpec(should=["mega", "tail"]), tf, stats
+    )
+    assert gap is not None and gap < COVERAGE_GAP_MIN, gap
+
+    # single scored term keeps the undiluted signal
+    gap1 = _coverage_gap(fidx, QuerySpec(should=["mega"]), tf, stats)
+    assert gap1 is not None and gap1 >= 0.9, gap1
+
+    # (b) evicted rare term: nb_ub = min(100, df=3, 100) = 3
+    stats2 = {"content": {"mega": 5000, "rare": 3}}
+    gap2 = _coverage_gap(
+        fidx, QuerySpec(should=["mega", "rare"]), tf, stats2
+    )
+    assert gap2 is not None and gap2 >= 0.97, gap2
+
+    # (c) rare Must term evicted: the gate must return its bound, not None
+    info = _must_coverage_frac(
+        fidx, QuerySpec(must=["rare"]), tf, stats2
+    )
+    assert info == (0.03, "rare", 3), info
+
+    # a COMPLETE cache still reads a miss as truly absent
+    sub_c = SimpleNamespace(
+        _bucket_cov={"mega": (100, 0.9, 5.0)},
+        _bucket_cov_complete=True,
+        _bucket_cov_min_nb=100,
+        _total_buckets=100,
+    )
+    fidx_c = {"content": sub_c}
+    assert _must_coverage_frac(
+        fidx_c, QuerySpec(must=["rare"]), tf, stats2
+    ) is None
+    gap_c = _coverage_gap(
+        fidx_c, QuerySpec(should=["rare"]), tf, stats2
+    )
+    assert gap_c is None  # nothing known about the query's only term
