@@ -205,9 +205,16 @@ def score_ast(index, query, schema: ParserSchema = ENGINE_SCHEMA) -> DataFrame:
     terms = [t for t, _ in leaves]
     phrase_terms = [t for t, needs_pos in leaves if needs_pos]
     qfields = [f for f in walk_text_fields(ast) if f in fidx]
+    from frankensearch_spark.operators.serving_exec import _phrase_fields
+
+    pfields = set(_phrase_fields(ast))
     if phrase_terms:
-        for f in qfields:
-            if fidx[f].positions is None:
+        # scoped to the fields of PHRASE leaves only (query.rs:699-752
+        # checks per-field capability): a positions-less field queried
+        # by plain terms must not reject a query whose phrases never
+        # touch it — the serving_exec/batchexec rule
+        for f in pfields:
+            if f in fidx and fidx[f].positions is None:
                 raise ValueError(
                     f"phrase query on field {f!r} built with with_positions=False"
                 )
@@ -266,7 +273,12 @@ def score_ast(index, query, schema: ParserSchema = ENGINE_SCHEMA) -> DataFrame:
                 .agg(F.first("tf"))
                 .toDF("docid", f"dl{fi}", *tcols)
             )
-            if phrase_terms:
+            if phrase_terms and f in pfields:
+                # positions pivot only for fields a phrase leaf touches
+                # (pfields): a plain-term-only field never reads
+                # pos_col, and when persisted without positions it has
+                # no positions frame to pivot at all — the scoped
+                # capability check above guarantees pfields members do
                 pcols = [f"f{fi}p{j}" for j in range(len(phrase_terms))]
                 ppivot = (
                     sub.positions.filter(F.col("term").isin(phrase_terms))

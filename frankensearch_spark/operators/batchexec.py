@@ -127,8 +127,21 @@ def _prepare(index, queries, schema: ParserSchema):
         phrase_terms = [t for t, needs_pos in leaves if needs_pos]
         qfields = [f for f in walk_text_fields(ast) if f in fidx]
         if phrase_terms:
-            for f in qfields:
-                sub = fidx[f]
+            # capability check scoped to the fields of PHRASE leaves
+            # only, the serving_exec/serving_score_ast rule
+            # (query.rs:699-752 checks per-field capability): a
+            # non-phrase field persisted without positions must not
+            # reject a query whose phrases never touch it — and in a
+            # batch, one such false rejection would abort the WHOLE
+            # batch
+            from frankensearch_spark.operators.serving_exec import (
+                _phrase_fields,
+            )
+
+            for f in _phrase_fields(ast):
+                sub = fidx.get(f)
+                if sub is None:
+                    continue
                 has_pos = (
                     sub.has_positions
                     if hasattr(sub, "has_positions")
@@ -193,9 +206,10 @@ def _stream_lane_split(index, fidx, primary, specs, doc_count):
             rest.append(s)  # multi-field accumulation: pivot lane
             continue
         if not scored:
-            if qspec.must:
-                continue  # absent Must term: provably empty, emit nothing
-            continue  # lone Should term absent: empty result either way
+            # absent term: provably empty whether Must (no doc can
+            # match) or a lone Should (nothing scores) — emit nothing,
+            # matching single-query execution
+            continue
         fname, fboost, df = scored[0]
         # exact single-query weight op order (wand._prepare):
         # term_weight(df, N, f32(f32(clause boost) * f32(field boost)))
@@ -789,6 +803,7 @@ def topk_ast_batch(
     clause queries over a tombstone-free serving index take the shared
     shuffle-free stream lane; the rest share chunked pivot plans bounded
     at ``pivot_cap`` union terms each."""
+    queries = list(queries)  # qid positions must survive re-iteration
     fidx, primary, specs = _prepare(index, queries, schema)
     spark = primary.docmeta.sparkSession
     out_schema = "qid int, docid long, score float"
@@ -841,6 +856,8 @@ def search_batch_collect(
     index, queries, k: int = 10, schema: ParserSchema = ENGINE_SCHEMA
 ) -> list[list[tuple[int, np.float32]]]:
     """Per-query top-k hit lists, ONE job for the whole batch."""
+    queries = list(queries)  # a generator would be CONSUMED by the
+    # batch plan below, leaving the result list empty (qid IndexError)
     rows = topk_ast_batch(index, queries, k, schema).collect()
     out: list[list] = [[] for _ in queries]
     for r in rows:

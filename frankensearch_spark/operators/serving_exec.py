@@ -407,9 +407,29 @@ def serving_score_ast(
                 local_whitelist_terms=rare_slot_terms,
             )
         else:
-            postings = blocks_to_postings(
-                fidx[f], terms, with_positions=bool(phrase_terms)
-            )
+            ph = [t for t in terms if t in set(phrase_terms)]
+            nonph = [t for t in terms if t not in set(phrase_terms)]
+            if ph and nonph:
+                # positions decode ONLY for the phrase terms (the
+                # bucket lane's rule, batchexec): a mixed non-root-
+                # phrase query ('+"foo bar" megaterm') must not scan
+                # the mega term's pos_bytes pages nor slice a LEB128
+                # buffer per posting that the phrase kernel never
+                # reads — the position pivot below filters to
+                # phrase_terms anyway
+                postings = blocks_to_postings(
+                    fidx[f], ph, with_positions=True
+                ).unionByName(
+                    blocks_to_postings(
+                        fidx[f], nonph, with_positions=False
+                    ).withColumn(
+                        "positions", F.lit(None).cast("binary")
+                    )
+                )
+            else:
+                postings = blocks_to_postings(
+                    fidx[f], terms, with_positions=bool(phrase_terms)
+                )
         tcols = [f"f{fi}t{j}" for j in range(len(terms))]
         pivot = (
             postings.groupBy("docid", "fieldnorm_id")

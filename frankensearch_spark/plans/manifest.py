@@ -82,13 +82,24 @@ def _manifest_path(path: str) -> str:
 
 
 def _atomic_json(dest: str, obj) -> None:
-    """Two-slot publication primitive: temp file + fsync + rename."""
+    """Two-slot publication primitive: temp file + fsync + rename +
+    directory fsync (the rename itself is only crash-durable once the
+    parent directory's entry is synced — without it a power loss can
+    revert a 'published' manifest while the group data survives)."""
     tmp = dest + ".tmp"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=1)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, dest)
+    try:
+        dfd = os.open(os.path.dirname(dest) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # non-POSIX dir handles (or object stores): best effort
 
 
 def _publish(path: str, manifest: BuildManifest) -> None:
@@ -195,6 +206,17 @@ def write_index(
                 "parallelism/session can shift lease boundaries) — "
                 "delete the partial index and rebuild"
             )
+    elif manifest.docid_fingerprint != fp:
+        # manifest exists but NOTHING committed yet (a prior session
+        # published and crashed before its first group): re-pin the
+        # fingerprint to THIS session's assignment before writing —
+        # leaving the stale one would validate a later resume against
+        # the wrong session's assignment (session B writes groups under
+        # fp_B while the manifest says fp_A; session C with fp_C == fp_A
+        # then passes the check and mixes assignments — the exact silent
+        # corruption the fingerprint exists to prevent)
+        manifest.docid_fingerprint = fp
+        _publish(path, manifest)
     bucket_shift = manifest.bucket_shift
     n_term_partitions = manifest.n_term_partitions
     n_groups = manifest.n_groups
@@ -365,9 +387,18 @@ def gc_orphans(path: str, grace_seconds: float = 300.0) -> list[str]:
                     os.path.join(fields_dir, name), grace_seconds
                 )
             mtmp = _mf_manifest_path(path) + ".tmp"
-            if os.path.exists(mtmp):
-                out.append(mtmp)
-                os.unlink(mtmp)
+            # grace-window guard like every other sweep target: a
+            # CONCURRENT writer may be between writing the tmp and its
+            # os.replace — unlinking a fresh tmp would fail that save
+            # after all its field writes completed
+            try:
+                if os.path.exists(mtmp) and (
+                    _time.time() - os.path.getmtime(mtmp) >= grace_seconds
+                ):
+                    os.unlink(mtmp)
+                    out.append(mtmp)
+            except OSError:
+                pass
             return out
         return []
     removed: list[str] = []
@@ -462,8 +493,15 @@ def write_serving_index(sidx, path: str, key_cols: list[str] | None = None,
     spark = sidx.blocks.sparkSession
     codec = "vint"
     if "codec" in sidx.blocks.columns:
+        # the manifest's codec names the DISPATCH FAMILY the index was
+        # written with: "for" and "bitmap" both imply the three-kind
+        # writer (tails stay vint rows either way), so the max block
+        # kind identifies it — 2=bitmap ⊃ 1=for ⊃ 0=vint.  Readers
+        # dispatch per ROW on the codec column; this field is
+        # observability + rebuild parameterization and must not
+        # mislabel a bitmap index as "for".
         mx = sidx.blocks.agg(F.max("codec").alias("m")).collect()[0]["m"]
-        codec = "for" if (mx or 0) > 0 else "vint"
+        codec = {0: "vint", 1: "for", 2: "bitmap"}.get(int(mx or 0), "vint")
     manifest = BuildManifest(
         bucket_shift=sidx.bucket_shift,
         n_term_partitions=sidx.n_term_partitions,

@@ -286,3 +286,67 @@ def test_bucket_lane_bit_parity_all_shapes(loaded):
         want = eng.search_docids(text, limit=25)
         assert _bits(hits) == _bits(want), text
         assert not any(d in dead_ids for d, _ in hits)
+
+
+def test_phrase_check_scoped_to_phrase_fields(spark):
+    """The positions capability check applies ONLY to fields that
+    phrase leaves actually touch (query.rs:699-752 checks per-field
+    capability): a positions-less field queried by plain terms must not
+    reject a mixed query — and in a batch, one false rejection would
+    abort the whole batch.  A phrase ON the positions-less field still
+    raises, on both the single-query and batch paths."""
+    from frankensearch_spark.operators.build import MultiFieldIndex
+    from frankensearch_spark.query_ast import (
+        REFERENCE_SCHEMA,
+        parse_lenient,
+    )
+
+    rows = [
+        (i, f"alpha beta doc{i:03d} gamma", "zeta common shared")
+        for i in range(80)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "docid long, content string, title string"
+    )
+    content = build_index(
+        corpus, ["docid"], content_col="content", cache=False
+    )
+    title = build_index(
+        corpus, ["docid"], content_col="title",
+        with_positions=False, cache=False,
+    )
+    mf = MultiFieldIndex(
+        {"content": content, "title": title},
+        "content",
+        field_cols={"content": "content", "title": "title"},
+    )
+
+    mixed = parse_lenient(
+        'content:"alpha beta" title:zeta', REFERENCE_SCHEMA
+    ).query
+    single = search_ast_bits(mf, mixed, k=10, schema=REFERENCE_SCHEMA)
+    assert single, "mixed query must match (phrase field HAS positions)"
+    batch = search_batch_collect(mf, [mixed], k=10, schema=REFERENCE_SCHEMA)
+    # search_ast_bits already returns (docid, uint32 bits)
+    assert _bits(batch[0]) == [(d, int(b)) for d, b in single]
+
+    bad = parse_lenient('title:"zeta common"', REFERENCE_SCHEMA).query
+    with pytest.raises(ValueError, match="positions"):
+        search_ast_bits(mf, bad, k=10, schema=REFERENCE_SCHEMA)
+    with pytest.raises(ValueError, match="positions"):
+        search_batch_collect(mf, [bad], k=10, schema=REFERENCE_SCHEMA)
+
+
+def test_batch_accepts_generator_queries(spark):
+    """search_batch_collect must materialize a non-list iterable before
+    the plan consumes it — a generator previously produced an empty
+    result list and IndexError on the first collected row."""
+    corpus = synthetic_corpus_df(spark, 120, partitions=2)
+    built = build_index(corpus, CORPUS_KEY, cache=False)
+    texts = ["fn", "fn import"]
+    got = search_batch_collect(built, (t for t in texts), k=5)
+    assert len(got) == 2
+    for t, hits in zip(texts, got):
+        assert _bits(hits) == _bits(
+            search_batch_collect(built, [t], k=5)[0]
+        ), t

@@ -134,3 +134,45 @@ def test_serving_save_clears_crashed_partial_target(built, spark, tmp_path_facto
     assert reopened.blocks.count() == sidx.blocks.count()  # no stale dup groups
     spec = QuerySpec(should=["fn", "import"])
     assert wand_bits(reopened, "fn import", k=10) == wand_bits(sidx, "fn import", k=10)
+
+
+def test_resume_repins_fingerprint_when_nothing_committed(
+    built, spark, tmp_path_factory
+):
+    """A manifest published by a session that crashed BEFORE its first
+    group commit must not keep that session's docid fingerprint: the
+    resuming session re-pins it to ITS OWN assignment before writing.
+    Leaving the stale value would validate a LATER resume against the
+    wrong session's assignment — session B writes groups under fp_B
+    while the manifest says fp_A; session C with fp_C == fp_A then
+    passes the check and mixes assignments, the exact silent corruption
+    the fingerprint exists to prevent."""
+    path = str(tmp_path_factory.mktemp("idx_fp"))
+    write_index(built, path, bucket_shift=7, n_term_partitions=8, n_groups=3)
+
+    # simulate: published manifest, zero committed groups, a fingerprint
+    # from a DIFFERENT session's docid assignment
+    mp = os.path.join(path, "manifest.json")
+    with open(mp) as f:
+        d = json.load(f)
+    d["completed"] = False
+    d["committed_groups"] = {}
+    d["tables"] = {}
+    d["docid_fingerprint"] = "stale-session-fingerprint"
+    with open(mp, "w") as f:
+        json.dump(d, f)
+    os.remove(os.path.join(path, "_COMMITTED"))
+    for g in range(3):
+        shutil.rmtree(
+            os.path.join(path, "blocks", f"group={g}"), ignore_errors=True
+        )
+
+    m2 = write_index(built, path)
+    assert m2.completed
+    assert m2.docid_fingerprint != "stale-session-fingerprint"
+
+    idx = read_index(spark, path)
+    oracle = OracleIndex(corpus_docs(N_DOCS))
+    assert wand_bits(idx, "fn import", k=10) == oracle.search_bits(
+        "fn import", k=10
+    )
