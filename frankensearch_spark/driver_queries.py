@@ -25,6 +25,7 @@ from frankensearch_spark.operators.build import (
     positions_as_array,
 )
 from frankensearch_spark.sources.corpus import load_documents_as_corpus
+from frankensearch_spark.streaming._shim import epoch_micros
 
 # ---------------------------------------------------------------------------
 # shared index cache (one build per sf_dir per session)
@@ -683,12 +684,7 @@ def q_latest_event_per_user(spark, sf_dir):
     recipe), so the result is engine- and session-zone-deterministic.
     The DuckDB oracle uses the independent row_number() formulation."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_us = (
-        F.unix_timestamp("ts") * F.lit(1_000_000)
-        + (F.date_part(F.lit("SECOND"), F.col("ts")) % 1 * 1_000_000).cast(
-            "long"
-        )
-    )
+    ts_us = epoch_micros("ts")
     e = ev.select("user_id", "event_id", "event_type", ts_us.alias("ts_us"))
     payload = F.struct(
         F.col("event_id").alias("event_id"),
@@ -879,12 +875,7 @@ def q_funnel_conversion(spark, sf_dir):
     orderings regardless of session zone."""
     stages = ["signup", "view", "click", "purchase"]
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_us = (
-        F.unix_timestamp("ts") * F.lit(1_000_000)
-        + (F.date_part(F.lit("SECOND"), F.col("ts")) % 1 * 1_000_000).cast(
-            "long"
-        )
-    )
+    ts_us = epoch_micros("ts")
     e = ev.select("user_id", "event_type", ts_us.alias("ts_us"))
     firsts = e.groupBy("user_id").agg(
         *[
@@ -1680,11 +1671,8 @@ def q_events_asof_join(spark, sf_dir):
             # is the tz-invariant seconds primitive (see events_windowed),
             # and date_part(SECOND) carries the fractional micros — unlike
             # cast-to-TIMESTAMP, which shifts with the session zone
-            (
-                F.unix_timestamp("ts") * F.lit(1_000_000)
-                + (F.date_part(F.lit("SECOND"), F.col("ts")) % 1 * 1_000_000)
-                .cast("long")
-            ).alias("ts_us"),
+            # (the shared streaming/_shim.epoch_micros ordering law)
+            epoch_micros("ts").alias("ts_us"),
         )
     )
     # STRICT as-of (view.ts < purchase.ts), pinned on both sides: at an

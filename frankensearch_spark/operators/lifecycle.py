@@ -296,6 +296,14 @@ def compact(index, force: bool = False, cache: bool = True):
         else None
     )
     if cache:
+        # the SUPERSEDED index's persisted frames are deliberately left
+        # alone: engines are immutable and the caller may still hold
+        # (and query) the pre-compact engine.  Spark persists at
+        # MEMORY_AND_DISK, so abandoned generations are LRU-evicted
+        # under pressure rather than leaking unboundedly; a long-lived
+        # process that compacts in a loop and wants the memory back NOW
+        # can `old_engine.index.postings.unpersist()` once it drops its
+        # last reference.
         postings = postings.persist()
         docmeta = docmeta.persist()
     return BuiltIndex(

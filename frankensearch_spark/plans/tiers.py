@@ -128,7 +128,12 @@ def plan_tier_merge(
     for segs in by_tier.values():
         for start in range(len(segs) - fanout + 1):
             run = segs[start : start + fanout]
-            span = run[-1].lease_hi - run[0].lease_lo
+            # span from the MAX hi, not run[-1]: bridged merges create
+            # overlapping lease intervals, and sorted-by-lo does not
+            # make the last member the widest — a nested member sorting
+            # last would yield covered > span (negative hole ratio, the
+            # gate always passing) on exactly the sparsest runs
+            span = max(s.lease_hi for s in run) - run[0].lease_lo
             covered = sum(s.width for s in run)
             if span > 0 and 1.0 - covered / span <= max_hole_ratio:
                 return run
@@ -142,7 +147,22 @@ def merge_segments(spark, out_dir: str, run: list[SegmentInfo]) -> SegmentInfo:
     renumber — keeper.rs:4166-4206 concat theorem); the merged segment's
     ``replaces`` list retires the members atomically with its commit."""
     root = segments_dir(out_dir)
-    new_id = f"m{run[0].lease_lo:08d}-{run[-1].lease_hi:08d}"
+    hi = max(s.lease_hi for s in run)  # NOT run[-1]: intervals overlap
+    # after bridged merges, so the last-by-lo member need not be widest
+    base_id = f"m{run[0].lease_lo:08d}-{hi:08d}"
+    new_id = base_id
+    member_ids = {s.seg_id for s in run}
+    n = 0
+    while new_id in member_ids or os.path.exists(
+        os.path.join(root, new_id, "segmeta.json")
+    ):
+        # the (lo, hi) interval does not name a segment uniquely once
+        # bridged runs overlap: colliding with a run member (or any
+        # LIVE committed segment outside the run) would rmtree its
+        # committed data below, before the union ever reads it —
+        # disambiguate instead of deleting
+        n += 1
+        new_id = f"{base_id}.{n}"
     dest = os.path.join(root, new_id)
     if os.path.isdir(dest):
         shutil.rmtree(dest)  # crashed earlier attempt, uncommitted
@@ -176,7 +196,7 @@ def merge_segments(spark, out_dir: str, run: list[SegmentInfo]) -> SegmentInfo:
     info = SegmentInfo(
         seg_id=new_id,
         lease_lo=run[0].lease_lo,
-        lease_hi=run[-1].lease_hi,
+        lease_hi=hi,
         n_docs=sum(s.n_docs for s in run),
         replaces=tuple(s.seg_id for s in run),
     )

@@ -31,6 +31,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from frankensearch_spark.streaming._shim import NoState as _NoState
+from frankensearch_spark.streaming._shim import epoch_micros
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -82,7 +85,11 @@ def _compact_group(
         cand = (int(top["ts_us"]), int(top["event_id"]))
         if best_ts is None or cand > (best_ts, best_id):
             best_ts, best_id = cand
-            best_type = str(top["event_type"])
+            tv = top["event_type"]
+            # preserve NULL: str(None/NaN) would emit the literal
+            # string 'None', diverging from the batch oracle's NULL
+            # last_type when a null-typed event wins the total order
+            best_type = None if pd.isna(tv) else str(tv)
     if seen == 0:
         return
     n += seen
@@ -108,17 +115,11 @@ def latest_per_key_stream(events: DataFrame) -> DataFrame:
     pinned across micro-batch slicings in test_streaming_compaction.
     Rows with null user_id or unparseable ts are dropped (a null would
     poison the key's state math, not just its own row)."""
-    ts_us = (
-        F.unix_timestamp("ts") * F.lit(1_000_000)
-        + (F.date_part(F.lit("SECOND"), F.col("ts")) % 1 * 1_000_000).cast(
-            "long"
-        )
-    )
     prepared = events.select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_id").cast("long").alias("event_id"),
         F.col("event_type").cast("string").alias("event_type"),
-        ts_us.alias("ts_us"),
+        epoch_micros("ts").alias("ts_us"),
     ).filter(F.col("ts_us").isNotNull() & F.col("user_id").isNotNull())
 
     if not prepared.isStreaming:
@@ -149,15 +150,3 @@ def latest_per_key_stream(events: DataFrame) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-
-class _NoState:
-    """Empty GroupState stand-in for the batch shim (never persists)."""
-
-    exists = False
-    get = None
-
-    def update(self, value):
-        pass
-
-    def remove(self):
-        pass

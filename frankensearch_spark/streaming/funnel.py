@@ -36,6 +36,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from frankensearch_spark.streaming._shim import NoState as _NoState
+from frankensearch_spark.streaming._shim import epoch_micros
 from pyspark.sql.types import (
     BooleanType,
     LongType,
@@ -123,17 +126,11 @@ def funnel_progress_stream(events: DataFrame) -> DataFrame:
     funnel law but would still bump a naive count — filtered so n_seen
     is the user's funnel-event count); rows with null user_id or
     unparseable ts drop."""
-    ts_us = (
-        F.unix_timestamp("ts") * F.lit(1_000_000)
-        + (F.date_part(F.lit("SECOND"), F.col("ts")) % 1 * 1_000_000).cast(
-            "long"
-        )
-    )
     prepared = (
         events.select(
             F.col("user_id").cast("long").alias("user_id"),
             F.col("event_type").cast("string").alias("event_type"),
-            ts_us.alias("ts_us"),
+            epoch_micros("ts").alias("ts_us"),
         )
         .filter(F.col("event_type").isin(list(STAGES)))
         .filter(F.col("ts_us").isNotNull() & F.col("user_id").isNotNull())
@@ -167,15 +164,3 @@ def funnel_progress_stream(events: DataFrame) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-
-class _NoState:
-    """Empty GroupState stand-in for the batch shim (never persists)."""
-
-    exists = False
-    get = None
-
-    def update(self, value):
-        pass
-
-    def remove(self):
-        pass

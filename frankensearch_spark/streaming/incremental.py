@@ -65,16 +65,31 @@ def index_microbatch(
     with_docid = batch_df.withColumn(
         "docid", (w.cast("long") - 1 + F.lit(lease))
     ).persist()
+    spark = batch_df.sparkSession
+    # the global row_number window collapses the batch to ONE partition;
+    # re-spread AFTER the persisted docid assignment so the tokenizer
+    # mapInArrow runs on every core (the docids are pinned by the cache,
+    # the exchange only moves already-assigned rows) — without this an
+    # availableNow catch-up over a large backlog tokenizes serially
+    spread = with_docid.repartition(spark.sparkContext.defaultParallelism)
     # positions ride along in the mini-segment (quill's delta segment
     # indexes positions too, delta.rs:782-830) so streamed indexes can
     # serve phrase queries; read_incremental_index splits them back out
-    postings = build_postings_fused(with_docid, content_col)
+    postings = build_postings_fused(spread, content_col)
     seg_id = f"s{lease_idx:08d}"
     seg_dir = os.path.join(segments_dir(out_dir), seg_id)
+    # marker-FIRST reseal (the tiers.merge_segments retirement rule):
+    # foreachBatch is at-least-once, so a replayed batch re-seals this
+    # directory — retire the commit marker BEFORE the first overwrite
+    # or a crash mid-rewrite (or a concurrent reader/merge) would see a
+    # committed marker over a partially rewritten segment
+    try:
+        os.remove(os.path.join(seg_dir, "segmeta.json"))
+    except OSError:
+        pass
     postings.write.mode("overwrite").option(
         "compression", PARQUET_COMPRESSION
     ).parquet(os.path.join(seg_dir, "postings"))
-    spark = batch_df.sparkSession
     # docmeta reads the SEALED postings back from disk: tokenization
     # runs exactly once per micro-batch (build_docmeta's contract)
     sealed = spark.read.parquet(os.path.join(seg_dir, "postings"))
@@ -100,12 +115,39 @@ def start_incremental_build(
     checkpoint_dir: str | None = None,
     trigger_once: bool = True,
 ):
-    """Wire a streaming corpus source into the mini-segment sink."""
+    """Wire a streaming corpus source into the mini-segment sink.
+
+    Refuses to start a FRESH-checkpoint stream over an out_dir that
+    already holds committed stream segments: batch ids restart at 0 for
+    a new checkpoint, so the new stream's leases would collide with (and
+    ``mode("overwrite")`` silently replace) the previous stream's
+    committed segments.  Resuming with the original checkpoint is
+    always fine — its offsets make the batch ids line up."""
+    ckpt = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    offsets = os.path.join(ckpt, "offsets")
+    fresh_ckpt = not (os.path.isdir(offsets) and os.listdir(offsets))
+    if fresh_ckpt:
+        from frankensearch_spark.plans.tiers import list_segments
+
+        try:
+            stale = [
+                s.seg_id
+                for s in list_segments(out_dir)
+                if s.lease_lo >= STREAM_LEASE_BASE
+            ]
+        except OSError:
+            stale = []
+        if stale:
+            raise ValueError(
+                f"out_dir {out_dir!r} already holds committed stream "
+                f"segments {stale[:4]}... but the checkpoint at "
+                f"{ckpt!r} is fresh — a new stream's batch ids restart "
+                "at 0 and would silently overwrite them. Resume with "
+                "the original checkpoint, or use a new out_dir."
+            )
     writer = stream_df.writeStream.foreachBatch(
         lambda df, bid: index_microbatch(df, bid, out_dir, key_cols, content_col)
-    ).option(
-        "checkpointLocation", checkpoint_dir or os.path.join(out_dir, "_checkpoint")
-    )
+    ).option("checkpointLocation", ckpt)
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()

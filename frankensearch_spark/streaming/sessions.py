@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from frankensearch_spark.streaming._shim import NoState as _NoState
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -151,15 +153,3 @@ def sessionize_stream(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-
-class _NoState:
-    """Empty GroupState stand-in for the batch shim (never persists)."""
-
-    exists = False
-    get = None
-
-    def update(self, value):  # open tail session is dropped in batch —
-        pass  # callers close it with a flush sentinel, same as streaming
-
-    def remove(self):
-        pass

