@@ -615,6 +615,7 @@ def migrate_segment_positions(spark: SparkSession, out_dir: str) -> int:
                 seg.lease_hi,
                 seg.n_docs,
                 replaces=tuple(seg.replaces) + (seg.seg_id,),
+                pos_format="binary",  # the migration's whole point
             ),
         )  # commit point
         try:

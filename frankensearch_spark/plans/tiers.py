@@ -45,6 +45,14 @@ class SegmentInfo:
     lease_hi: int   # exclusive lease-index upper bound
     n_docs: int
     replaces: tuple[str, ...] = ()
+    # positions wire format of the postings table, recorded at SEAL
+    # time: "binary" (canonical LEB128) or "<none>" (no positions
+    # column).  None = sealed before this field existed — readers fall
+    # back to a parquet footer probe for those.  Recording it here
+    # saves an O(n_segments) sequential driver-side footer fetch on
+    # EVERY snapshot read/merge (seconds of pure driver latency on
+    # object storage at thousands of mini-segments).
+    pos_format: str | None = None
 
     @property
     def width(self) -> int:
@@ -76,6 +84,7 @@ def write_segment_meta(seg_dir: str, info: SegmentInfo) -> None:
                 "lease_hi": info.lease_hi,
                 "n_docs": info.n_docs,
                 "replaces": list(info.replaces),
+                "pos_format": info.pos_format,
             },
             f,
         )
@@ -101,6 +110,7 @@ def list_segments(out_dir: str) -> list[SegmentInfo]:
             SegmentInfo(
                 d["seg_id"], d["lease_lo"], d["lease_hi"], d["n_docs"],
                 tuple(d.get("replaces", ())),
+                pos_format=d.get("pos_format"),
             )
         )
     dead = {sid for i in infos for sid in i.replaces}
@@ -167,18 +177,25 @@ def merge_segments(spark, out_dir: str, run: list[SegmentInfo]) -> SegmentInfo:
     if os.path.isdir(dest):
         shutil.rmtree(dest)  # crashed earlier attempt, uncommitted
     src_dirs = [os.path.join(root, s.seg_id) for s in run]
+    merged_fmt: str | None = None
     for table in ("postings", "docmeta"):
         if table == "postings":
             # type-safe per-format-group union (raises LegacyPositionsError
             # on unmigrated pre-r4 segments; positions-less segments
-            # union in with nulls)
+            # union in with nulls); member formats ride in from THEIR
+            # segmeta, so a fully-stamped run probes zero footers
             from frankensearch_spark.streaming.incremental import (
                 read_segment_postings,
             )
 
             df = read_segment_postings(
-                spark, [os.path.join(d, table) for d in src_dirs]
+                spark,
+                [os.path.join(d, table) for d in src_dirs],
+                formats=[s.pos_format for s in run],
             )
+            # the union's own schema IS the merged format — record it
+            # so downstream reads of the merged segment skip the probe
+            merged_fmt = dict(df.dtypes).get("positions", "<none>")
         else:
             df = spark.read.parquet(
                 *[os.path.join(d, table) for d in src_dirs]
@@ -199,6 +216,7 @@ def merge_segments(spark, out_dir: str, run: list[SegmentInfo]) -> SegmentInfo:
         lease_hi=hi,
         n_docs=sum(s.n_docs for s in run),
         replaces=tuple(s.seg_id for s in run),
+        pos_format=merged_fmt,
     )
     write_segment_meta(dest, info)  # commit point
     for d in src_dirs:

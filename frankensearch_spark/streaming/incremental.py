@@ -103,7 +103,13 @@ def index_microbatch(
     n_docs = spark.read.parquet(os.path.join(seg_dir, "docmeta")).count()
     write_segment_meta(
         seg_dir,
-        SegmentInfo(seg_id, lease_idx, lease_idx + 1, int(n_docs)),
+        SegmentInfo(
+            seg_id, lease_idx, lease_idx + 1, int(n_docs),
+            # recorded at seal time so snapshot reads skip the footer
+            # probe; the fused build always emits LEB128-binary
+            # positions
+            pos_format="binary",
+        ),
     )
 
 
@@ -153,7 +159,11 @@ def start_incremental_build(
     return writer.start()
 
 
-def read_segment_postings(spark: SparkSession, paths: list[str]) -> DataFrame:
+def read_segment_postings(
+    spark: SparkSession,
+    paths: list[str],
+    formats: list[str | None] | None = None,
+) -> DataFrame:
     """Union mini-segment posting tables — ONE positions wire format
     (per-posting canonical LEB128 ``binary``).
 
@@ -163,15 +173,27 @@ def read_segment_postings(spark: SparkSession, paths: list[str]) -> DataFrame:
     :class:`~frankensearch_spark.plans.manifest.LegacyPositionsError` —
     run ``plans.manifest.migrate_segment_positions(spark, out_dir)``
     once (idempotent, per-segment atomic) instead of paying a format
-    probe + normalization pass on EVERY read."""
+    probe + normalization pass on EVERY read.
+
+    ``formats``: per-path positions format from the segments' OWN
+    segmeta (``SegmentInfo.pos_format``, recorded at seal time) — a
+    None entry (segment sealed before the field existed) falls back to
+    a parquet footer probe.  Passing it turns the O(n_segments)
+    sequential driver-side footer fetches this function otherwise pays
+    on EVERY snapshot read into zero I/O."""
     from frankensearch_spark.plans.manifest import LegacyPositionsError
 
-    # one cheap footer read per segment keeps the union type-safe: a
-    # single multi-path scan over conflicting column types would fail
-    # (or silently mis-read)
+    # known formats come from segmeta; only unknown entries pay the
+    # footer read (the probe keeps the union type-safe: a single
+    # multi-path scan over conflicting column types would fail or
+    # silently mis-read)
     by_fmt: dict[str, list[str]] = {}
-    for p in paths:
-        fmt = dict(spark.read.parquet(p).dtypes).get("positions", "<none>")
+    for i, p in enumerate(paths):
+        fmt = formats[i] if formats is not None else None
+        if fmt is None:
+            fmt = dict(spark.read.parquet(p).dtypes).get(
+                "positions", "<none>"
+            )
         by_fmt.setdefault(fmt, []).append(p)
     legacy = {f: g for f, g in by_fmt.items() if f not in ("binary", "<none>")}
     if legacy:
@@ -203,7 +225,9 @@ def read_incremental_index(spark: SparkSession, out_dir: str) -> BuiltIndex:
         raise FileNotFoundError(f"no committed mini-segments in {out_dir}")
     root = segments_dir(out_dir)
     raw = read_segment_postings(
-        spark, [os.path.join(root, s.seg_id, "postings") for s in segs]
+        spark,
+        [os.path.join(root, s.seg_id, "postings") for s in segs],
+        formats=[s.pos_format for s in segs],
     )
     docmeta = spark.read.parquet(
         *[os.path.join(root, s.seg_id, "docmeta") for s in segs]

@@ -215,6 +215,17 @@ def test_legacy_position_segments_migrate_once(spark):
         legacy.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(p0)
         os.rename(tmp, p0)
+        # a faithful legacy segment carries NO pos_format stamp (the
+        # field postdates those writers) — strip it so the reader's
+        # segmeta fast path correctly falls back to the footer probe
+        import json
+
+        smp = os.path.join(out, "segments", seg0.seg_id, "segmeta.json")
+        with open(smp) as fh:
+            sm = json.load(fh)
+        sm.pop("pos_format", None)
+        with open(smp, "w") as fh:
+            json.dump(sm, fh)
 
         # the shim is retired: reading an unmigrated index raises
         with pytest.raises(LegacyPositionsError) as exc:
