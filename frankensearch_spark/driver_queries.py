@@ -1804,7 +1804,11 @@ def _near_dup_pairs_df(spark, sf_dir, threshold: float = 0.8):
     return _near_dup_pairs_over(spark, sh, threshold)
 
 
-def _near_dup_pairs_over(spark, sh, threshold: float):
+def _lsh_candidate_pairs(spark, sh):
+    """(d1, d2) LSH candidate pairs over a (docid, shingle) frame — the
+    ONE banding recipe (12 md5-minhashes, 4 bands of 3) shared by the
+    verified pipeline and the recall measurement; its constants are
+    contract values mirrored in the oracle SQL."""
     seeds = spark.range(12).select(F.col("id").cast("int").alias("seed"))
     sig = (
         sh.crossJoin(F.broadcast(seeds))
@@ -1825,7 +1829,7 @@ def _near_dup_pairs_over(spark, sh, threshold: float):
         )
     )
     a, b = bucket.alias("a"), bucket.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -1835,6 +1839,10 @@ def _near_dup_pairs_over(spark, sh, threshold: float):
         .select(F.col("a.docid").alias("d1"), F.col("b.docid").alias("d2"))
         .distinct()
     )
+
+
+def _near_dup_pairs_over(spark, sh, threshold: float):
+    cand = _lsh_candidate_pairs(spark, sh)
     sizes = sh.groupBy("docid").agg(F.count(F.lit(1)).cast("double").alias("n"))
     x, y = sh.alias("x"), sh.alias("y")
     inter = (
@@ -1862,6 +1870,65 @@ def q_near_dup_pairs(spark, sf_dir):
     """Verified near-duplicate pairs (shingle-LSH candidates + exact
     Jaccard >= 0.8) — the production dedup pipeline end-to-end."""
     return _near_dup_pairs_cached(spark, sf_dir)
+
+
+def q_near_dup_recall(spark, sf_dir):
+    """Measured RECALL of the shingle-LSH candidate generator — the
+    dedup pipeline's quality number, playing the role
+    ``ann_ivf_recall`` plays for ANN: of the TRUE near-dup pairs
+    (exact 3-shingle Jaccard >= 0.5), what fraction does the banding
+    surface as candidates?  With 12 minhashes in 4 bands of 3,
+    P(candidate) = 1 − (1 − j³)⁴ ≈ 0.42 at j = 0.5 but ≥ 0.9999 at
+    j ≥ 0.9 (where this corpus' true pairs live) — the query exists so
+    a banding change that silently drops recall shows up as a NUMBER.
+
+    Ground truth: pairs sharing ≥1 shingle via an inverted-shingle
+    join (an exhaustive superset of every pair with jaccard > 0).
+    SCALE NOTE: recall measurement is an offline evaluation on a
+    sample BY CONSTRUCTION — the ground truth is exactly the
+    computation LSH exists to avoid; run it on a bounded slice at
+    scale.  The production path is ``near_dup_pairs``."""
+    sh = _shingle_sets(spark, sf_dir)
+    sizes = sh.groupBy("docid").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.docid") < F.col("y.docid")),
+        )
+        .groupBy(
+            F.col("x.docid").alias("d1"), F.col("y.docid").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("i"))
+    )
+    s1 = sizes.select(F.col("docid").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("docid").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    truth = (
+        inter.join(s1, "d1").join(s2, "d2")
+        .filter(jac >= 0.5)
+        .select("d1", "d2")
+    )
+    cand = _lsh_candidate_pairs(spark, sh).withColumn("hit", F.lit(1))
+    return (
+        truth.join(cand, ["d1", "d2"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_caught"),
+        )
+        .select(
+            "n_true",
+            "n_caught",
+            F.round(F.col("n_caught") / F.col("n_true"), 6).alias(
+                "recall_r"
+            ),
+        )
+    )
 
 
 def _dedup_labels_df(spark, sf_dir):
@@ -2111,6 +2178,7 @@ QUERIES = {
     "source_mix_weights": q_source_mix_weights,
     "ppl_bigram": q_ppl_bigram,
     "lsh_bucket_skew": q_lsh_bucket_skew,
+    "near_dup_recall": q_near_dup_recall,
 }
 
 _SQL_SIMHASH_BITS = " + ".join(
@@ -2740,6 +2808,30 @@ ORACLE_SQL = {
         {_SQL_NEAR_DUP_PAIRS}
         SELECT d1, d2, round(i / (s1n + s2n - i), 6) AS jaccard_r
         FROM verified
+    """,
+    "near_dup_recall": f"""
+        WITH tok AS ({_SQL_TOKEN_ROWS}),
+        {_SQL_NEAR_DUP_PAIRS},
+        t_inter AS (
+          SELECT x.docid AS d1, y.docid AS d2, count(*)::DOUBLE AS i
+          FROM sh x
+          JOIN sh y ON x.shingle = y.shingle AND x.docid < y.docid
+          GROUP BY x.docid, y.docid
+        ),
+        truth AS (
+          SELECT t.d1, t.d2
+          FROM t_inter t
+          JOIN nd_sizes s1 ON t.d1 = s1.docid
+          JOIN nd_sizes s2 ON t.d2 = s2.docid
+          WHERE t.i / (s1.n + s2.n - t.i) >= 0.5
+        )
+        SELECT count(*)::BIGINT AS n_true,
+               sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_caught,
+               round(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE, 6) AS recall_r
+        FROM truth
+        LEFT JOIN cand c ON truth.d1 = c.d1 AND truth.d2 = c.d2
     """,
     "dedup_clusters": f"""
         WITH RECURSIVE tok AS ({_SQL_TOKEN_ROWS}),

@@ -42,6 +42,7 @@ PIPELINE_QUERIES = [
     "boilerplate_ngrams",
     "latest_event_per_user",
     "lsh_bucket_skew",
+    "near_dup_recall",
 ]
 
 
