@@ -106,6 +106,11 @@ def bitmap_encode_rows(offs: np.ndarray) -> list[bytes]:
     rel = (offs - offs[:, :1]).astype(np.int64)
     if rel.max() >= BITMAP_SPAN:
         raise ValueError("bitmap row span exceeds BITMAP_SPAN")
+    if rel.min() < 0:
+        # an unsorted row would WRAP via numpy negative indexing into
+        # the top of the bitmap and round-trip with a matching popcount
+        # — wrong docids, no error; fail loudly like the span guard
+        raise ValueError("bitmap row offsets must be ascending")
     bits = np.zeros((k, BITMAP_SPAN), dtype=np.uint8)
     bits[np.repeat(np.arange(k), n), rel.ravel()] = 1
     packed = np.packbits(bits, axis=1, bitorder="little")

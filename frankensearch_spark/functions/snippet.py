@@ -14,6 +14,8 @@ their source text and runs the generator in one pandas pass.
 
 from __future__ import annotations
 
+import html
+
 import numpy as np
 
 from frankensearch_spark.analyze import analyze_default
@@ -23,21 +25,10 @@ DEFAULT_SNIPPET_MAX_CHARS = 200  # snippet.rs:22
 
 
 def _escape_html(text: str) -> str:
-    out = []
-    for ch in text:
-        if ch == '"':
-            out.append("&quot;")
-        elif ch == "&":
-            out.append("&amp;")
-        elif ch == "'":
-            out.append("&#x27;")
-        elif ch == "<":
-            out.append("&lt;")
-        elif ch == ">":
-            out.append("&gt;")
-        else:
-            out.append(ch)
-    return "".join(out)
+    # stdlib html.escape(quote=True) emits exactly the reference's five
+    # entities (&amp; &lt; &gt; &quot; &#x27;) — byte-identical to the
+    # per-char loop it replaces, but in C
+    return html.escape(text, quote=True)
 
 
 def _collapse_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -152,26 +143,40 @@ def snippets_for_topk(
     query_terms: list[str],
     content_col: str = "content",
     max_chars: int = DEFAULT_SNIPPET_MAX_CHARS,
+    key_cols: list[str] | None = None,
 ) -> list[tuple[int, str | None]]:
     """Generate snippets for collected top-k rows.
 
     ``topk_rows``: [(docid, score)] as returned by the search paths;
     the k source texts are fetched with one semi-joined collect (k is
-    small — this is driver-side post-processing, E13)."""
+    small — this is driver-side post-processing, E13).  A docid-less
+    ``corpus`` needs explicit ``key_cols`` to attach docids via
+    docmeta — joining on "whatever columns happen to be shared" could
+    silently match nothing (every snippet None) or cross-join."""
     from pyspark.sql import functions as F
 
     docids = [int(d) for d, _s in topk_rows]
     if not docids:
         return []
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in index.termstats.filter(F.col("term").isin(query_terms)).collect()
-    }
-    term_dfs = {t: dfs.get(t, 0) for t in query_terms}
+    # the index's own df lookup serves from the preload_termstats cache
+    # (with negative caching) — a raw termstats collect here would pay
+    # an extra Spark job per call even on a fully warmed engine.
+    # Multi-field wrappers expose it on their primary field (snippets
+    # df-weight by the content field, matching the reference).
+    sub = index if hasattr(index, "df_of_terms") else index.primary
+    dfs = sub.df_of_terms(list(dict.fromkeys(query_terms)))
+    term_dfs = {t: int(dfs.get(t) or 0) for t in query_terms}
     if "docid" in corpus.columns:
         src = corpus
+    elif key_cols:
+        src = index.docmeta.select("docid", *key_cols).join(
+            corpus, list(key_cols)
+        )
     else:
-        src = index.docmeta.join(corpus, [c for c in corpus.columns if c in index.docmeta.columns])
+        raise ValueError(
+            "corpus has no docid column and no key_cols were given; "
+            "pass key_cols=[...] so docids attach via docmeta"
+        )
     texts = {
         int(r["docid"]): r[content_col]
         for r in src.filter(F.col("docid").isin(docids))

@@ -43,6 +43,15 @@ def vbyte_encode_chunks(
             np.empty(0, dtype=np.uint8),
             np.zeros(seg_starts.size + 1, dtype=np.int64),
         )
+    if int(arr.max()) > 0xFFFFFFFF:
+        # the canonical codec is u32: a larger value (an upstream
+        # docid/position overflow, or a negative wrapped by the uint64
+        # cast) would silently TRUNCATE to its low 35 bits and decode
+        # as a different number — fail the build loudly instead
+        raise ValueError(
+            "vbyte encode input exceeds u32 range "
+            f"(max value {int(arr.max())})"
+        )
     nbytes = np.ones(arr.size, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += arr >= t

@@ -232,3 +232,18 @@ def test_bitmap_wand_pruned_parity(bitmap_srv, oracle):
         for d, s in oracle.search("fn term00001 term00002", k=10)
     ]
     assert got == exp
+
+
+def test_bitmap_rejects_unsorted_offsets():
+    """Unsorted offsets previously wrapped via numpy negative indexing
+    into the top of the bitmap and round-tripped with a matching
+    popcount — wrong docids, silently."""
+    import numpy as np
+    import pytest
+
+    from frankensearch_spark.functions.bitpack import bitmap_encode_rows
+
+    with pytest.raises(ValueError, match="ascending"):
+        bitmap_encode_rows(
+            np.array([[10, 5, 11, 12]], dtype=np.uint64)
+        )

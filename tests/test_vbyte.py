@@ -90,3 +90,18 @@ def test_decode_concat_rejects_split_value():
     buf = vbyte_encode(np.array([300], np.uint64))  # 2-byte value
     with pytest.raises(ValueError):
         vbyte_decode_concat([buf[:1], buf[1:]])
+
+
+def test_encode_rejects_values_above_u32():
+    """The canonical codec is u32: a larger input (upstream overflow, or
+    a negative wrapped by the uint64 cast) previously TRUNCATED to its
+    low bits and decoded as a different number with no error."""
+    import numpy as np
+    import pytest
+
+    from frankensearch_spark.functions.vbyte import vbyte_encode
+
+    with pytest.raises(ValueError, match="u32"):
+        vbyte_encode(np.array([2**35 + 2**30], dtype=np.uint64))
+    with pytest.raises(ValueError, match="u32"):
+        vbyte_encode(np.array([-1]))  # wraps to 2**64-1 under the cast
