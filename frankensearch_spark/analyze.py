@@ -256,7 +256,18 @@ def analyze_cass(text: str, hyphen_decompose: bool = True) -> list[Token]:
 
 def cass_generate_edge_ngrams(text: str) -> list[str]:
     """Per word: character prefixes of length 2..=20 (scribe.rs:1013-1052;
-    helper cases ``helper-edge-prefix-*``)."""
+    helper cases ``helper-edge-prefix-*``).
+
+    DELIBERATE divergence on non-ASCII uppercase: the reference emits
+    raw-cased prefixes and normalizes with ASCII-only lowercase
+    (cass_compat.rs:1873) while lowercasing the QUERY prefix fully
+    (cass_compat.rs:2325) — so 'ÉCLAIR' indexes 'É…' terms a query
+    'écl' can never match.  This port lowercases at ngram time (and
+    the downstream analyzer lowers again), so the same query DOES
+    match.  We keep the matching behavior rather than replicate a
+    reference quirk that silently drops non-ASCII-uppercase prefix
+    hits; the contract fixtures pin lowercase inputs only, where both
+    behaviors are byte-identical."""
     out: list[str] = []
     for word in _WORD_RE.findall(text):
         w = word.lower()

@@ -464,7 +464,14 @@ def _apply_filters(root: Query, f: CassQueryFilters) -> Query:
         source = ("origin_kind", "local")
     elif f.source_filter == "remote":
         source = ("origin_kind", "ssh")
-    elif f.source_filter == "source_id" and f.source_id is not None:
+    elif f.source_filter == "source_id":
+        if f.source_id is None:
+            # the reference makes this state unrepresentable
+            # (SourceFilter::SourceId(String)); silently applying NO
+            # filter would widen a filtering surface to all sources
+            raise ValueError(
+                "source_filter='source_id' requires source_id"
+            )
         source = ("source_id", f.source_id)
     if source is not None:
         fld = (CASS_SCHEMA.by_name(source[0]),)

@@ -166,8 +166,52 @@ def eval_query(
         mask = _isin_mask(ctx.meta_of(q.field), set(q.values))
         return mask, np.where(mask, np.float32(boost), np.float32(0.0))
     if isinstance(q, Glob):
-        raise UnsupportedQueryError("Glob must be expanded before kernel eval")
+        if any(f.kind == TEXT for f in q.fields):
+            raise UnsupportedQueryError(
+                "text-field Glob must be expanded before kernel eval"
+            )
+        return _eval_keyword_glob(q, ctx, boost)
     raise UnsupportedQueryError(f"unknown node {type(q).__name__}")
+
+
+def _eval_keyword_glob(q: Glob, ctx: EvalContext, boost: np.float32):
+    """Keyword-field glob: raw-text ``*``/``?`` wildcard match over the
+    metadata column, constant-score like a keyword Term hit.
+
+    The reference expands globs over the FIELD-SCOPED term dictionary
+    (grimoire.rs:1447); keyword fields live in docmeta under the Spark
+    mapping, so that field's "dictionary" IS the column — matching the
+    raw values directly is the same set of hits without materializing
+    a distinct-values pass.  Patterns stay RAW-cased (schema.rs:39-74:
+    keyword fields match raw text; the parser deliberately does not
+    lowercase keyword globs).  Numeric fields have no glob semantics
+    and contribute nothing (the same dropped-leaf rule as unparseable
+    numeric Terms)."""
+    import re as _re
+
+    from frankensearch_spark.query_ast import glob_to_regex
+
+    mask, acc = _zeros(ctx.n)
+    pat = glob_to_regex(q.pattern)
+    for f in q.fields:
+        if f.kind != KEYWORD:
+            continue
+        vals, valid = _str_col(ctx.meta_of(f.name))
+        # pandas' vectorized fullmatch (cython path, no per-row Python)
+        hit = (
+            pd.Series(vals)
+            .str.fullmatch(pat, flags=_re.DOTALL)
+            .to_numpy(dtype=bool)
+            & valid
+        )
+        s = np.where(
+            hit,
+            np.float32(np.float32(boost) * np.float32(f.boost)),
+            np.float32(0.0),
+        )
+        acc = (acc + s).astype(np.float32)
+        mask |= hit
+    return mask, np.where(mask, acc, np.float32(0.0))
 
 
 def _isin_mask(col: np.ndarray, values: set) -> np.ndarray:

@@ -68,10 +68,14 @@ def expand_globs(index, ast: Query) -> Query:
     globs = collect_globs(ast)
     if not globs:
         return ast
+    from frankensearch_spark.query_ast import KEYWORD, TEXT, Glob
+
     fidx, _primary = _field_indexes(index)
     expansion = {}
     for g in globs:
-        names = [f.name for f in g.fields if f.name in fidx]
+        names = [
+            f.name for f in g.fields if f.kind == TEXT and f.name in fidx
+        ]
         terms: list[str] = []
         for name in names:
             rows = (
@@ -82,9 +86,15 @@ def expand_globs(index, ast: Query) -> Query:
             )
             terms.extend(r["term"] for r in rows)
         uniq = cap_glob_expansion(terms)
-        expansion[g] = Boolean(
-            tuple(Clause("Should", Term(g.fields, t)) for t in uniq), None
-        )
+        clauses = tuple(Clause("Should", Term(g.fields, t)) for t in uniq)
+        kw_fields = tuple(f for f in g.fields if f.kind == KEYWORD)
+        if kw_fields:
+            # keyword fields don't expand over a term dictionary here
+            # (they live in docmeta): keep a keyword-scoped Glob leaf
+            # for the kernel's raw-text wildcard match — previously the
+            # keyword side of a glob silently expanded to NOTHING
+            clauses += (Clause("Should", Glob(kw_fields, g.pattern)),)
+        expansion[g] = Boolean(clauses, None)
     return substitute_globs(ast, expansion)
 
 

@@ -211,13 +211,17 @@ class OracleIndex:
             meta=meta,
         )
 
-    def expand_glob(self, pattern: str, limit: int | None = 16_384) -> list[str]:
+    def expand_glob(self, pattern: str, limit: int | None = None) -> list[str]:
         """Sorted term-dictionary glob expansion (grimoire.rs:1374-1460).
 
-        ``limit=None`` returns all matches — multi-field expansion caps
-        the UNION (``cap_glob_expansion``), not the per-field lists."""
+        ``limit=None`` uses the shared pinned cap
+        (``query_ast.GLOB_EXPANSION_LIMIT``, config.rs:33) so this
+        entry point can never desynchronize from the Spark executors'
+        ``cap_glob_expansion`` sites."""
+        from frankensearch_spark.query_ast import GLOB_EXPANSION_LIMIT
+
         hits = self.glob_matches(pattern)
-        return hits if limit is None else hits[:limit]
+        return hits[: (GLOB_EXPANSION_LIMIT if limit is None else limit)]
 
     def glob_matches(self, pattern: str) -> list[str]:
         from frankensearch_spark.query_ast import glob_match
@@ -237,14 +241,34 @@ class OracleIndex:
 
         globs = collect_globs(ast)
         if globs:
-            from frankensearch_spark.query_ast import cap_glob_expansion
+            from frankensearch_spark.query_ast import (
+                KEYWORD,
+                TEXT,
+                Glob,
+                cap_glob_expansion,
+            )
 
             expansion = {}
             for g in globs:
-                terms = cap_glob_expansion(self.glob_matches(g.pattern))
-                expansion[g] = Boolean(
-                    tuple(Clause("Should", Term(g.fields, t)) for t in terms), None
+                # expand over the text-term dictionary ONLY for TEXT
+                # fields (the Spark executors' rule) — expanding a
+                # keyword glob over content terms produced hits driven
+                # by the wrong field's dictionary; keyword fields keep
+                # a Glob leaf for the kernel's raw-text wildcard match
+                terms = (
+                    cap_glob_expansion(self.glob_matches(g.pattern))
+                    if any(f.kind == TEXT for f in g.fields)
+                    else []
                 )
+                clauses = tuple(
+                    Clause("Should", Term(g.fields, t)) for t in terms
+                )
+                kw_fields = tuple(f for f in g.fields if f.kind == KEYWORD)
+                if kw_fields:
+                    clauses += (
+                        Clause("Should", Glob(kw_fields, g.pattern)),
+                    )
+                expansion[g] = Boolean(clauses, None)
             ast = substitute_globs(ast, expansion)
         ctx = self._eval_context(ast)
         mask, scores = eval_query(ast, ctx)

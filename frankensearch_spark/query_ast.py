@@ -631,8 +631,19 @@ class _Parser:
 
     def _range_of(self, raw: str, f: QueryField) -> Query | None:
         open_ch = raw[0]
-        close_ch = raw[-1] if raw[-1] in "]}" else "]"
-        body = raw[1:-1] if raw[-1] in "]}" else raw[1:]
+        if raw[-1] in "]}":
+            close_ch = raw[-1]
+            body = raw[1:-1]
+        elif any(c in raw[1:] for c in "]}"):
+            # a closing bracket WITH trailing junk ('[a TO b]x'):
+            # folding the junk into the upper bound would match a
+            # garbage value (and silently read a '}' close as
+            # inclusive) — drop like any other malformed range
+            self.diagnostics.append(f"malformed range {raw!r} dropped")
+            return None
+        else:
+            close_ch = "]"  # genuinely unclosed: lenient recovery
+            body = raw[1:]
         parts = body.split()
         if len(parts) != 3 or parts[1] != "TO":
             self.diagnostics.append(f"malformed range {raw!r} dropped")
@@ -925,6 +936,13 @@ def walk_metadata_fields(q: Query) -> list[str]:
             for f in node.fields:
                 if f.kind != TEXT:
                     add(f.name)
+        elif isinstance(node, Glob):
+            # keyword-field globs evaluate against the docmeta column
+            # (kernel._eval_keyword_glob) — its values must load into
+            # the eval context like any other metadata leaf's
+            for f in node.fields:
+                if f.kind != TEXT:
+                    add(f.name)
         elif isinstance(node, (RangeStr, RangeI64, SetStr)):
             add(node.field)
         elif isinstance(node, Boolean):
@@ -943,6 +961,11 @@ def contains_all_node(q: Query) -> bool:
     if isinstance(q, (RangeStr, RangeI64, SetStr)):
         return True  # metadata leaves match beyond the posting candidates
     if isinstance(q, Term):
+        return any(f.kind != TEXT for f in q.fields)
+    if isinstance(q, Glob):
+        # a keyword-field glob is a metadata leaf too (kernel evaluates
+        # it against the docmeta column): without this, a pure
+        # `repo:org0/*` query fell through the executors' empty gate
         return any(f.kind != TEXT for f in q.fields)
     if isinstance(q, Boolean):
         return any(contains_all_node(c.query) for c in q.clauses)

@@ -60,7 +60,12 @@ def read_corpus_table(
     if ref.startswith("iceberg:"):
         df = spark.read.format("iceberg").load(ref[len("iceberg:"):])
     elif ref.startswith("parquet:"):
-        df = spark.read.parquet(ref[len("parquet:"):])
+        # same Python-cwd normalization as bare paths: Spark resolves
+        # relative paths against the JVM cwd, which may differ
+        p = ref[len("parquet:"):]
+        if "://" not in p and not os.path.isabs(p):
+            p = os.path.abspath(p)
+        df = spark.read.parquet(p)
     elif "/" in ref:
         # relative path -> resolve against the PYTHON cwd (Spark
         # resolves relative paths against the JVM cwd, which may

@@ -258,3 +258,38 @@ def test_random_query_fuzz_parity(built, oracle):
         expected = _oracle_bits(oracle, text)
         got = search_ast_bits(built, text, k=10)
         assert got == expected, repr(text)
+
+
+def test_keyword_glob_matches_metadata(built, oracle):
+    """Keyword-field globs match RAW metadata values with */? wildcards
+    (grimoire.rs:1447 expands field-scoped globs; keyword fields live
+    in docmeta here, so the field's 'dictionary' is the column).
+    Previously the keyword side of a glob silently expanded to NOTHING
+    on every execution path.  Pure keyword globs pass the metadata
+    empty-gate (contains_all_node), mixed shapes restrict text hits,
+    and all paths stay bit-equal."""
+    import numpy as np
+
+    from frankensearch_spark.operators.batchexec import search_batch_collect
+
+    repos = {
+        int(r["docid"]): r["repo"]
+        for r in built.docmeta.select("docid", "repo").collect()
+    }
+    exp = sorted(d for d, r in repos.items() if r.startswith("org0/"))
+    got = sorted(
+        d for d, _ in search_ast_collect(built, "repo:org0/*", k=10_000)
+    )
+    assert got == exp and exp, (len(got), len(exp))
+
+    for q in ["repo:org0/*", "fn AND repo:org0/*", "fn repo:org0/*"]:
+        a = search_ast_bits(built, q, k=25)
+        bt = [
+            (d, int(np.float32(s).view(np.uint32)))
+            for d, s in search_batch_collect(built, [q], k=25)[0]
+        ]
+        assert bt == a, q
+        o = _oracle_bits(oracle, q, k=25)
+        assert o == a, q
+
+    assert search_ast_collect(built, "repo:zzz*", k=5) == []

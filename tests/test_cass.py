@@ -127,3 +127,18 @@ def test_cass_glob_classification_cases(case):
 def test_case_count_complete():
     assert len(CASES) == 39
     assert len(GLOB_CASES) + len(AST_CASES) == 39
+
+
+def test_source_id_filter_requires_id():
+    """source_filter='source_id' with source_id=None previously applied
+    NO filter (silently widening to all sources); the reference makes
+    that state unrepresentable, so it now raises."""
+    import pytest
+
+    from frankensearch_spark.cass import CassQueryFilters, _apply_filters
+    from frankensearch_spark.query_ast import All
+
+    with pytest.raises(ValueError, match="source_id"):
+        _apply_filters(
+            All(), CassQueryFilters(source_filter="source_id", source_id=None)
+        )

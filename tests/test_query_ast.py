@@ -226,3 +226,22 @@ class TestLenientEdgeRecovery:
         t0 = time.perf_counter()
         parse_lenient(text, ENGINE_SCHEMA)
         assert time.perf_counter() - t0 < 2.0
+
+
+def test_range_with_trailing_junk_dropped():
+    """'path:[a TO b]x' previously folded the junk into the upper bound
+    (matching 'b]x') and silently read a '}' close as inclusive; a
+    closing bracket followed by junk now drops with a diagnostic, while
+    a genuinely UNCLOSED range keeps its lenient recovery."""
+    from frankensearch_spark.query_ast import (
+        ENGINE_SCHEMA,
+        RangeStr,
+        parse_lenient,
+    )
+
+    p = parse_lenient("path:[a TO b]x", ENGINE_SCHEMA)
+    assert any("malformed range" in d for d in p.diagnostics), p.diagnostics
+
+    p2 = parse_lenient("path:[a TO b", ENGINE_SCHEMA)  # unclosed: recovers
+    node = p2.query
+    assert isinstance(node, RangeStr) and node.upper.value == "b", node
